@@ -1,0 +1,119 @@
+"""Catalyst-native Column expressions for every pushdown-able predicate.
+
+These are the filters the reference runs per-row in Python
+(filter.py, util.py, crawler.py); here they are pure Column exprs so
+Catalyst can push them into scans, fold constants, and keep them inside
+WholeStageCodegen — no Python in the filter path.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..config import DANGEROUS_PATHS, STATIC_EXTS
+
+
+def glob_to_java_regex(pattern: str) -> str:
+    """fnmatch glob → Java-compatible regex. fnmatch.translate emits
+    ``(?s:...)\\Z`` which Java supports verbatim; on Linux fnmatch is
+    case-sensitive (os.path.normcase is identity), so no (?i)."""
+    return fnmatch.translate(pattern)
+
+
+def domain_whitelist(host: Column, patterns: list[str]) -> Column:
+    """F1 — accept if ANY glob matches the host (reference filter.py:18-37)."""
+    if not patterns:
+        return F.lit(False)
+    cond = F.lit(False)
+    for p in patterns:
+        cond = cond | host.rlike(glob_to_java_regex(p))
+    return cond
+
+
+def domain_blacklist(host: Column, patterns: list[str]) -> Column:
+    """F2 — accept if NO glob matches (reference filter.py:40-57)."""
+    if not patterns:
+        return F.lit(True)
+    return ~domain_whitelist(host, patterns)
+
+
+def filter_chain(*predicates: Column) -> Column:
+    """F3 — conjunction (reference filter.py:60-77); Catalyst folds it."""
+    out = F.lit(True)
+    for p in predicates:
+        out = out & p
+    return out
+
+
+def host_of(netloc: Column) -> Column:
+    """P8 — host part of netloc (reference util.py:53-60): 1 part → part,
+    2 parts → trimmed first, ≥3 parts → ''."""
+    parts = F.split(netloc, ":")
+    return (
+        F.when(F.size(parts) == 1, parts.getItem(0))
+        .when(F.size(parts) == 2, F.trim(parts.getItem(0)))
+        .otherwise(F.lit(""))
+    )
+
+
+def port_of(netloc: Column) -> Column:
+    parts = F.split(netloc, ":")
+    return F.when(F.size(parts) == 2, F.trim(parts.getItem(1))).otherwise(F.lit(""))
+
+
+def is_static_resource_expr(path: Column) -> Column:
+    """F4 (reference util.py:44-50) as one rlike."""
+    alts = "|".join(e.lstrip(".") for e in STATIC_EXTS)
+    return path.rlike(rf"\.({alts})($|\?)")
+
+
+def is_dangerous_path(path: Column, dangerous: list[str] | None = None) -> Column:
+    """F6 (reference crawler.py:258-266): case-insensitive search of
+    ``/?word`` in the trimmed path."""
+    words = dangerous if dangerous is not None else DANGEROUS_PATHS
+    if not words:
+        return F.lit(False)
+    return F.trim(path).rlike("(?i)/?(" + "|".join(words) + ")")
+
+
+def is_extend_expr(content_type: Column) -> Column:
+    """F7 content-type gate (reference crawler.py:314-323)."""
+    ct = F.lower(F.trim(F.split_part(F.coalesce(content_type, F.lit("")), F.lit(";"), F.lit(1))))
+    return (
+        F.when(ct.startswith("text/"), F.lit(True))
+        .when(
+            ct.startswith("application/"),
+            ~ct.isin("application/octet-stream", "application/pdf"),
+        )
+        .otherwise(F.lit(False))
+    )
+
+
+def is_js_expr(path: Column) -> Column:
+    """F11 (reference crawler.py:325-330)."""
+    return (
+        path.endswith(".js") | path.endswith(".js.map") | path.contains(".js?")
+    )
+
+
+def status_allowed(status: Column, ranges: list[tuple[int, int]] | None) -> Column:
+    """F12 display-status filter (reference output_formatter.py:53-69):
+    404 always dropped; with ranges set, keep iff numeric and in any
+    half-open [start, end)."""
+    not_404 = status != F.lit("404")
+    if not ranges:
+        return not_404
+    numeric = status.rlike("^[0-9]+$")
+    code = F.when(numeric, status.cast("int"))
+    in_any = F.lit(False)
+    for start, end in ranges:
+        in_any = in_any | ((code >= F.lit(start)) & (code < F.lit(end)))
+    return not_404 & numeric & in_any
+
+
+def is_unknown_status(status: Column) -> Column:
+    """F13 validate-candidate (reference crawler.py:241-254): non-numeric."""
+    return ~status.rlike("^[0-9]+$")

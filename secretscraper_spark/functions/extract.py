@@ -1,0 +1,108 @@
+"""Arrow-batched pandas UDFs — the only Python in the hot path.
+
+Each UDF uses the Iterator[pd.Series] form so per-task setup (regex
+compilation) happens once per task, not once per batch; the actual pattern
+work is the pure kernel in purekit.py.
+
+Reference parity: P1/P2 (urlparser.py:19-140), P3 (handler.py:41-61),
+P7 (util.py:109-116), P11 (entity.py:47-50).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import CHILD_STRUCT, SECRET_STRUCT, URL_PART_FIELDS
+from .purekit import (
+    LinkExtractor,
+    RegexExtractor,
+    extract_title,
+    parse6,
+    unparse6,
+)
+
+_PARSE_STRUCT = T.StructType(
+    [T.StructField("url_norm", T.StringType()), *URL_PART_FIELDS]
+)
+
+
+def make_parse_url_udf() -> Callable:
+    """url:string → struct(url_norm + 6-tuple). Exact urllib.parse semantics
+    (reference identity, entity.py:21-22) — Spark's parse_url() differs on
+    params/fragment splitting, so we keep urllib inside an Arrow batch."""
+
+    @F.pandas_udf(_PARSE_STRUCT)
+    def parse_url_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        cols = ["url_norm", "scheme", "netloc", "path", "params", "query", "fragment"]
+        for urls in it:
+            rows = []
+            for u in urls:
+                t = parse6(u if u is not None else "")
+                rows.append((unparse6(t), *t))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return parse_url_udf
+
+
+def make_secrets_udf(rules: dict[str, str], use_groups: bool = True) -> Callable:
+    """text → array<struct<rule_name,match>>, per-text set-dedup
+    (reference crawler.py:311 ``set(secrets)``)."""
+
+    @F.pandas_udf(T.ArrayType(SECRET_STRUCT))
+    def secrets_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        extractor = RegexExtractor(rules, use_groups=use_groups)
+        for texts in it:
+            out = []
+            for text in texts:
+                if text is None:
+                    out.append([])
+                    continue
+                uniq = set(extractor.extract(text))
+                out.append([{"rule_name": r, "match": m} for r, m in sorted(uniq)])
+            yield pd.Series(out)
+
+    return secrets_udf
+
+
+def make_links_udf(finder_rules: dict[str, str]) -> Callable:
+    """(scheme, netloc, text) → array<struct<url_norm + 6-tuple>>.
+
+    P1 ∪ P2 per page, set-deduped on the 6-tuple (reference
+    urlparser.py:105-140). Depth/parent bookkeeping stays relational."""
+
+    @F.pandas_udf(T.ArrayType(CHILD_STRUCT))
+    def links_udf(it: Iterator[tuple[pd.Series, pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        extractor = LinkExtractor(finder_rules)
+        for schemes, netlocs, texts in it:
+            out = []
+            for scheme, netloc, text in zip(schemes, netlocs, texts):
+                if text is None:
+                    out.append([])
+                    continue
+                base6 = (scheme or "", netloc or "", "", "", "", "")
+                kids = extractor.extract(base6, text)
+                out.append(
+                    [
+                        {
+                            "url_norm": unparse6(k),
+                            "scheme": k[0], "netloc": k[1], "path": k[2],
+                            "params": k[3], "query": k[4], "fragment": k[5],
+                        }
+                        for k in sorted(kids)
+                    ]
+                )
+            yield pd.Series(out)
+
+    return links_udf
+
+
+@F.pandas_udf(T.StringType())
+def title_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """text → title string (reference util.py:109-116)."""
+    for texts in it:
+        yield texts.map(lambda t: extract_title(t) if t is not None else "")

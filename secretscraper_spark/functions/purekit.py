@@ -1,0 +1,295 @@
+"""Pure-Python semantic kernel shared by the pandas UDFs and the
+deterministic reference-semantics simulator (refsim.py).
+
+Each function replicates, bit-for-bit, one reference behavior (cited
+file:line below) but is written for vectorized batch use: all regexes are
+compiled once at module import and functions avoid per-call allocation.
+
+These run *inside* Arrow-batched pandas UDFs — never as row-at-a-time
+Spark Python UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlparse
+
+# ---------------------------------------------------------------------------
+# F4 static-resource prune — reference util.py:44-50
+# ---------------------------------------------------------------------------
+_STATIC_EXTS = (
+    ".png", ".jpg", ".jpeg", ".gif", ".css", ".ico", ".dtd",
+    ".svg", ".scss", ".vue", ".ts",
+)
+
+
+def is_static_resource(path: str) -> bool:
+    """True if *path* ends with a static extension or contains ``ext?``."""
+    for ext in _STATIC_EXTS:
+        if path.endswith(ext) or (ext + "?") in path:
+            return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# F5 URL sanitizer — reference util.py:70-97 (pure reject gate: the caller
+# builds the node from the PRE-sanitize parse; see urlparser.py:58-94)
+# ---------------------------------------------------------------------------
+_HAS_WORD = re.compile("[a-zA-Z0-9]+")
+_GARBAGE = re.compile(
+    "\\<|\\>|\\{|\\}|\\[|\\]|\\||\\^|;|/node_modules/|www\\.w3\\.org|"
+    "example\\.com|jquery[-\\.\\w]*?\\.js|\\.src|\\.replace|\\.url|\\.att|"
+    "\\.href|location\\.href|javascript:|location:|"
+    "application/x-www-form-urlencoded|\\.createObject|:location|\\.path|"
+    "\\*#__PURE__\\*|\\*\\$0\\*|\\n"
+)
+
+
+def sanitize_url(url: str) -> str:
+    """Return cleaned url, or "" if the url is garbage."""
+    url = (
+        url.replace(" ", "")
+        .replace("\\/", "/")
+        .replace("%3A", ":")
+        .replace("%2F", "/")
+    )
+    if _HAS_WORD.search(url) is None:
+        return ""
+    if _GARBAGE.search(url) is not None:
+        return ""
+    if url.strip().startswith("javascript"):
+        return ""
+    try:
+        netloc = urlparse(url).netloc
+        if netloc.startswith("127.0.0.1") or netloc.startswith("localhost"):
+            return ""
+    except Exception:
+        pass
+    return url
+
+
+# ---------------------------------------------------------------------------
+# P8 host/port split — reference util.py:53-60
+# ---------------------------------------------------------------------------
+def to_host_port(netloc: str) -> tuple[str, str]:
+    parts = netloc.split(":")
+    if len(parts) == 1:
+        return parts[0], ""
+    if len(parts) == 2:
+        return parts[0].strip(), parts[1].strip()
+    return "", ""
+
+
+# ---------------------------------------------------------------------------
+# P9 root domain — reference util.py:63-67 uses tldextract (full public
+# suffix list). tldextract is not available in this environment, so this is
+# a PSL-lite: a built-in set of common multi-label suffixes, else the last
+# label is the suffix. Matches tldextract for every host shape the synthetic
+# corpus and the reference tests produce (``*.test``, ``*.com`` ...).
+# ---------------------------------------------------------------------------
+_MULTI_SUFFIXES = {
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.cn", "net.cn", "org.cn",
+    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp", "com.br",
+    "com.tw", "co.in", "co.kr", "com.hk", "com.sg", "com.mx",
+}
+
+
+def get_root_domain(host: str) -> str:
+    labels = host.lower().split(".")
+    if len(labels) >= 3 and ".".join(labels[-2:]) in _MULTI_SUFFIXES:
+        return ".".join(labels[-3:])
+    if len(labels) >= 2:
+        return ".".join(labels[-2:])
+    return host + "."  # mirrors tldextract's "domain + '.' + suffix" on bare hosts
+
+
+# ---------------------------------------------------------------------------
+# P11 URL identity — reference entity.py:15-34: URLNode equality/hash derive
+# ONLY from the parsed 6-tuple (scheme, netloc, path, params, query,
+# fragment).  url_norm is the canonical re-serialization (ParseResult.geturl)
+# and is THE dedup key of the engine; url_hash = xxhash64(url_norm) JVM-side.
+# ---------------------------------------------------------------------------
+def parse6(url: str) -> tuple[str, str, str, str, str, str]:
+    o = urlparse(url)
+    return (o.scheme, o.netloc, o.path, o.params, o.query, o.fragment)
+
+
+def unparse6(t: tuple[str, str, str, str, str, str]) -> str:
+    """Exact ParseResult.geturl() serialization of a 6-tuple."""
+    scheme, netloc, path, params, query, fragment = t
+    url = path
+    if params:
+        url = url + ";" + params
+    if netloc:
+        url = "//" + netloc + (url if url.startswith("/") or not url else "/" + url)
+    elif url.startswith("//"):
+        url = "//" + url
+    if scheme:
+        url = scheme + ":" + url
+    if query:
+        url = url + "?" + query
+    if fragment:
+        url = url + "#" + fragment
+    return url
+
+
+def url_norm(url: str) -> str:
+    return unparse6(parse6(url))
+
+
+# ---------------------------------------------------------------------------
+# F6 dangerous-path evade — reference crawler.py:258-266
+# ---------------------------------------------------------------------------
+def make_evade_matcher(dangerous_paths: list[str]):
+    pats = [re.compile(f"/?{p}", re.IGNORECASE) for p in dangerous_paths]
+
+    def is_evade(path: str) -> bool:
+        s = path.strip()
+        return any(p.search(s) for p in pats)
+
+    return is_evade
+
+
+# ---------------------------------------------------------------------------
+# F7 content-type extend gate — reference crawler.py:314-323
+# ---------------------------------------------------------------------------
+def is_extend(content_type: str | None) -> bool:
+    ct = (content_type or "").split(";", 1)[0].strip().lower()
+    if ct.startswith("text/"):
+        return True
+    if ct.startswith("application/"):
+        return ct not in ("application/octet-stream", "application/pdf")
+    return False
+
+
+# ---------------------------------------------------------------------------
+# F11 JS classifier — reference crawler.py:325-330
+# ---------------------------------------------------------------------------
+def is_js_path(path: str) -> bool:
+    return path.endswith(".js") or path.endswith(".js.map") or ".js?" in path
+
+
+# ---------------------------------------------------------------------------
+# P3 secret extraction — reference handler.py:25-61 (ReRegexHandler).
+# use_groups=True: findall, tuple matches collapse to group[0] (handler.py:49).
+# use_groups=False: first search, whole match.  Compiled re.IGNORECASE.
+# ---------------------------------------------------------------------------
+class RegexExtractor:
+    """Vectorizable equivalent of the reference's ReRegexHandler."""
+
+    def __init__(self, rules: dict[str, str], use_groups: bool = True):
+        self.names = list(rules.keys())
+        self.patterns = [re.compile(rx, re.IGNORECASE) for rx in rules.values()]
+        self.use_groups = use_groups
+
+    def extract(self, text: str) -> list[tuple[str, str]]:
+        out: list[tuple[str, str]] = []
+        for name, pat in zip(self.names, self.patterns):
+            if self.use_groups:
+                for m in pat.findall(text):
+                    out.append((name, m if not isinstance(m, tuple) else m[0]))
+            else:
+                m = pat.search(text)
+                if m is not None:
+                    out.append((name, m.group(0)))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# P7 title extraction — reference util.py:109-116 joins the text of all
+# <title> tags with "|", newlines→spaces, stripped.  bs4 is unavailable here;
+# a non-greedy tag regex reproduces its behavior on well-formed documents.
+# ---------------------------------------------------------------------------
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTALL)
+_TAG_STRIP = re.compile(r"<[^>]+>")
+
+
+def extract_title(text: str) -> str:
+    titles = []
+    for raw in _TITLE_RE.findall(text or ""):
+        t = _TAG_STRIP.sub("", raw)
+        titles.append(t.replace("\n", " ").replace("\r", " ").strip())
+    return "|".join(titles)
+
+
+# ---------------------------------------------------------------------------
+# P1 DOM href harvesting — reference urlparser.py:19-55 collects href of
+# every <a> and <link>, and src of every <script> *only if* it ends ".js".
+# bs4's html.parser is unavailable; this regex harvester reproduces the same
+# attribute set on well-formed markup (quoted or unquoted attributes).
+# ---------------------------------------------------------------------------
+_A_LINK_TAG = re.compile(r"<(a|link)\b[^>]*?>", re.IGNORECASE | re.DOTALL)
+_SCRIPT_TAG = re.compile(r"<script\b[^>]*?>", re.IGNORECASE | re.DOTALL)
+_HREF_ATTR = re.compile(
+    r"""\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.IGNORECASE
+)
+_SRC_ATTR = re.compile(
+    r"""\bsrc\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.IGNORECASE
+)
+
+
+def _attr_value(m: re.Match) -> str:
+    return m.group(2) if m.group(2) is not None else (
+        m.group(3) if m.group(3) is not None else m.group(4)
+    )
+
+
+def harvest_dom_hrefs(text: str) -> set[str]:
+    """The href set of urlparser.py:27-54 (a/link href ∪ script src *.js)."""
+    hrefs: set[str] = set()
+    for tag in _A_LINK_TAG.finditer(text):
+        m = _HREF_ATTR.search(tag.group(0))
+        if m is not None:
+            hrefs.add(_attr_value(m))
+    for tag in _SCRIPT_TAG.finditer(text):
+        m = _SRC_ATTR.search(tag.group(0))
+        if m is not None:
+            src = _attr_value(m)
+            if src.endswith(".js"):
+                hrefs.add(src)
+    return hrefs
+
+
+# ---------------------------------------------------------------------------
+# P1+P2 link extraction — the union parser (reference urlparser.py:98-140
+# RegexURLParser.extract_urls = regex pass ∪ DOM pass).  Returns the set of
+# child 6-tuples; the caller owns depth bookkeeping.
+# ---------------------------------------------------------------------------
+class LinkExtractor:
+    def __init__(self, finder_rules: dict[str, str]):
+        self._regex = RegexExtractor(finder_rules, use_groups=True)
+
+    def extract(
+        self, base6: tuple[str, str, str, str, str, str], text: str
+    ) -> set[tuple[str, str, str, str, str, str]]:
+        children: set[tuple[str, str, str, str, str, str]] = set()
+
+        # regex pass — urlparser.py:105-137
+        for _, link in set(self._regex.extract(text)):
+            if len(link) == 0:
+                continue
+            o = urlparse(link)
+            if is_static_resource(o.path):
+                continue
+            if len(sanitize_url(link)) == 0:
+                continue
+            children.add((
+                base6[0] if (o.scheme == "" or o.scheme not in ("http", "https")) else o.scheme,
+                base6[1] if o.netloc == "" else o.netloc,
+                o.path, o.params, o.query, o.fragment,
+            ))
+
+        # DOM pass — urlparser.py:19-95 (node built from the PRE-sanitize parse)
+        for href in harvest_dom_hrefs(text):
+            o = urlparse(href)
+            if is_static_resource(o.path):
+                continue
+            if len(sanitize_url(href)) == 0:
+                continue
+            if len(o.scheme) > 0 and o.netloc is not None and len(o.netloc) > 0:
+                children.add((o.scheme, o.netloc, o.path, o.params, o.query, o.fragment))
+            else:
+                # relative: scheme+netloc from base; path kept VERBATIM —
+                # deliberately NOT RFC 3986 resolution (urlparser.py:80-94)
+                children.add((base6[0], base6[1], o.path, o.params, o.query, o.fragment))
+        return children

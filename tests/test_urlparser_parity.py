@@ -1,0 +1,85 @@
+"""Port of reference tests/test_urlparser.py against the LinkExtractor
+kernel, plus exact-semantics checks for the relative-resolution quirks."""
+
+from __future__ import annotations
+
+from secretscraper_spark.config import url_finder_rules
+from secretscraper_spark.functions.purekit import (
+    LinkExtractor,
+    harvest_dom_hrefs,
+    parse6,
+    unparse6,
+)
+
+BASE = parse6("http://site0.test/")
+
+
+def norms(children):
+    return {unparse6(c) for c in children}
+
+
+def test_dom_harvest(html_text):
+    hrefs = harvest_dom_hrefs(html_text)
+    assert "/p/child1" in hrefs
+    assert "http://other.test/abs" in hrefs
+    assert "normal" in hrefs
+    assert "delete" in hrefs
+    assert "1.js" in hrefs            # script src ending .js collected
+    assert "notjs.txt" not in hrefs   # script src not .js skipped (urlparser.py:51)
+    assert "favicon.ico" not in hrefs # img not collected at all
+
+
+def test_extract_urls_on_html(html_text):
+    ex = LinkExtractor(url_finder_rules())
+    kids = norms(ex.extract(BASE, html_text))
+    # DOM relative: scheme+netloc from base, path verbatim
+    assert "http://site0.test/p/child1" in kids
+    # DOM absolute kept as-is
+    assert "http://other.test/abs" in kids
+    # relative without leading slash: path verbatim, NOT resolved → //netloc/ + path
+    assert "http://site0.test/normal" in kids
+    # dangerous path still extracted (evade happens at fetch, not parse)
+    assert "http://site0.test/delete" in kids
+    # regex-only absolute url found
+    assert "https://regex.test/from-regex" in kids
+    # jsFind relative
+    assert "http://site0.test/assets/app.js" in kids
+    # static pruned
+    assert not any(k.endswith("x.png") for k in kids)
+    assert not any("favicon" in k for k in kids)
+    # sanitizer rejects
+    assert not any("javascript" in k for k in kids)
+    assert not any("example.com" in k for k in kids)
+
+
+def test_extract_urls_non_html():
+    """DOM pass yields nothing on non-html text
+    (reference tests/test_urlparser.py:24-33)."""
+    assert harvest_dom_hrefs("xxxxxx") == set()
+
+
+def test_relative_path_kept_verbatim():
+    """urlparser.py:80-94 keeps the href path verbatim — no `..`
+    normalization, no RFC 3986 merge. Easy to 'fix' accidentally; don't."""
+    ex = LinkExtractor({})
+    kids = norms(ex.extract(parse6("http://h/a/b/"), '<a href="../up.html">x</a>'))
+    # geturl() of (http, h, ../up.html) → 'http://h/../up.html'
+    assert kids == {"http://h/../up.html"}
+
+
+def test_regex_scheme_netloc_rules():
+    """urlparser.py:122-130: scheme = base's unless match scheme ∈
+    {http,https}; netloc = base's only if empty."""
+    ex = LinkExtractor({"r": r"\"(ftp://x.test/path/q)\""})
+    kids = norms(ex.extract(parse6("https://base.test/"), '"ftp://x.test/path/q"'))
+    # ftp not in (http, https) → scheme replaced by base's, netloc kept
+    assert kids == {"https://x.test/path/q"}
+
+
+def test_dedup_on_six_tuple(html_text):
+    """Children are a set keyed by the parsed 6-tuple."""
+    ex = LinkExtractor(url_finder_rules())
+    two = '<a href="/p/1">a</a><a href="/p/1#">b</a>'
+    kids = ex.extract(BASE, two)
+    # '#' empty fragment: urlparse('/p/1#') → fragment '' == '/p/1' parse
+    assert len({k for k in kids if k[2] == "/p/1"}) == 1
