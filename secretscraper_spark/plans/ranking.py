@@ -1,0 +1,63 @@
+"""Scalable global sequence assignment (two-phase zipWithIndex).
+
+A naive ``row_number() OVER (ORDER BY ...)`` collapses to one task — a
+non-starter at 10^10 frontier scale. This helper range-partitions on the
+order key, counts per partition, and assigns ``offset + local_index``
+inside each partition: fully parallel, one extra pass for the counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def assign_global_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    seq_col: str = "discovery_seq",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``seq_col`` = dense global rank of rows ordered by *order_cols*
+    (caller guarantees the key is unique per row), starting at *start*."""
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = df.repartitionByRange(int(parts), *order_cols).sortWithinPartitions(*order_cols)
+    # freeze the (sampled) range boundaries so the count pass and the tag
+    # pass see identical partitioning
+    ranged = ranged.localCheckpoint()
+
+    counts = (
+        ranged.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    sizes = {r["pid"]: r["count"] for r in counts}
+    offsets: dict[int, int] = {}
+    acc = start
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+
+    out_schema = df.schema.add(seq_col, "long")
+    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
+
+    def tag(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        pid = None
+        for pdf in pdf_iter:
+            if pid is None and len(pdf):
+                pid = int(pdf["__pid"].iloc[0])
+            base = b_offsets.value.get(pid, 0) if pid is not None else 0
+            pdf = pdf.drop(columns="__pid")
+            pdf[seq_col] = range(base + local, base + local + len(pdf))
+            local += len(pdf)
+            yield pdf
+
+    return (
+        ranged.withColumn("__pid", F.spark_partition_id())
+        .mapInPandas(tag, out_schema)
+    )

@@ -1,0 +1,184 @@
+"""Deterministic synthetic web graph + image/caption pages table (seed=42).
+
+One pure function of the row index drives everything (URL, host, children,
+caption markup, planted secrets, status, content type, image pixels), so the
+reference-semantics simulator (refsim.py) and the Spark engine consume
+byte-identical "webs" without sharing state.
+
+Graph shape per FIXTURES.md §4: G host groups (site{g}.test plus
+sub{k}.site{g}.test), out-degree ~5, one hot host (~30% of URLs) to exercise
+skew, dangerous/static/garbage links, regex-only links, missing links (fetch
+→ None), planted secrets in ~10% of captions.
+
+Scale path: generate_pages_spark() builds the table distributed via
+mapInPandas over spark.range — no driver materialization, any N.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..operators.imagecodec import encode_image, phash64, pixels_for
+
+SEED = 42
+
+# one exemplar per loaded rule (FIXTURES.md §3) — cycled through captions
+PLANTED_SECRETS = [
+    "swagger endpoint: /static/swagger-ui.html",
+    "identity: 130528200011110000",
+    'mobile: "13273487666"',
+    "sourcemap hint: /xx/static/asdfaf.js.map",
+    'mail: "3333333qqqxxxx@qq.com"',
+    "intranet: 10.0.0.1",
+    "cloud: Accesskeyid=xxxx AccessKeySecret",
+    "session: xxx=deleteme rememberme=true",
+    "token: '9c65a3ebabdb448b4476b114ee574a6f'",
+    'bearer: "eyJhbGciOiJIUzI1NiJ9.eyJzdWIiOiIxMjM0NTY3ODkwIn0"',
+]
+
+
+def host_for(i: int, n_hosts: int) -> str:
+    """Host of page i. Host group 0 is the hot host (~30% of pages)."""
+    g = 0 if i % 10 < 3 else 1 + (i % max(n_hosts - 1, 1))
+    if i % 19 == 0:
+        return f"sub{i % 2}.site{g}.test"
+    return f"site{g}.test"
+
+
+def url_for(i: int, n_hosts: int) -> str:
+    return f"http://{host_for(i, n_hosts)}/p/{i}"
+
+
+def child_ids(i: int, n_pages: int) -> list[int]:
+    """~5 deterministic children; collisions across parents are intended
+    (shared-child regression, tests/test_crawler_regressions.py:68-100)."""
+    out: list[int] = []
+    for j in range(1, 6):
+        c = (i * 5 + j * j * 7 + 1) % n_pages
+        if c != i and c not in out:
+            out.append(c)
+    return out
+
+
+def status_for(i: int) -> str:
+    if i % 37 == 0:
+        return "404"
+    if i % 41 == 0:
+        return "302"
+    return "200"
+
+
+def content_type_for(i: int) -> str:
+    if i % 23 == 0:
+        return "application/json"
+    if i % 29 == 0:
+        return "application/octet-stream"
+    if i % 31 == 0:
+        return "application/pdf"
+    if i % 53 == 0:
+        return "image/png"
+    if i % 59 == 0:
+        return ""
+    return "text/html; charset=utf-8"
+
+
+def caption_for(i: int, n_pages: int, n_hosts: int) -> str:
+    """Page body: title + link markup + planted secrets + filler."""
+    host = host_for(i, n_hosts)
+    parts = [f"<title>Page {i}</title>"]
+    for j, c in enumerate(child_ids(i, n_pages)):
+        c_host = host_for(c, n_hosts)
+        if c_host == host:
+            parts.append(f'<a href="/p/{c}">k{j}</a>')
+        else:
+            parts.append(f'<a href="http://{c_host}/p/{c}">k{j}</a>')
+    parts.append(f'<script src="/assets/app{i % 7}.js"></script>')
+    if i % 3 == 0:
+        g2 = (i + 1) % n_hosts
+        parts.append(f'var u = "http://site{g2}.test/rx/{i}";')  # regex-only link
+    if i % 11 == 0:
+        parts.append('<link href="/logout"/>')  # dangerous (evaded at fetch)
+    if i % 13 == 0:
+        parts.append('<img src="/favicon.ico"/><a href="/x.png">s</a>')  # static
+    if i % 17 == 0:
+        parts.append('<a href="javascript:void(0)">g</a><a href="http://example.com/x">g2</a>')
+    if i % 7 == 0:
+        parts.append(f'<a href="/missing/{i}">m</a>')  # not in pages → fetch None
+    if i % 10 == 0:
+        parts.append(PLANTED_SECRETS[(i // 10) % len(PLANTED_SECRETS)])
+    parts.append(f"filler lorem ipsum value {i} data spark batch row scan")
+    return "\n".join(parts)
+
+
+_SIZES = [32, 64, 128]
+
+
+def page_row(i: int, n_pages: int, n_hosts: int, include_images: bool) -> dict:
+    caption = caption_for(i, n_pages, n_hosts)
+    url = url_for(i, n_hosts)
+    w = _SIZES[i % 3]
+    h = _SIZES[(i // 3) % 3]
+    fmt = "png" if i % 2 == 0 else "jpeg"
+    if include_images:
+        px = pixels_for(SEED + i, w, h)
+        data = encode_image(px, fmt)
+        ph = phash64(px)
+    else:
+        data, ph = b"", 0
+    title = f"Page {i}"
+    return {
+        "image_id": f"img_{i:08d}",
+        "bytes": data,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": ph,
+        "url": url,
+        "url_norm": url,  # url_for emits canonical form already
+        "status": status_for(i),
+        "content_type": content_type_for(i),
+        "content_length": len(caption),
+        "title": title if "text/html" in content_type_for(i) else title,
+    }
+
+
+def generate_pages_pandas(
+    n_pages: int, n_hosts: int = 4, include_images: bool = False
+) -> pd.DataFrame:
+    df = pd.DataFrame([page_row(i, n_pages, n_hosts, include_images) for i in range(n_pages)])
+    df["w"] = df["w"].astype(np.int32)
+    df["h"] = df["h"].astype(np.int32)
+    df["phash"] = df["phash"].astype(np.int64)
+    df["content_length"] = df["content_length"].astype(np.int64)
+    return df
+
+
+def generate_pages_spark(
+    spark, n_pages: int, n_hosts: int = 4, include_images: bool = False,
+    partitions: int | None = None,
+):
+    """Distributed generation — scales to any N (mapInPandas over range)."""
+    from ..schemas import PAGES_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = [
+                page_row(int(i), n_pages, n_hosts, include_images)
+                for i in batch["id"]
+            ]
+            yield pd.DataFrame(rows)
+
+    rng = spark.range(0, n_pages, numPartitions=partitions or max(n_pages // 50_000, 8))
+    return rng.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def seeds_for(n_hosts: int = 4) -> list[str]:
+    """Seed list: pages on distinct hosts + one duplicate
+    (dedup check, reference facade.py:176-192)."""
+    seeds = [url_for(i, n_hosts) for i in (5, 7, 10)]  # two cold hosts + hot host
+    seeds.append(seeds[0])  # duplicate
+    return seeds

@@ -1,0 +1,124 @@
+"""End-to-end gate: the Spark BFS crawl must reproduce the reference-
+semantics simulator exactly — URL-seen set (with depth + discovery order),
+edges, secrets, node statuses, total_page — on the same synthetic web,
+same seed list, same config (SURVEY.md §5 gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from secretscraper_spark.config import CrawlConfig
+from secretscraper_spark.plans.crawler import SparkCrawler
+from secretscraper_spark.refsim import simulate, site_from_pandas
+from secretscraper_spark.sources.sitegen import generate_pages_pandas, seeds_for
+
+N_PAGES = 300
+N_HOSTS = 4
+
+
+@pytest.fixture(scope="module")
+def site_pdf():
+    return generate_pages_pandas(N_PAGES, N_HOSTS)
+
+
+@pytest.fixture(scope="module")
+def site(site_pdf):
+    return site_from_pandas(site_pdf)
+
+
+def run_both(spark, site_pdf, site, cfg, seeds=None):
+    seeds = seeds or seeds_for(N_HOSTS)
+    sim = simulate(site, seeds, cfg)
+    pages = spark.createDataFrame(site_pdf.drop(columns=["bytes"]))
+    res = SparkCrawler(spark, pages, cfg).run(seeds)
+    return sim, res
+
+
+def assert_parity(sim, res):
+    # URL-seen set with (depth, discovery_seq) — the north-rule comparable
+    spark_seen = {
+        r.url_norm: (r.depth, r.discovery_seq) for r in res.seen.collect()
+    }
+    assert spark_seen == sim.seen
+    # edges (parent, child, kind)
+    spark_edges = {
+        (r.parent_norm, r.child_norm, r.kind) for r in res.edges.collect()
+    }
+    assert spark_edges == sim.edges
+    # secrets
+    spark_secrets = {
+        (r.url_norm, r.rule_name, r.match) for r in res.secrets.collect()
+    }
+    assert spark_secrets == sim.secrets
+    # node state for fetched pages
+    spark_nodes = {
+        r.url_norm: (r.status, r.title, r.content_length, r.content_type)
+        for r in res.nodes.collect()
+    }
+    sim_nodes = {
+        k: (v["status"], v["title"], v["content_length"], v["content_type"])
+        for k, v in sim.nodes.items()
+    }
+    assert spark_nodes == sim_nodes
+    # found set + page budget accounting
+    assert {r.url_norm for r in res.found.collect()} == sim.found
+    assert res.total_page == sim.total_page
+
+
+def test_depth1_default(spark, site_pdf, site):
+    sim, res = run_both(spark, site_pdf, site, CrawlConfig(max_depth=1, max_page_num=0))
+    assert sim.total_page > 0
+    assert_parity(sim, res)
+
+
+def test_depth2(spark, site_pdf, site):
+    sim, res = run_both(spark, site_pdf, site, CrawlConfig(max_depth=2, max_page_num=0))
+    assert_parity(sim, res)
+    # deeper crawl must see strictly more
+    sim1 = simulate(site, seeds_for(N_HOSTS), CrawlConfig(max_depth=1, max_page_num=0))
+    assert len(sim.seen) > len(sim1.seen)
+
+
+def test_unlimited_depth_with_budget(spark, site_pdf, site):
+    sim, res = run_both(spark, site_pdf, site, CrawlConfig(max_depth=0, max_page_num=40))
+    assert sim.total_page == 40
+    assert_parity(sim, res)
+
+
+def test_budget_cuts_mid_tier(spark, site_pdf, site):
+    sim, res = run_both(spark, site_pdf, site, CrawlConfig(max_depth=2, max_page_num=7))
+    assert sim.total_page == 7
+    assert_parity(sim, res)
+
+
+def test_whitelist_scope(spark, site_pdf, site):
+    cfg = CrawlConfig(max_depth=2, max_page_num=0, white_list=["*.site1.test", "site1.test"])
+    sim, res = run_both(spark, site_pdf, site, cfg,
+                        seeds=["http://site1.test/p/16"])
+    assert_parity(sim, res)
+    for r in res.seen.collect():
+        assert "site1.test" in r.url_norm
+
+
+def test_blacklist(spark, site_pdf, site):
+    cfg = CrawlConfig(max_depth=2, max_page_num=0, black_list=["site0.test", "*.site0.test"])
+    sim, res = run_both(spark, site_pdf, site, cfg)
+    assert_parity(sim, res)
+    for r in res.seen.collect():
+        assert "site0.test" not in r.url_norm
+
+
+def test_shared_child_enqueued_once(site):
+    """Regression parity (tests/test_crawler_regressions.py:68-100): a child
+    discovered by two parents is recorded under both but enqueued once."""
+    sim = simulate(site, seeds_for(N_HOSTS), CrawlConfig(max_depth=2, max_page_num=0))
+    from collections import Counter
+    child_parents = Counter()
+    for p, c, k in sim.edges:
+        child_parents[c] += 1
+    multi = [c for c, n in child_parents.items() if n > 1]
+    assert multi, "fixture must contain a shared child"
+    # seen maps each url to exactly one (depth, seq) — enqueued once by construction
+    for c in multi:
+        if c in sim.seen:
+            assert isinstance(sim.seen[c], tuple)
