@@ -1,0 +1,136 @@
+"""Bench harness — prints ONE JSON line for the driver.
+
+Suites:
+  A. headline relational/extraction queries at $SPARK_GRAFT_SF_DIR
+  B. crawl end-to-end (frontier URLs/sec, fetched-pages/sec) on the
+     deterministic synthetic web sized to the SF
+  C. scaling: the same crawl at local[8] vs local[32] (two-parallelism
+     proxy for the N→4N cluster-size criterion; BASELINE.md plan)
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALING=0 to skip C.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+
+SF = 0.1
+for tok in SF_DIR.rstrip("/").split("/"):
+    if tok.startswith("sf"):
+        try:
+            SF = float(tok[2:])
+        except ValueError:
+            pass
+
+# synthetic web size per SF (pages); depth-2 crawl visits a large fraction
+N_PAGES = max(int(1_200_000 * SF), 2_000)
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_doc_profile",
+    "q_secret_extract",
+    "q_seen_antijoin",
+    "q_edges_group",
+    "q_domain_report",
+    "q_embedding_knn",
+    "q_minhash_dedup",
+    "q_simhash_dedup",
+]
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    out: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_crawl(master: str, n_pages: int, shuffle: int) -> dict:
+    from secretscraper_spark.config import CrawlConfig
+    from secretscraper_spark.plans.crawler import SparkCrawler
+    from secretscraper_spark.session import get_spark
+    from secretscraper_spark.sources.sitegen import generate_pages_spark, url_for
+
+    spark = get_spark(f"bench-crawl-{master}", master=master, shuffle_partitions=shuffle)
+    try:
+        pages = generate_pages_spark(spark, n_pages, n_hosts=8).localCheckpoint()
+        pages.count()  # materialize generation outside the timed window
+        cfg = CrawlConfig(max_depth=2, max_page_num=0,
+                          shuffle_partitions=shuffle)
+        # ~1% of pages as seeds → BFS touches a large fraction of the site,
+        # so per-tier fixed costs amortize and throughput is fetch-bound
+        seeds = [url_for(i, 8) for i in range(0, n_pages, 97)]
+        t0 = time.perf_counter()
+        res = SparkCrawler(spark, pages, cfg).run(seeds)
+        n_seen = res.seen.count()
+        n_secrets = res.secrets.count()
+        wall = time.perf_counter() - t0
+        return {
+            "master": master,
+            "n_pages_site": n_pages,
+            "pages_fetched": res.total_page,
+            "urls_seen": n_seen,
+            "secrets": n_secrets,
+            "wall_sec": round(wall, 3),
+            "pages_per_sec": round(res.total_page / wall, 1),
+            "urls_per_sec": round(n_seen / wall, 1),
+            "tiers": res.tiers,
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    from secretscraper_spark.session import get_spark
+
+    queries: dict[str, float] = {}
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 16))
+    try:
+        queries = run_queries(spark)
+    finally:
+        spark.stop()
+
+    crawl = run_crawl(f"local[{CPUS}]", N_PAGES, max(CPUS, 16))
+
+    scaling = None
+    if RUN_SCALING:
+        lo = run_crawl("local[8]", N_PAGES, 16)
+        eff = (crawl["pages_per_sec"] / lo["pages_per_sec"]) / (CPUS / 8)
+        scaling = {
+            "low": {k: lo[k] for k in ("master", "wall_sec", "pages_per_sec", "urls_per_sec")},
+            "high": {k: crawl[k] for k in ("master", "wall_sec", "pages_per_sec", "urls_per_sec")},
+            "cores_ratio": CPUS / 8,
+            "scaling_efficiency": round(eff, 3),
+        }
+
+    total = round(sum(queries.values()) + crawl["wall_sec"], 3)
+    print(json.dumps({
+        "metric": "headline suite + crawl wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF,
+        "crawl": crawl,
+        "scaling": scaling,
+    }))
+
+
+if __name__ == "__main__":
+    main()

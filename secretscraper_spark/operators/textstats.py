@@ -1,0 +1,78 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built-in Column expressions (JVM, codegen) so they
+hold at 100 TB; nothing here shuffles except the explicit aggregations the
+caller adds. Semantics are chosen to be expressible 1:1 in ANSI SQL for the
+DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# minimal per-language stopword lists for the n-gram/stopword language
+# heuristic — deterministic, not a trained model
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (matches DuckDB len(string_split(x, ' ')))."""
+    return F.size(F.split(text, " "))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_count(text: Column) -> Column:
+    """Characters that are not [a-zA-Z0-9 ]."""
+    return F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """Occurrences of any of *words* as whole lowercase words."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features per row."""
+    t = F.col(text_col)
+    toks = token_count(t)
+    return df.withColumns(
+        {
+            "n_chars_calc": char_count(t),
+            "n_tokens": toks,
+            "n_punct": punct_count(t),
+            "en_stopwords": stopword_hits(t, LANG_STOPWORDS["en"]),
+            "quality_score": F.round(
+                (toks.cast("double") / F.greatest(char_count(t), F.lit(1)))
+                * (F.lit(1.0) - punct_count(t).cast("double") / F.greatest(char_count(t), F.lit(1))),
+                6,
+            ),
+        }
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language heuristic → 2-letter code or 'unknown'.
+    Pure Column expr (CASE over greatest), SQL-expressible."""
+    hits = {lang: stopword_hits(text, ws) for lang, ws in LANG_STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("unknown")
+    # reversed so earlier languages win ties (stable, documented order)
+    for lang in reversed(list(LANG_STOPWORDS)):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (portable to the DuckDB oracle; a rolling/simhash variant lives in
+    operators/dedup.py)."""
+    return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))

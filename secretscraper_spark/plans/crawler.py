@@ -3,24 +3,26 @@
 Re-expresses the reference's asyncio loop (crawler.py:175-217, 268-303,
 336-381) as one Spark job per depth tier:
 
-    frontier(d) ─ evade-filter ─ sort/limit(budget) ─► fetch join(pages)
+    frontier(d) ─ robots gate ─ evade-filter ─ sort/limit(budget)
+        ─ politeness schedule ─► fetch join(pages)
         ├─► secrets UDF  ─► secrets append
         └─► links UDF ─► explode ─► edges append
                          └─► filter chain ─► anti-join(seen) ─► frontier(d+1)
 
 Scale design (10^10 frontier / 1000 executors):
-- fetch = hash join frontier⋈pages on url_hash (xxhash64 of the canonical
-  url), AQE decides shuffle-hash vs sort-merge; pages bucketed by url_hash
-  in a real deployment makes it a co-located join.
-- seen anti-join: exact left_anti at test scale; plans/bloom.py provides
-  the partitioned-bloom prefilter path (bloom positives → exact anti-join)
-  so the seen set never needs to be collected.
-- discovery ordering: distributed two-phase rank (plans/ranking.py), no
-  single-task window.
-- budget cutoff: orderBy(seq).limit(k) = TakeOrderedAndProject (per-
-  partition top-k + merge, no full sort).
-- per-tier localCheckpoint truncates lineage; optional parquet snapshots
-  (plans/checkpoint.py) give resume-from-round.
+- fetch = hash join frontier⋈pages on xxhash64(url_norm); AQE picks
+  shuffle-hash vs sort-merge; bucketed pages makes it co-located.
+- seen dedup: exact left_anti at test scale; with use_bloom=True the
+  partitioned-bloom prefilter (plans/bloom.py) routes definite-unseen rows
+  around the join — correctness never depends on the bloom.
+- discovery ordering: two-phase distributed rank (plans/ranking.py) — no
+  single-task window anywhere.
+- budget cutoff: orderBy(seq).limit(k) = TakeOrderedAndProject.
+- politeness: per-host virtual-time schedule (plans/politeness.py); the
+  tier makespan is recorded in the metrics, and the hot-host rate budget —
+  not Spark — is the throughput floor it exposes.
+- per-tier localCheckpoint truncates lineage; checkpoint_dir writes
+  parquet round snapshots + manifest for resume (plans/checkpoint.py).
 """
 
 from __future__ import annotations
@@ -41,10 +43,17 @@ from ..functions.exprs import (
     is_js_expr,
 )
 from ..functions.extract import make_links_udf, make_secrets_udf, title_udf
-from ..schemas import EDGES_SCHEMA, FRONTIER_SCHEMA, SECRETS_SCHEMA, SEEN_SCHEMA
+from ..schemas import EDGES_SCHEMA, FRONTIER_SCHEMA, SECRETS_SCHEMA
+from . import bloom as bloommod
+from . import checkpoint as ckpt
+from .politeness import assign_fetch_schedule, robots_gate, tier_makespan
 from .ranking import assign_global_seq
 
-_FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+NODES_DDL = (
+    "url_norm string, scheme string, netloc string, path string, "
+    "params string, query string, fragment string, depth int, "
+    "status string, title string, content_length long, content_type string"
+)
 
 
 @dataclass
@@ -90,11 +99,17 @@ class SparkCrawler:
         spark: SparkSession,
         pages: DataFrame,
         cfg: CrawlConfig | None = None,
+        robots: DataFrame | None = None,
         use_bloom: bool = False,
+        checkpoint_dir: str | None = None,
+        schedule_politeness: bool = True,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
+        self.robots = robots
         self.use_bloom = use_bloom
+        self.checkpoint_dir = checkpoint_dir
+        self.schedule_politeness = schedule_politeness
         # pre-project the fetch side once; url_hash join key for cheap shuffle
         self.pages = (
             pages.select(
@@ -105,158 +120,232 @@ class SparkCrawler:
         self._secrets_udf = make_secrets_udf(loaded_rules())
         self._links_udf = make_links_udf(url_finder_rules())
 
+    # -- public API -----------------------------------------------------------
+
     def run(self, seeds: list[str]) -> CrawlResult:
-        spark, cfg = self.spark, self.cfg
-        empty = lambda s: spark.createDataFrame([], s)  # noqa: E731
-
-        frontier = seed_frontier(spark, seeds, cfg).localCheckpoint()
+        frontier = seed_frontier(self.spark, seeds, self.cfg).localCheckpoint()
         seen = frontier.select("url_norm", "depth", "discovery_seq").localCheckpoint()
-        nodes_acc: list[DataFrame] = []
-        edges_acc: list[DataFrame] = [empty(EDGES_SCHEMA)]
-        secrets_acc: list[DataFrame] = [empty(SECRETS_SCHEMA)]
-        found_acc: list[DataFrame] = []
-        tiers: list[dict] = []
-        total_page = 0
-        next_seq = frontier.count()
-        depth = 0
+        st = {
+            "frontier": frontier,
+            "seen": seen,
+            "nodes": self._empty(NODES_DDL),
+            "edges": self._empty(EDGES_SCHEMA),
+            "secrets": self._empty(SECRETS_SCHEMA),
+            "found": self._empty("url_norm string"),
+            "depth": 0,
+            "total_page": 0,
+            "next_seq": frontier.count(),
+            "tiers": [],
+        }
+        return self._loop(st)
 
+    def resume(self, from_round: int | None = None) -> CrawlResult:
+        """Continue a crawl from a committed round snapshot (default:
+        latest). Re-execution is deterministic, so resuming from ANY round
+        reproduces the uninterrupted run bit-for-bit."""
+        assert self.checkpoint_dir, "resume requires checkpoint_dir"
+        last = from_round if from_round is not None else ckpt.latest_round(self.checkpoint_dir)
+        assert last is not None, "no committed round to resume from"
+        state, tables = ckpt.read_round(self.spark, self.checkpoint_dir, last)
+        st = {
+            "frontier": tables["frontier"],
+            "seen": tables["seen"],
+            "nodes": tables.get("nodes", self._empty(NODES_DDL)),
+            "edges": tables.get("edges", self._empty(EDGES_SCHEMA)),
+            "secrets": tables.get("secrets", self._empty(SECRETS_SCHEMA)),
+            "found": tables.get("found", self._empty("url_norm string")),
+            "depth": state.depth + 1,
+            "total_page": state.total_page,
+            "next_seq": state.next_seq,
+            "tiers": list(state.tiers),
+        }
+        return self._loop(st)
+
+    # -- internals ------------------------------------------------------------
+
+    def _empty(self, schema) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    def _loop(self, st: dict) -> CrawlResult:
+        cfg = self.cfg
+        bloom = None
+        if self.use_bloom:
+            bloom = bloommod.build_bloom(
+                st["seen"], capacity=cfg.bloom_capacity, fpp=cfg.bloom_fpp
+            )
         while True:
-            if cfg.max_depth > 0 and depth > cfg.max_depth:
+            if cfg.max_depth > 0 and st["depth"] > cfg.max_depth:
                 break
-            if cfg.max_page_num > 0 and total_page >= cfg.max_page_num:
+            if cfg.max_page_num > 0 and st["total_page"] >= cfg.max_page_num:
                 break
-            n_frontier = frontier.count()
-            if n_frontier == 0:
+            if st["frontier"].count() == 0:
                 break
-
-            # F6 evade: never processed, never counted (crawler.py:272-276)
-            candidates = frontier.filter(~is_dangerous_path(F.col("path"), cfg.dangerous_paths))
-
-            # O2 budget top-k in BFS order (crawler.py:190-191, 270-271)
-            if cfg.max_page_num > 0:
-                remaining = cfg.max_page_num - total_page
-                to_process = candidates.orderBy("discovery_seq").limit(remaining)
-            else:
-                to_process = candidates
-            to_process = to_process.localCheckpoint()
-            n_processed = to_process.count()
-            total_page += n_processed
-
-            # S2 fetch = hash join against the pages store
-            fetched = (
-                to_process.withColumn("url_hash", F.xxhash64("url_norm"))
-                .join(self.pages, ["url_hash", "url_norm"], "inner")
-                .localCheckpoint()
-            )
-
-            # P10 metadata projection + P7 title
-            nodes_acc.append(
-                fetched.select(
-                    "url_norm", "scheme", "netloc", "path", "params", "query",
-                    "fragment", "depth",
-                    F.col("status").cast("string").alias("status"),
-                    title_udf("caption").alias("title"),
-                    F.col("content_length").cast("long").alias("content_length"),
-                    "content_type",
-                )
-            )
-
-            # P3 secrets — extracted from every fetched page (crawler.py:296)
-            secrets_acc.append(
-                fetched.select(
-                    "url_norm", F.explode(self._secrets_udf("caption")).alias("s")
-                ).select("url_norm", "s.rule_name", "s.match")
-            )
-
-            # P1+P2 link extraction, gated by F7 (crawler.py:343-344)
-            ext = fetched.filter(is_extend_expr(F.col("content_type")))
-            children = (
-                ext.select(
-                    F.col("url_norm").alias("parent_norm"),
-                    F.col("discovery_seq").alias("parent_seq"),
-                    F.explode(self._links_udf("scheme", "netloc", "caption")).alias("c"),
-                )
-                .select("parent_norm", "parent_seq", "c.*")
-                .localCheckpoint()
-            )
-
-            # D5 edges recorded regardless of enqueue (crawler.py:364-376)
-            edges_acc.append(
-                children.select(
-                    "parent_norm",
-                    F.col("url_norm").alias("child_norm"),
-                    F.when(is_js_expr(F.col("path")), "js").otherwise("url").alias("kind"),
-                ).dropDuplicates(["parent_norm", "child_norm", "kind"])
-            )
-            found_acc.append(children.select("url_norm"))
-
-            # D1 enqueue: depth gate F8 + filter chain + seen anti-join
-            is_extending = cfg.max_depth <= 0 or depth + 1 <= cfg.max_depth
-            n_new = 0
-            if is_extending:
-                eligible = (
-                    children.filter(_accept_expr(self.cfg))
-                    .groupBy("url_norm", "scheme", "netloc", "path", "params",
-                             "query", "fragment")
-                    .agg(F.min("parent_seq").alias("min_parent_seq"),
-                         F.min("parent_norm").alias("parent_norm"))
-                )
-                new_nodes = eligible.join(seen, "url_norm", "left_anti")
-                new_frontier = assign_global_seq(
-                    new_nodes, ["min_parent_seq", "url_norm"], start=next_seq
-                ).select(
-                    "url_norm", "scheme", "netloc", "path", "params", "query",
-                    "fragment", F.lit(depth + 1).alias("depth"),
-                    "parent_norm", "discovery_seq",
-                ).localCheckpoint()
-                n_new = new_frontier.count()
-                next_seq += n_new
-                seen = seen.unionByName(
-                    new_frontier.select("url_norm", "depth", "discovery_seq")
-                ).localCheckpoint()
-            else:
-                new_frontier = empty(FRONTIER_SCHEMA)
-
-            tiers.append(
-                {
-                    "depth": depth,
-                    "frontier": n_frontier,
-                    "processed": n_processed,
-                    "enqueued": n_new,
-                    "total_page": total_page,
-                }
-            )
-            frontier = new_frontier
-            depth += 1
-
-        nodes = nodes_acc[0] if nodes_acc else empty(
-            "url_norm string, scheme string, netloc string, path string, "
-            "params string, query string, fragment string, depth int, "
-            "status string, title string, content_length long, content_type string"
-        )
-        for extra in nodes_acc[1:]:
-            nodes = nodes.unionByName(extra)
-        edges = edges_acc[0]
-        for extra in edges_acc[1:]:
-            edges = edges.unionByName(extra)
-        secrets = secrets_acc[0]
-        for extra in secrets_acc[1:]:
-            secrets = secrets.unionByName(extra)
-        secrets = secrets.dropDuplicates(["url_norm", "rule_name", "match"])
-        if found_acc:
-            found = found_acc[0]
-            for extra in found_acc[1:]:
-                found = found.unionByName(extra)
-            found = found.distinct()
-        else:
-            found = empty("url_norm string")
+            bloom = self._tier(st, bloom)
+            if self.checkpoint_dir:
+                self._snapshot(st)
+            st["depth"] += 1
 
         return CrawlResult(
-            nodes=nodes,
-            edges=edges.dropDuplicates(["parent_norm", "child_norm", "kind"]),
-            secrets=secrets,
-            seen=seen,
-            found=found,
-            total_page=total_page,
-            tiers=tiers,
+            nodes=st["nodes"],
+            edges=st["edges"].dropDuplicates(["parent_norm", "child_norm", "kind"]),
+            secrets=st["secrets"].dropDuplicates(["url_norm", "rule_name", "match"]),
+            seen=st["seen"],
+            found=st["found"].distinct(),
+            total_page=st["total_page"],
+            tiers=st["tiers"],
         )
+
+    def _tier(self, st: dict, bloom) -> object:
+        cfg, depth = self.cfg, st["depth"]
+        frontier = st["frontier"]
+        n_frontier = frontier.count()
+
+        # C5 robots gate (north-rule addition; excluded like evade: no fetch,
+        # no budget)
+        candidates = frontier
+        if self.robots is not None:
+            candidates = robots_gate(candidates, self.robots).drop("host")
+
+        # F6 evade: never processed, never counted (crawler.py:272-276)
+        candidates = candidates.filter(
+            ~is_dangerous_path(F.col("path"), cfg.dangerous_paths)
+        )
+
+        # O2 budget top-k in BFS order (crawler.py:190-191, 270-271)
+        if cfg.max_page_num > 0:
+            remaining = cfg.max_page_num - st["total_page"]
+            to_process = candidates.orderBy("discovery_seq").limit(remaining)
+        else:
+            to_process = candidates
+        to_process = to_process.localCheckpoint()
+        n_processed = to_process.count()
+        st["total_page"] += n_processed
+
+        # C1/C2 politeness schedule (virtual time; metrics only in sandbox —
+        # a real-network deployment fetches per (host, slot) group)
+        makespan = None
+        if self.schedule_politeness and n_processed:
+            scheduled = assign_fetch_schedule(to_process, cfg, self.robots)
+            makespan = tier_makespan(scheduled, cfg)
+
+        # S2 fetch = hash join against the pages store
+        fetched = (
+            to_process.withColumn("url_hash", F.xxhash64("url_norm"))
+            .join(self.pages, ["url_hash", "url_norm"], "inner")
+            .localCheckpoint()
+        )
+
+        # P10 metadata projection + P7 title
+        st["nodes"] = st["nodes"].unionByName(
+            fetched.select(
+                "url_norm", "scheme", "netloc", "path", "params", "query",
+                "fragment", "depth",
+                F.col("status").cast("string").alias("status"),
+                title_udf("caption").alias("title"),
+                F.col("content_length").cast("long").alias("content_length"),
+                "content_type",
+            )
+        )
+
+        # P3 secrets — extracted from every fetched page (crawler.py:296)
+        st["secrets"] = st["secrets"].unionByName(
+            fetched.select(
+                "url_norm", F.explode(self._secrets_udf("caption")).alias("s")
+            ).select("url_norm", "s.rule_name", "s.match")
+        )
+
+        # P1+P2 link extraction, gated by F7 (crawler.py:343-344)
+        ext = fetched.filter(is_extend_expr(F.col("content_type")))
+        children = (
+            ext.select(
+                F.col("url_norm").alias("parent_norm"),
+                F.col("discovery_seq").alias("parent_seq"),
+                F.explode(self._links_udf("scheme", "netloc", "caption")).alias("c"),
+            )
+            .select("parent_norm", "parent_seq", "c.*")
+            .localCheckpoint()
+        )
+
+        # D5 edges recorded regardless of enqueue (crawler.py:364-376)
+        st["edges"] = st["edges"].unionByName(
+            children.select(
+                "parent_norm",
+                F.col("url_norm").alias("child_norm"),
+                F.when(is_js_expr(F.col("path")), "js").otherwise("url").alias("kind"),
+            ).dropDuplicates(["parent_norm", "child_norm", "kind"])
+        )
+        st["found"] = st["found"].unionByName(children.select("url_norm"))
+
+        # D1 enqueue: depth gate F8 + filter chain + seen anti-join
+        is_extending = cfg.max_depth <= 0 or depth + 1 <= cfg.max_depth
+        n_new = 0
+        if is_extending:
+            eligible = (
+                children.filter(_accept_expr(cfg))
+                .groupBy("url_norm", "scheme", "netloc", "path", "params",
+                         "query", "fragment")
+                .agg(F.min("parent_seq").alias("min_parent_seq"),
+                     F.min("parent_norm").alias("parent_norm"))
+            )
+            if bloom is not None:
+                new_nodes = bloommod.bloom_anti_join(eligible, st["seen"], bloom)
+            else:
+                new_nodes = eligible.join(st["seen"], "url_norm", "left_anti")
+            new_frontier = assign_global_seq(
+                new_nodes, ["min_parent_seq", "url_norm"], start=st["next_seq"]
+            ).select(
+                "url_norm", "scheme", "netloc", "path", "params", "query",
+                "fragment", F.lit(depth + 1).alias("depth"),
+                "parent_norm", "discovery_seq",
+            ).localCheckpoint()
+            n_new = new_frontier.count()
+            st["next_seq"] += n_new
+            st["seen"] = st["seen"].unionByName(
+                new_frontier.select("url_norm", "depth", "discovery_seq")
+            ).localCheckpoint()
+            if bloom is not None and n_new:
+                extra = bloommod.build_bloom(
+                    new_frontier, capacity=self.cfg.bloom_capacity,
+                    fpp=self.cfg.bloom_fpp,
+                )
+                merged = bytes(a | b for a, b in zip(bloom[0], extra[0]))
+                bloom = (merged, bloom[1], bloom[2])
+        else:
+            new_frontier = self._empty(FRONTIER_SCHEMA)
+
+        st["tiers"].append(
+            {
+                "depth": depth,
+                "frontier": n_frontier,
+                "processed": n_processed,
+                "enqueued": n_new,
+                "total_page": st["total_page"],
+                "politeness_makespan_sec": makespan,
+            }
+        )
+        st["frontier"] = new_frontier
+        return bloom
+
+    def _snapshot(self, st: dict) -> None:
+        state = ckpt.CrawlState(
+            depth=st["depth"],
+            total_page=st["total_page"],
+            next_seq=st["next_seq"],
+            tiers=st["tiers"],
+        )
+        lineage = ckpt.write_round(
+            self.checkpoint_dir, state,
+            {
+                "frontier": st["frontier"],
+                "seen": st["seen"],
+                "nodes": st["nodes"],
+                "edges": st["edges"],
+                "secrets": st["secrets"],
+                "found": st["found"],
+            },
+        )
+        st["tiers"][-1]["lineage"] = {k: len(v) for k, v in lineage.items()}
+        # re-read snapshots so downstream lineage points at parquet, not RAM
+        base = ckpt._round_dir(self.checkpoint_dir, st["depth"])
+        for name in ("frontier", "seen", "nodes", "edges", "secrets", "found"):
+            st[name] = self.spark.read.parquet(f"{base}/{name}")

@@ -1,0 +1,98 @@
+"""Per-host politeness scheduling + robots gating + priority queue.
+
+The reference enforces politeness with an asyncio semaphore (≤5 concurrent
+per domain, rate_limiter.py:55-64) and a per-domain min interval (0.2 s,
+rate_limiter.py:74-80). A batch engine can't sleep per request; instead the
+schedule is computed as data (SURVEY §7 "politeness in a batch engine"):
+
+  slot(url)          = rank of the url within its host / max_concurrent
+  virtual_start(url) = slot * effective_interval(host)
+
+so a per-host fetch executor (or a real-network applyInPandas runner) can
+pace exactly, and tests/throughput math are deterministic — no wall clock.
+
+Skew note: politeness is inherently serial per host, so the hot host IS
+the makespan lower bound (no salting can beat it — salting helps the
+*shuffle*, not the host's rate budget). The frontier is hash-partitioned by
+host so each executor owns whole hosts; `salt` splits only the shuffle key
+of pathological hosts while keeping slot assignment host-global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..config import CrawlConfig
+from ..functions.exprs import host_of
+
+
+def with_host(frontier: DataFrame) -> DataFrame:
+    return frontier.withColumn("host", host_of(F.col("netloc")))
+
+
+def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """North-rule robots.txt gating (absent in reference): drop frontier
+    rows whose path starts with a disallowed prefix for their host.
+    Robots is a small dim → broadcast; left_anti on (host, prefix-match)."""
+    f = with_host(frontier)
+    r = F.broadcast(robots.select(
+        F.col("host").alias("r_host"), "disallow_prefix"
+    ))
+    cond = (F.col("host") == F.col("r_host")) & F.col("path").startswith(
+        F.col("disallow_prefix")
+    )
+    return f.join(r, cond, "left_anti")
+
+
+def assign_fetch_schedule(
+    frontier: DataFrame,
+    cfg: CrawlConfig,
+    robots: DataFrame | None = None,
+) -> DataFrame:
+    """Add (host, slot, virtual_start) — the deterministic politeness
+    schedule for one tier. Priority within a host = discovery_seq (BFS
+    order), matching the reference's FIFO dequeue."""
+    f = with_host(frontier)
+    if robots is not None:
+        delays = F.broadcast(
+            robots.groupBy("host").agg(F.max("crawl_delay").alias("crawl_delay"))
+        )
+        f = f.join(delays, "host", "left")
+        interval = F.greatest(
+            F.coalesce(F.col("crawl_delay"), F.lit(cfg.min_request_interval)),
+            F.lit(cfg.min_request_interval),
+        )
+    else:
+        interval = F.lit(cfg.min_request_interval)
+
+    w = Window.partitionBy("host").orderBy("discovery_seq")
+    slot = F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(cfg.max_concurrent_per_domain))
+    return f.withColumn("slot", slot).withColumn(
+        "virtual_start", F.round(slot * interval, 6)
+    )
+
+
+def tier_makespan(scheduled: DataFrame, cfg: CrawlConfig) -> float:
+    """Virtual seconds to drain one tier under the politeness budget:
+    max over hosts of (slots(host)) * interval — the exact cost model of
+    k URLs on one host = ceil(k / max_concurrent) * interval."""
+    row = scheduled.agg(
+        F.max(F.col("virtual_start") + F.lit(cfg.min_request_interval)).alias("m")
+    ).first()
+    return float(row["m"] or 0.0)
+
+
+def salted_priority_sort(
+    frontier: DataFrame, salt_buckets: int = 16
+) -> DataFrame:
+    """North-rule salted priority queue: sort within host-hash partitions,
+    hot hosts split across `salt_buckets` shuffle keys so no single reducer
+    owns 30% of the frontier. Output order inside each partition is BFS
+    priority; the global BFS order is still (depth, discovery_seq)."""
+    f = with_host(frontier)
+    salt = F.pmod(F.xxhash64("url_norm"), F.lit(salt_buckets))
+    return (
+        f.withColumn("salt", salt)
+        .repartition(F.col("host"), F.col("salt"))
+        .sortWithinPartitions("discovery_seq")
+    )

@@ -1,0 +1,151 @@
+"""Tests for the training-data pipeline operators: dedup (exact, minhash
+LSH, simhash), similarity (brute force + LSH), text stats, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from secretscraper_spark.operators import dedup, imagecodec, multimodal, similarity
+from secretscraper_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (3, "el perro grande corre por la calle de la ciudad con el gato"),
+    (4, "completely different content about spark query engines and shuffles"),
+    (5, "another unrelated document mentioning joins aggregates and windows"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 2 and groups[0].canonical_id == 0
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    sh = dedup.shingles(docs, "doc_id", "text", k=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=64)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=64, bands=16)
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] == 1.0  # exact dup: all minhashes agree
+    assert (0, 2) in got and got[(0, 2)] > 0.4   # near dup caught by banding
+    assert (4, 5) not in got                      # unrelated docs not candidates
+
+
+def test_ngram_jaccard_exact_verification(docs):
+    sh = dedup.shingles(docs, "doc_id", "text", k=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=64)
+    cand = dedup.lsh_candidate_pairs(sig, num_hashes=64, bands=16)
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard_pairs(sh, cand).collect()}
+    assert exact[(0, 1)] == 1.0
+    # est_jaccard should approximate exact jaccard for the near-dup pair
+    est = {(r.doc_a, r.doc_b): r.est_jaccard for r in cand.collect()}
+    assert abs(est[(0, 2)] - exact[(0, 2)]) < 0.25
+
+
+def test_simhash_near_dups(docs):
+    sim = dedup.simhash64(docs, "doc_id", "text")
+    rows = {r.doc_id: r.simhash for r in sim.collect()}
+    assert rows[0] == rows[1]  # identical text → identical simhash
+    pairs = dedup.simhash_near_dups(sim, max_hamming=10).collect()
+    keys = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 1) in keys
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+    got = [r.vec_id for r in similarity.cosine_topk(df, q, k=5).collect()]
+    sims = (vecs @ vecs[0]) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    expected = list(np.argsort(-sims)[:5])
+    assert got == expected
+    assert got[0] == 0  # self is nearest
+
+
+def test_rp_lsh_topk_recall(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[3]]
+    planes = similarity.make_planes(16, n_planes=8, seed=42)
+    exact = {r.vec_id for r in similarity.cosine_topk(df, q, k=5).collect()}
+    approx = {r.vec_id for r in similarity.rp_lsh_topk(df, q, planes, k=5, probe_hamming=1).collect()}
+    assert 3 in approx                       # finds the identical vector
+    assert len(exact & approx) >= 2          # reasonable recall with 1-probe
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog, of course!"), (1, "el perro y la calle de que")],
+        "doc_id long, text string",
+    )
+    feats = quality_features(df).collect()
+    f0 = [r for r in feats if r.doc_id == 0][0]
+    assert f0.n_tokens == 7
+    assert f0.n_punct == 2  # comma + bang
+    assert f0.en_stopwords == 4  # the, and, the, of
+    langs = {r.doc_id: r.lang for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert langs[0] == "en" and langs[1] == "es"
+    fps = df.select(fingerprint(F.col("text")).alias("fp")).collect()
+    assert all(len(r.fp) == 32 for r in fps)
+
+
+def test_token_count_empty(spark):
+    df = spark.createDataFrame([("",), ("a b",)], "text string")
+    got = [r.n for r in df.select(token_count(F.col("text")).alias("n")).collect()]
+    assert got == [1, 2]  # split('', ' ') → [''] — matches DuckDB string_split
+
+
+def test_imagecodec_roundtrip():
+    px = imagecodec.pixels_for(99, 32, 16)
+    assert imagecodec.decode_png(imagecodec.encode_png(px)).tobytes() == px.tobytes()
+    lossy = imagecodec.decode_fake_jpeg(imagecodec.encode_fake_jpeg(px))
+    p = imagecodec.psnr(px, lossy)
+    assert 40.0 <= p < 60.0  # lossy but above the 40 dB invariant
+
+
+def test_verify_pixels_invariant(spark):
+    from secretscraper_spark.sources.sitegen import SEED, generate_pages_pandas
+
+    pdf = generate_pages_pandas(30, 4, include_images=True)
+    pages = spark.createDataFrame(pdf)
+    res = multimodal.verify_pixels(pages, SEED).collect()
+    assert len(res) == 30
+    assert all(r.pixels_ok for r in res)
+    assert all(r.phash_ok for r in res)
+    pngs = [r for r in res if r.fmt == "png"]
+    jpgs = [r for r in res if r.fmt == "jpeg"]
+    assert pngs and all(r.psnr_db >= 1e8 for r in pngs)   # lossless → inf (capped)
+    assert jpgs and all(40.0 <= r.psnr_db < 60.0 for r in jpgs)
+
+
+def test_image_features(spark):
+    from secretscraper_spark.sources.sitegen import generate_pages_pandas
+
+    pages = spark.createDataFrame(generate_pages_pandas(10, 4, include_images=True))
+    feats = multimodal.image_features(pages).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert 100.0 < r.mean_r < 160.0  # uniform-random pixels ≈ 127.5

@@ -1,0 +1,167 @@
+"""Tests for politeness scheduling, bloom seen-filter, validate pass,
+checkpoint/resume, and robots gating."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from secretscraper_spark.config import CrawlConfig
+from secretscraper_spark.plans import bloom as bloommod
+from secretscraper_spark.plans.crawler import SparkCrawler
+from secretscraper_spark.plans.politeness import (
+    assign_fetch_schedule,
+    robots_gate,
+    salted_priority_sort,
+    tier_makespan,
+)
+from secretscraper_spark.plans.validate import validate_pass
+from secretscraper_spark.refsim import simulate, site_from_pandas
+from secretscraper_spark.schemas import ROBOTS_SCHEMA
+from secretscraper_spark.sources.sitegen import generate_pages_pandas, seeds_for
+
+
+def make_frontier(spark, rows):
+    """rows: (url_norm, netloc, path, discovery_seq)"""
+    return spark.createDataFrame(
+        [(u, n, p, s) for u, n, p, s in rows],
+        "url_norm string, netloc string, path string, discovery_seq long",
+    )
+
+
+class TestPoliteness:
+    def test_slots_and_virtual_time(self, spark):
+        cfg = CrawlConfig(max_concurrent_per_domain=2, min_request_interval=0.5)
+        rows = [(f"http://h.test/p/{i}", "h.test", f"/p/{i}", i) for i in range(5)]
+        rows += [(f"http://x.test/p/{i}", "x.test", f"/p/{i}", 10 + i) for i in range(2)]
+        sched = assign_fetch_schedule(make_frontier(spark, rows), cfg).collect()
+        by_host = {}
+        for r in sched:
+            by_host.setdefault(r.host, []).append((r.discovery_seq, r.slot, r.virtual_start))
+        # h.test: 5 urls / 2 per slot → slots 0,0,1,1,2; starts 0,0,.5,.5,1.0
+        h = sorted(by_host["h.test"])
+        assert [s for _, s, _ in h] == [0, 0, 1, 1, 2]
+        assert [v for _, _, v in h] == [0.0, 0.0, 0.5, 0.5, 1.0]
+        assert [s for _, s, _ in sorted(by_host["x.test"])] == [0, 0]
+        # makespan = hot host: ceil(5/2)*0.5 = 1.5
+        df = assign_fetch_schedule(make_frontier(spark, rows), cfg)
+        assert math.isclose(tier_makespan(df, cfg), 1.5)
+
+    def test_crawl_delay_override(self, spark):
+        cfg = CrawlConfig(max_concurrent_per_domain=1, min_request_interval=0.2)
+        robots = spark.createDataFrame([("h.test", "/private", 1.0)], ROBOTS_SCHEMA)
+        rows = [(f"http://h.test/p/{i}", "h.test", f"/p/{i}", i) for i in range(3)]
+        sched = assign_fetch_schedule(make_frontier(spark, rows), cfg, robots).collect()
+        starts = sorted(r.virtual_start for r in sched)
+        assert starts == [0.0, 1.0, 2.0]  # crawl_delay=1.0 wins over 0.2
+
+    def test_robots_gate(self, spark):
+        robots = spark.createDataFrame(
+            [("h.test", "/admin", None), ("h.test", "/private", None)], ROBOTS_SCHEMA
+        )
+        rows = [
+            ("http://h.test/admin/x", "h.test", "/admin/x", 0),
+            ("http://h.test/ok", "h.test", "/ok", 1),
+            ("http://other.test/admin/x", "other.test", "/admin/x", 2),
+        ]
+        kept = {r.url_norm for r in robots_gate(make_frontier(spark, rows), robots).collect()}
+        assert kept == {"http://h.test/ok", "http://other.test/admin/x"}
+
+    def test_salted_sort_preserves_rows(self, spark):
+        rows = [(f"http://h.test/p/{i}", "h.test", f"/p/{i}", i) for i in range(50)]
+        out = salted_priority_sort(make_frontier(spark, rows), salt_buckets=4)
+        assert out.count() == 50
+        assert out.select("salt").distinct().count() > 1  # hot host actually split
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        seen = spark.createDataFrame(
+            [(f"http://h.test/p/{i}",) for i in range(500)], "url_norm string"
+        )
+        bloom = bloommod.build_bloom(seen, capacity=1000, fpp=0.01)
+        tagged = bloommod.bloom_partition(seen, bloom).collect()
+        assert all(r.bloom_positive for r in tagged)  # every seen url flagged
+
+    def test_bloom_anti_join_exact(self, spark):
+        seen = spark.createDataFrame(
+            [(f"http://h.test/p/{i}",) for i in range(300)], "url_norm string"
+        )
+        cand = spark.createDataFrame(
+            [(f"http://h.test/p/{i}",) for i in range(200, 500)], "url_norm string"
+        )
+        bloom = bloommod.build_bloom(seen, capacity=1000, fpp=0.01)
+        got = {r.url_norm for r in bloommod.bloom_anti_join(cand, seen, bloom).collect()}
+        expected = {f"http://h.test/p/{i}" for i in range(300, 500)}
+        assert got == expected  # identical to plain left_anti
+
+    def test_crawl_with_bloom_matches_exact(self, spark):
+        pdf = generate_pages_pandas(200, 4)
+        site = site_from_pandas(pdf)
+        cfg = CrawlConfig(max_depth=2, max_page_num=0)
+        sim = simulate(site, seeds_for(4), cfg)
+        pages = spark.createDataFrame(pdf.drop(columns=["bytes"]))
+        res = SparkCrawler(spark, pages, cfg, use_bloom=True).run(seeds_for(4))
+        got = {r.url_norm: (r.depth, r.discovery_seq) for r in res.seen.collect()}
+        assert got == sim.seen
+
+
+class TestValidate:
+    def test_unknown_statuses_resolved(self, spark):
+        nodes = spark.createDataFrame(
+            [("http://h.test/a", "200", "A", 10, "text/html")],
+            "url_norm string, status string, title string, content_length long, content_type string",
+        )
+        edges = spark.createDataFrame(
+            [("http://h.test/a", "http://h.test/b", "url"),
+             ("http://h.test/a", "http://h.test/c.js", "js"),
+             ("http://h.test/a", "http://h.test/gone", "url")],
+            "parent_norm string, child_norm string, kind string",
+        )
+        pages = spark.createDataFrame(
+            [("http://h.test/a", "200"), ("http://h.test/b", "302"),
+             ("http://h.test/c.js", "404")],
+            "url_norm string, status string",
+        )
+        out = {r.url_norm: r.status for r in validate_pass(edges, nodes, pages).collect()}
+        assert out == {
+            "http://h.test/a": "200",       # already numeric: untouched
+            "http://h.test/b": "302",       # unknown child revalidated
+            "http://h.test/c.js": "404",    # unknown js child revalidated
+            "http://h.test/gone": "Unknown",  # fetch miss stays Unknown
+        }
+
+
+class TestCheckpointResume:
+    def test_resume_matches_uninterrupted(self, spark, tmp_path):
+        pdf = generate_pages_pandas(200, 4)
+        pages = spark.createDataFrame(pdf.drop(columns=["bytes"]))
+        cfg = CrawlConfig(max_depth=2, max_page_num=0)
+
+        full = SparkCrawler(spark, pages, cfg).run(seeds_for(4))
+        full_seen = {r.url_norm: (r.depth, r.discovery_seq) for r in full.seen.collect()}
+        full_edges = {(r.parent_norm, r.child_norm, r.kind) for r in full.edges.collect()}
+
+        # checkpointed run writes round snapshots 0..2; resuming from the
+        # round-0 snapshot must replay rounds 1..2 to the identical result
+        ck = str(tmp_path / "ck")
+        SparkCrawler(spark, pages, cfg, checkpoint_dir=ck).run(seeds_for(4))
+        resumed = SparkCrawler(spark, pages, cfg, checkpoint_dir=ck).resume(from_round=0)
+        got_seen = {r.url_norm: (r.depth, r.discovery_seq) for r in resumed.seen.collect()}
+        got_edges = {(r.parent_norm, r.child_norm, r.kind) for r in resumed.edges.collect()}
+        assert got_seen == full_seen
+        assert got_edges == full_edges
+        assert resumed.total_page == full.total_page
+
+    def test_lineage_recorded(self, spark, tmp_path):
+        import json, os
+        pdf = generate_pages_pandas(100, 4)
+        pages = spark.createDataFrame(pdf.drop(columns=["bytes"]))
+        ck = str(tmp_path / "ck2")
+        SparkCrawler(spark, pages, CrawlConfig(max_depth=1), checkpoint_dir=ck).run(seeds_for(4))
+        with open(os.path.join(ck, "round=0", "manifest.json")) as f:
+            manifest = json.load(f)
+        assert "lineage" in manifest and "seen" in manifest["lineage"]
+        assert sum(p["rows"] for p in manifest["lineage"]["seen"]) > 0
