@@ -37,6 +37,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_cpu(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like _t, but spread across all cores: these tables are tiny
+    single-row-group files locally, yet the queries over them do heavy
+    per-row expr/UDF work — one scan task would serialize it. A 100 TB
+    scan arrives pre-partitioned, so this is a small-file-only fixup."""
+    df = _t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 # --- flagship ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -67,7 +79,7 @@ def q_pricing_summary(spark, sf_dir):
 def q_doc_profile(spark, sf_dir):
     """Text-analysis flagship: token/char/punct/stopword features +
     fingerprint + heuristic language per document."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_cpu(spark, sf_dir, "documents")
     return (
         quality_features(docs)
         .select(
@@ -87,7 +99,7 @@ def q_doc_profile(spark, sf_dir):
 def q_secret_extract(spark, sf_dir):
     """P3 regex extraction shape (handler.py:41-61) over documents.text:
     findall-all-matches, exploded, per-doc dedup, counted."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_cpu(spark, sf_dir, "documents")
     pat = r"\b(s[a-z]+)\b"  # all words starting with 's' (matches both engines)
     return (
         docs.select(
@@ -202,10 +214,11 @@ def q_status_ranges(spark, sf_dir):
 
 
 def q_seen_antijoin(spark, sf_dir):
-    """D1 URL-seen dedup as anti-join: events whose user has no customer
-    row (left_anti — the frontier-vs-seen plan shape)."""
+    """D1 URL-seen dedup as anti-join: events whose user has no BUILDING
+    customer row (left_anti — the frontier-vs-seen plan shape; the segment
+    filter keeps the result non-trivial at every SF)."""
     ev = _t(spark, sf_dir, "events")
-    cust = _t(spark, sf_dir, "customer")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     return (
         ev.join(cust, ev.user_id == cust.c_custkey, "left_anti")
         .groupBy("event_type")
@@ -302,7 +315,7 @@ def q_csv_row_union(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup via md5 hash-groupBy over documents."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_cpu(spark, sf_dir, "documents")
     return (
         docs.select(F.md5(F.col("text")).alias("text_md5"))
         .groupBy("text_md5")
@@ -317,7 +330,7 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_token_count(spark, sf_dir):
     """Token counting over documents (whitespace tokens)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_cpu(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"),
                     F.length("text").alias("n_chars_calc"))
@@ -327,7 +340,7 @@ def q_token_count(spark, sf_dir):
 
 def q_langid(spark, sf_dir):
     """Language-ID heuristic distribution vs the labeled lang column."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_cpu(spark, sf_dir, "documents")
     return (
         docs.select("lang", lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
@@ -349,7 +362,7 @@ def q_embedding_knn(spark, sf_dir):
 def q_minhash_dedup(spark, sf_dir):
     """MinHash-LSH near-dup candidates over documents (non-SQL-expressible:
     rows-only driver check; exact verification in tests/test_operators.py)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_cpu(spark, sf_dir, "documents")
     sh = dedup.shingles(docs, "doc_id", "text", k=3)
     sig = dedup.minhash_signatures(sh, num_hashes=64)
     return dedup.lsh_candidate_pairs(sig, num_hashes=64, bands=16).filter(
@@ -359,7 +372,7 @@ def q_minhash_dedup(spark, sf_dir):
 
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs (non-SQL-expressible: rows-only check)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_cpu(spark, sf_dir, "documents")
     sim = dedup.simhash64(docs, "doc_id", "text")
     return dedup.simhash_near_dups(sim, max_hamming=6).orderBy("doc_a", "doc_b")
 
@@ -372,6 +385,108 @@ def q_lsh_ann(spark, sf_dir):
     planes = similarity.make_planes(len(qvec), n_planes=8, seed=42)
     return similarity.rp_lsh_topk(emb, [float(x) for x in qvec], planes, k=10).select(
         "vec_id", F.round(F.col("cosine"), 3).alias("cosine_r3")
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram (word 3-shingle) Jaccard near-dup pairs via the
+    inverted-index self-join — the scalable exact-dedup plan."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, "doc_id", "text", k=3)
+    return dedup.exact_jaccard_pairs(sh, min_jaccard=0.5).orderBy("doc_a", "doc_b")
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact; oracle-checked). The 100 TB
+    path LSH-prefilters candidates — see q_lsh_ann / operators.similarity."""
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    return (
+        similarity.cosine_neardup_pairs(emb, threshold=0.4)
+        .select("vec_a", "vec_b", F.round("cosine", 3).alias("cosine_r3"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN top-10: k-means-lite coarse quantizer, nearest-3-cell probe,
+    exact re-rank (non-SQL-expressible: rows-only check; recall vs brute
+    force asserted in tests/test_operators.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cents = similarity.ivf_centroids(emb, n_centroids=8, iters=1)
+    return similarity.ivf_topk(
+        emb, [float(x) for x in qvec], cents, k=10, n_probe=3
+    ).select("vec_id", F.round(F.col("cosine"), 3).alias("cosine_r3"))
+
+
+def q_politeness_schedule(spark, sf_dir):
+    """C1/C2 per-host politeness schedule (rate_limiter.py:55-80 re-expressed
+    as data): slot = rank-within-host / max_concurrent, virtual_start =
+    slot × min_interval — deterministic, no wall clock."""
+    from secretscraper_spark.config import CrawlConfig
+    from secretscraper_spark.plans.politeness import assign_fetch_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    f = ev.select(
+        F.col("event_id").alias("eid"),
+        F.concat(F.lit("h"), (F.col("event_id") % 20).cast("string"), F.lit(".test")).alias("netloc"),
+        F.col("event_id").alias("discovery_seq"),
+    )
+    out = assign_fetch_schedule(f, CrawlConfig())  # 5 concurrent / 0.2 s (settings.yml:15-16)
+    return out.select("eid", "host", "slot", "virtual_start").orderBy("host", "eid")
+
+
+def q_global_seq(spark, sf_dir):
+    """O1 discovery-seq assignment: the two-phase distributed rank
+    (plans/ranking.py) must equal a global row_number() — verified by the
+    oracle without ever collapsing to one task."""
+    from secretscraper_spark.plans.ranking import assign_global_seq
+
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.select(F.col("o_orderkey").alias("k"))
+    return assign_global_seq(df, ["k"], start=0).orderBy("k")
+
+
+def q_robots_gate(spark, sf_dir):
+    """C5 robots.txt gating (north-rule addition): broadcast left_anti on
+    host + disallow-prefix match."""
+    from secretscraper_spark.plans.politeness import robots_gate
+
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 7).cast("string"), F.lit(".test")).alias("netloc"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.concat(F.lit("/a/"), F.col("o_orderkey").cast("string")))
+        .when(F.col("o_orderkey") % 3 == 1, F.concat(F.lit("/b/"), F.col("o_orderkey").cast("string")))
+        .otherwise(F.concat(F.lit("/c/"), F.col("o_orderkey").cast("string"))).alias("path"),
+    )
+    robots = spark.createDataFrame(
+        [("h0.test", "/a/", 1.0), ("h1.test", "/b/", 1.0), ("h2.test", "/", 1.0)],
+        "host string, disallow_prefix string, crawl_delay double",
+    )
+    return robots_gate(f, robots).select("orderkey", "netloc", "path").orderBy("orderkey")
+
+
+def q_image_verify(spark, sf_dir):
+    """Multimodal channel: deterministic image+caption slice → Arrow-batched
+    decode (real PNG codec; clearly-marked fake lossy codec) → PSNR + phash
+    invariant check (BASELINE.json input_hint). Binary decode is not
+    SQL-expressible → rows-only check; exact pytest coverage in
+    tests/test_operators.py."""
+    from secretscraper_spark.operators.multimodal import verify_pixels
+    from secretscraper_spark.sources.sitegen import SEED, generate_pages_spark
+
+    pages = generate_pages_spark(spark, 64, n_hosts=4, include_images=True, partitions=8)
+    v = verify_pixels(pages, seed_base=SEED)
+    return (
+        v.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("pixels_ok"), 1).otherwise(0)).alias("n_pixels_ok"),
+            F.sum(F.when(F.col("phash_ok"), 1).otherwise(0)).alias("n_phash_ok"),
+            F.round(F.min("psnr_db"), 3).alias("min_psnr_db"),
+        )
+        .orderBy("fmt")
     )
 
 
@@ -400,6 +515,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_dedup": q_minhash_dedup,
         "q_simhash_dedup": q_simhash_dedup,
         "q_lsh_ann": q_lsh_ann,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_ivf_ann": q_ivf_ann,
+        "q_politeness_schedule": q_politeness_schedule,
+        "q_global_seq": q_global_seq,
+        "q_robots_gate": q_robots_gate,
+        "q_image_verify": q_image_verify,
     }
 
 
@@ -552,7 +674,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_unseen,
                    count(DISTINCT user_id) AS n_users
             FROM events e
-            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id
+                                AND c.c_mktsegment = 'BUILDING')
             GROUP BY event_type ORDER BY event_type
         """,
         "q_first_discovery": """
@@ -625,7 +749,72 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
             LIMIT 10
         """,
-        # q_minhash_dedup / q_simhash_dedup / q_lsh_ann: non-SQL-expressible
-        # (multi-stage hashing + banding); rows-only driver check + exact
-        # pytest verification (tests/test_operators.py).
+        "q_ngram_jaccard": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i.i, i.i + 2), ' ') AS shingle
+              FROM t, LATERAL (
+                SELECT unnest(range(1, greatest(len(toks) - 3, 0) + 2)) AS i) i),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b,
+                   round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "q_embedding_neardup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 3) AS cosine_r3
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.v, b.v) >= 0.4
+            ORDER BY vec_a, vec_b
+        """,
+        "q_politeness_schedule": """
+            WITH f AS (
+              SELECT event_id AS eid, 'h' || (event_id % 20) || '.test' AS host
+              FROM events),
+            r AS (
+              SELECT eid, host,
+                     row_number() OVER (PARTITION BY host ORDER BY eid) AS rn
+              FROM f)
+            SELECT eid, host,
+                   CAST(floor((rn - 1) / 5) AS BIGINT) AS slot,
+                   round(CAST(floor((rn - 1) / 5) AS BIGINT) * 0.2, 6) AS virtual_start
+            FROM r ORDER BY host, eid
+        """,
+        "q_global_seq": """
+            SELECT o_orderkey AS k,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS discovery_seq
+            FROM orders ORDER BY k
+        """,
+        "q_robots_gate": """
+            WITH p AS (
+              SELECT o_orderkey AS orderkey,
+                     'h' || (o_orderkey % 7) || '.test' AS netloc,
+                     CASE WHEN o_orderkey % 3 = 0 THEN '/a/' || o_orderkey
+                          WHEN o_orderkey % 3 = 1 THEN '/b/' || o_orderkey
+                          ELSE '/c/' || o_orderkey END AS path
+              FROM orders),
+            r(host, pfx) AS (VALUES ('h0.test', '/a/'), ('h1.test', '/b/'), ('h2.test', '/'))
+            SELECT orderkey, netloc, path FROM p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM r WHERE r.host = p.netloc AND p.path LIKE r.pfx || '%')
+            ORDER BY orderkey
+        """,
+        # q_minhash_dedup / q_simhash_dedup / q_lsh_ann / q_ivf_ann /
+        # q_image_verify: non-SQL-expressible (multi-stage hashing + banding,
+        # iterative k-means, binary image decode); rows-only driver check +
+        # exact pytest verification (tests/test_operators.py).
     }

@@ -105,6 +105,39 @@ def lsh_candidate_pairs(
     )
 
 
+def exact_jaccard_pairs(
+    sh: DataFrame, min_jaccard: float = 0.5, max_df: int | None = None
+) -> DataFrame:
+    """Exact shingle-set Jaccard for every pair sharing ≥1 shingle, via an
+    inverted-index self-join on the shingle (shuffle is O(postings²) per
+    shingle, NOT O(n²) over docs — the scalable exact-dedup plan).
+
+    ``max_df`` optionally drops shingles occurring in more than that many
+    docs (stopword-shingle skew guard) — leave None for oracle-exact runs.
+    """
+    if max_df is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    # sizes is one row per doc — NOT broadcastable at 10^9 docs; let AQE
+    # pick broadcast when it fits, sort-merge otherwise
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+    return out.filter(jac >= min_jaccard).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     sh: DataFrame, candidates: DataFrame
 ) -> DataFrame:

@@ -72,6 +72,104 @@ def rp_lsh_buckets(
     return df.withColumn("bucket", rp_signature_expr(vec_col, planes))
 
 
+def cosine_neardup_pairs(
+    df: DataFrame, threshold: float = 0.4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ t).
+
+    Exact all-pairs is quadratic by definition; this is the oracle-exact
+    variant used at verification scale. The 100 TB path prefilters
+    candidates with rp_lsh_buckets (same-bucket or Hamming≤1 probes) and
+    re-ranks exactly — see rp_lsh_topk; simhash/minhash cover the text
+    channel in operators/dedup.py.
+    """
+    a = df.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+        (_norm(F.col(vec_col))).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+        (_norm(F.col(vec_col))).alias("nb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+def ivf_centroids(
+    df: DataFrame, n_centroids: int = 16, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic k-means-lite coarse quantizer: seed with the first
+    n vectors by id (stable), refine with *iters* Lloyd steps — each step
+    one assignment pass + one posexplode/groupBy mean, all DataFrame ops."""
+    seeds = df.orderBy(id_col).limit(n_centroids).collect()
+    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        got = {int(r["centroid_id"]): [float(x) for x in r["centroid"]] for r in means}
+        # empty clusters keep their previous centroid
+        cents = [(cid, got.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame, centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment as one JVM expression: array_min over
+    (squared-L2, cid) structs — no Python, no shuffle."""
+    def l2sq(c):
+        diff = F.zip_with(
+            F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        )
+        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+    best = F.array_min(
+        F.array(*[
+            F.struct(l2sq(vec).alias("d"), F.lit(cid).alias("cid"))
+            for cid, vec in centroids
+        ])
+    )
+    return df.withColumn("centroid_id", best["cid"])
+
+
+def ivf_topk(
+    df: DataFrame, query_vec: list[float],
+    centroids: list[tuple[int, list[float]]], k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the n_probe centroids nearest the query, exact cosine
+    re-rank inside the probed cells. At scale the table is written
+    partitioned by centroid_id, so the probe is partition pruning — the
+    scan touches n_probe/n_centroids of the data."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = sorted(centroids, key=lambda c: float(((np.asarray(c[1]) - q) ** 2).sum()))
+    probes = [cid for cid, _ in order[:n_probe]]
+    cand = ivf_assign(df, centroids, id_col, vec_col).filter(
+        F.col("centroid_id").isin(probes)
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def rp_lsh_topk(
     df: DataFrame, query_vec: list[float], planes: np.ndarray, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",

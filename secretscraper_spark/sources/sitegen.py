@@ -85,7 +85,22 @@ def content_type_for(i: int) -> str:
     return "text/html; charset=utf-8"
 
 
-def caption_for(i: int, n_pages: int, n_hosts: int) -> str:
+def _filler(i: int, nbytes: int) -> str:
+    """Deterministic secret-free filler text (~nbytes). Real pages are tens
+    of KB; the default fixtures keep captions tiny for fast tests, while the
+    bench passes filler_bytes≈4-8 KB so the extraction UDFs — the true hot
+    path at web scale — dominate per-tier fixed costs."""
+    if nbytes <= 0:
+        return ""
+    base = (
+        f" f{i % 9973} lorem ipsum dolor sit amet consectetur adipiscing elit"
+        f" sed eiusmod tempor incididunt ut labore et dolore magna aliqua x{i % 89}"
+    )
+    reps = nbytes // len(base) + 1
+    return (base * reps)[:nbytes]
+
+
+def caption_for(i: int, n_pages: int, n_hosts: int, filler_bytes: int = 0) -> str:
     """Page body: title + link markup + planted secrets + filler."""
     host = host_for(i, n_hosts)
     parts = [f"<title>Page {i}</title>"]
@@ -110,14 +125,19 @@ def caption_for(i: int, n_pages: int, n_hosts: int) -> str:
     if i % 10 == 0:
         parts.append(PLANTED_SECRETS[(i // 10) % len(PLANTED_SECRETS)])
     parts.append(f"filler lorem ipsum value {i} data spark batch row scan")
+    if filler_bytes:
+        parts.append(_filler(i, filler_bytes))
     return "\n".join(parts)
 
 
 _SIZES = [32, 64, 128]
 
 
-def page_row(i: int, n_pages: int, n_hosts: int, include_images: bool) -> dict:
-    caption = caption_for(i, n_pages, n_hosts)
+def page_row(
+    i: int, n_pages: int, n_hosts: int, include_images: bool,
+    filler_bytes: int = 0,
+) -> dict:
+    caption = caption_for(i, n_pages, n_hosts, filler_bytes)
     url = url_for(i, n_hosts)
     w = _SIZES[i % 3]
     h = _SIZES[(i // 3) % 3]
@@ -147,9 +167,12 @@ def page_row(i: int, n_pages: int, n_hosts: int, include_images: bool) -> dict:
 
 
 def generate_pages_pandas(
-    n_pages: int, n_hosts: int = 4, include_images: bool = False
+    n_pages: int, n_hosts: int = 4, include_images: bool = False,
+    filler_bytes: int = 0,
 ) -> pd.DataFrame:
-    df = pd.DataFrame([page_row(i, n_pages, n_hosts, include_images) for i in range(n_pages)])
+    df = pd.DataFrame(
+        [page_row(i, n_pages, n_hosts, include_images, filler_bytes) for i in range(n_pages)]
+    )
     df["w"] = df["w"].astype(np.int32)
     df["h"] = df["h"].astype(np.int32)
     df["phash"] = df["phash"].astype(np.int64)
@@ -159,7 +182,7 @@ def generate_pages_pandas(
 
 def generate_pages_spark(
     spark, n_pages: int, n_hosts: int = 4, include_images: bool = False,
-    partitions: int | None = None,
+    partitions: int | None = None, filler_bytes: int = 0,
 ):
     """Distributed generation — scales to any N (mapInPandas over range)."""
     from ..schemas import PAGES_SCHEMA
@@ -167,7 +190,7 @@ def generate_pages_spark(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = [
-                page_row(int(i), n_pages, n_hosts, include_images)
+                page_row(int(i), n_pages, n_hosts, include_images, filler_bytes)
                 for i in batch["id"]
             ]
             yield pd.DataFrame(rows)

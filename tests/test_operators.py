@@ -149,3 +149,77 @@ def test_image_features(spark):
     assert len(feats) == 10
     for r in feats:
         assert 100.0 < r.mean_r < 160.0  # uniform-random pixels ≈ 127.5
+
+
+def test_exact_jaccard_pairs_vs_bruteforce(docs):
+    sh = dedup.shingles(docs, "doc_id", "text", k=3)
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.exact_jaccard_pairs(sh, min_jaccard=0.0).collect()}
+
+    def pysh(text, k=3):
+        toks = text.lower().split()
+        return {" ".join(toks[i:i + k]) for i in range(max(len(toks) - k, 0) + 1)}
+
+    sets = {i: pysh(t) for i, t in DOCS}
+    for (a, b), j in got.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert abs(j - inter / union) < 1e-6, (a, b)  # operator rounds to 6dp
+    assert got[(0, 1)] == 1.0
+    # pairs sharing no shingle are absent (inverted index emits only overlaps)
+    assert (3, 4) not in got
+
+
+def test_exact_jaccard_max_df_guard(docs):
+    sh = dedup.shingles(docs, "doc_id", "text", k=3)
+    capped = dedup.exact_jaccard_pairs(sh, min_jaccard=0.0, max_df=1).collect()
+    assert capped == []  # every shared shingle has df>=2, all dropped
+
+
+def test_cosine_neardup_pairs_vs_numpy(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    vecs[7] = vecs[3] + 0.01 * rng.standard_normal(8).astype(np.float32)  # plant a near dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.vec_a, r.vec_b): r.cosine
+           for r in similarity.cosine_neardup_pairs(df, threshold=0.9).collect()}
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    expected = {(a, b) for a in range(40) for b in range(a + 1, 40) if sims[a, b] >= 0.9}
+    assert set(got) == expected
+    assert (3, 7) in got and got[(3, 7)] > 0.99
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((120, 12)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[9]]
+    cents = similarity.ivf_centroids(df, n_centroids=4, iters=1)
+    assert len(cents) == 4 and all(len(v) == 12 for _, v in cents)
+    exact = [r.vec_id for r in similarity.cosine_topk(df, q, k=5).collect()]
+    full = [r.vec_id for r in similarity.ivf_topk(df, q, cents, k=5, n_probe=4).collect()]
+    assert full == exact  # probing every cell = brute force
+    partial = {r.vec_id for r in similarity.ivf_topk(df, q, cents, k=5, n_probe=1).collect()}
+    assert 9 in partial  # query's own cell always probed first
+
+
+def test_ivf_assign_is_nearest(spark):
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((30, 6)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(0, [1.0] * 6), (1, [-1.0] * 6)]
+    got = {r.vec_id: r.centroid_id for r in similarity.ivf_assign(df, cents).collect()}
+    for i in range(30):
+        d0 = float(((vecs[i] - 1.0) ** 2).sum())
+        d1 = float(((vecs[i] + 1.0) ** 2).sum())
+        assert got[i] == (0 if d0 <= d1 else 1)
