@@ -116,3 +116,7 @@ class CrawlConfig:
     shuffle_partitions: int = 32
     bloom_capacity: int = 1 << 20
     bloom_fpp: float = 0.01
+    # fetch-join strategy: broadcast the frontier tier while it fits an
+    # executor (deterministic small-tier plan; no pages-side shuffle);
+    # beyond this the join takes the shuffle-hash path (AQE)
+    broadcast_frontier_rows: int = 2_000_000

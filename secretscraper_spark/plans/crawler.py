@@ -27,6 +27,7 @@ Scale design (10^10 frontier / 1000 executors):
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -197,8 +198,18 @@ class SparkCrawler:
 
     def _tier(self, st: dict, bloom) -> object:
         cfg, depth = self.cfg, st["depth"]
+        phase_t: dict[str, float] = {}
+        _last = time.perf_counter()
+
+        def mark(name: str) -> None:
+            nonlocal _last
+            now = time.perf_counter()
+            phase_t[name] = round(now - _last, 3)
+            _last = now
+
         frontier = st["frontier"]
         n_frontier = frontier.count()
+        mark("count_frontier")
 
         # C5 robots gate (north-rule addition; excluded like evade: no fetch,
         # no budget)
@@ -220,6 +231,7 @@ class SparkCrawler:
         to_process = to_process.localCheckpoint()
         n_processed = to_process.count()
         st["total_page"] += n_processed
+        mark("budget_checkpoint")
 
         # C1/C2 politeness schedule (virtual time; metrics only in sandbox —
         # a real-network deployment fetches per (host, slot) group)
@@ -227,13 +239,19 @@ class SparkCrawler:
         if self.schedule_politeness and n_processed:
             scheduled = assign_fetch_schedule(to_process, cfg, self.robots)
             makespan = tier_makespan(scheduled, cfg)
+        mark("politeness")
 
-        # S2 fetch = hash join against the pages store
-        fetched = (
-            to_process.withColumn("url_hash", F.xxhash64("url_norm"))
-            .join(self.pages, ["url_hash", "url_norm"], "inner")
-            .localCheckpoint()
-        )
+        # S2 fetch = hash join against the pages store. The frontier tier is
+        # broadcast while it fits (deterministic plan, no pages shuffle);
+        # a 10^8-row tier at real scale exceeds any broadcast budget and
+        # takes the shuffle-hash path instead (AQE picks it).
+        keyed = to_process.withColumn("url_hash", F.xxhash64("url_norm"))
+        if n_processed <= cfg.broadcast_frontier_rows:
+            keyed = F.broadcast(keyed)
+        fetched = keyed.join(
+            self.pages, ["url_hash", "url_norm"], "inner"
+        ).localCheckpoint()
+        mark("fetch_join")
 
         # P10 metadata projection + P7 title
         st["nodes"] = st["nodes"].unionByName(
@@ -254,7 +272,13 @@ class SparkCrawler:
             ).select("url_norm", "s.rule_name", "s.match")
         )
 
-        # P1+P2 link extraction, gated by F7 (crawler.py:343-344)
+        # P1+P2 link extraction, gated by F7 (crawler.py:343-344).
+        # `children` stays LAZY: materializing the exploded output is
+        # O(out-degree × tier) rows of wide strings; instead the enqueue
+        # path consumes it through a groupBy (shuffle carries only distinct
+        # children) and the edges/found accumulators re-derive from the
+        # checkpointed `fetched` at result time — one extra pass of the
+        # cheap links UDF instead of a tier-sized RAM write.
         ext = fetched.filter(is_extend_expr(F.col("content_type")))
         children = (
             ext.select(
@@ -263,16 +287,18 @@ class SparkCrawler:
                 F.explode(self._links_udf("scheme", "netloc", "caption")).alias("c"),
             )
             .select("parent_norm", "parent_seq", "c.*")
-            .localCheckpoint()
         )
+        mark("extract_links")
 
-        # D5 edges recorded regardless of enqueue (crawler.py:364-376)
+        # D5 edges recorded regardless of enqueue (crawler.py:364-376) —
+        # lazy unions over the per-tier checkpointed `fetched`; the single
+        # dropDuplicates in _loop dedups the whole accumulation at the end
         st["edges"] = st["edges"].unionByName(
             children.select(
                 "parent_norm",
                 F.col("url_norm").alias("child_norm"),
                 F.when(is_js_expr(F.col("path")), "js").otherwise("url").alias("kind"),
-            ).dropDuplicates(["parent_norm", "child_norm", "kind"])
+            )
         )
         st["found"] = st["found"].unionByName(children.select("url_norm"))
 
@@ -299,10 +325,12 @@ class SparkCrawler:
                 "parent_norm", "discovery_seq",
             ).localCheckpoint()
             n_new = new_frontier.count()
+            mark("enqueue_rank")
             st["next_seq"] += n_new
             st["seen"] = st["seen"].unionByName(
                 new_frontier.select("url_norm", "depth", "discovery_seq")
             ).localCheckpoint()
+            mark("seen_union")
             if bloom is not None and n_new:
                 extra = bloommod.build_bloom(
                     new_frontier, capacity=self.cfg.bloom_capacity,
@@ -321,6 +349,7 @@ class SparkCrawler:
                 "enqueued": n_new,
                 "total_page": st["total_page"],
                 "politeness_makespan_sec": makespan,
+                "phase_sec": phase_t,
             }
         )
         st["frontier"] = new_frontier

@@ -12,6 +12,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 
 def assign_global_seq(
@@ -42,7 +43,11 @@ def assign_global_seq(
         offsets[pid] = acc
         acc += sizes[pid]
 
-    out_schema = df.schema.add(seq_col, "long")
+    # build a fresh StructType: StructType.add MUTATES, and DataFrame.schema
+    # is cached on the df — mutating it corrupts later calls on the same df
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(seq_col, T.LongType())]
+    )
     b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
 
     def tag(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -36,4 +36,11 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Warm Spark 4's ICU collation tables once, uncontended: the static
+    # initializer of CollationAwareUTF8String takes seconds, and the first
+    # task-side lower()/upper() otherwise serializes EVERY task slot on the
+    # class-init monitor (observed: 32 tasks × ~19 s stall on local[32]).
+    # Constant folding evaluates this on the driver; in local mode driver
+    # and executors share the JVM, so the class is initialized for all.
+    spark.sql("SELECT lower('WarḿÉ') AS w").collect()
     return spark

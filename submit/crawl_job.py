@@ -1,0 +1,103 @@
+"""spark-submit entry point for the crawl pipeline (north rule: "run via
+spark-submit --py-files on a multi-executor cluster at two cluster sizes").
+
+Packaging + launch (see submit/run_two_sizes.sh for the two-size harness):
+
+    cd /root/repo && zip -qr /tmp/secretscraper_spark.zip secretscraper_spark
+    spark-submit --master local[8]  --conf spark.task.cpus=2 \
+        --py-files /tmp/secretscraper_spark.zip submit/crawl_job.py \
+        --n-pages 120000 --filler-bytes 6144 --seed-stride 11 --out /tmp/crawl_n
+    spark-submit --master local[32] --conf spark.task.cpus=2 \
+        --py-files /tmp/secretscraper_spark.zip submit/crawl_job.py ...
+
+On a real cluster, replace --master with the cluster manager URL; the job
+code is identical — everything data-parallel is DataFrame ops, and the
+--py-files zip is the only code shipped to executors.
+
+Prints one JSON line with throughput + per-tier metrics, and (with --out)
+writes seen/edges/secrets parquet + the crawl CSV report.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-pages", type=int, default=120000)
+    ap.add_argument("--n-hosts", type=int, default=8)
+    ap.add_argument("--filler-bytes", type=int, default=6144)
+    ap.add_argument("--seed-stride", type=int, default=11)
+    ap.add_argument("--max-depth", type=int, default=2)
+    ap.add_argument("--max-pages", type=int, default=0)
+    ap.add_argument("--pages-parquet", default=None,
+                    help="read the pages table instead of generating it")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    # spark-submit owns the session config (master, task.cpus, memory);
+    # getOrCreate attaches to it. The ICU warmup from session.get_spark is
+    # repeated here because submit jobs may not go through that factory.
+    spark = SparkSession.builder.appName("secretscraper-crawl").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("SELECT lower('WarḿÉ')").collect()  # ICU class-init, uncontended
+
+    from secretscraper_spark.config import CrawlConfig
+    from secretscraper_spark.plans.crawler import SparkCrawler
+    from secretscraper_spark.sinks.reports import csv_rows
+    from secretscraper_spark.sources.sitegen import generate_pages_spark, url_for
+
+    if args.pages_parquet:
+        pages = spark.read.parquet(args.pages_parquet)
+    else:
+        # partitions ≥ 2× slots: the broadcast fetch join streams the pages
+        # side, so its partitioning sets downstream extraction parallelism
+        par = max(2 * spark.sparkContext.defaultParallelism, 64)
+        pages = generate_pages_spark(
+            spark, args.n_pages, n_hosts=args.n_hosts,
+            filler_bytes=args.filler_bytes, partitions=par,
+        ).localCheckpoint()
+        pages.count()  # materialize outside the timed window
+
+    seeds = [url_for(i, args.n_hosts) for i in range(0, args.n_pages, args.seed_stride)]
+    cfg = CrawlConfig(max_depth=args.max_depth, max_page_num=args.max_pages)
+
+    t0 = time.perf_counter()
+    res = SparkCrawler(
+        spark, pages, cfg, checkpoint_dir=args.checkpoint_dir
+    ).run(seeds)
+    n_seen = res.seen.count()
+    n_secrets = res.secrets.count()
+    wall = time.perf_counter() - t0
+
+    if args.out:
+        res.seen.write.mode("overwrite").parquet(f"{args.out}/seen")
+        res.edges.write.mode("overwrite").parquet(f"{args.out}/edges")
+        res.secrets.write.mode("overwrite").parquet(f"{args.out}/secrets")
+        csv_rows(res.nodes, res.secrets).write.mode(
+            "overwrite"
+        ).option("header", True).csv(f"{args.out}/report_csv")
+
+    print(json.dumps({
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "n_pages_site": args.n_pages,
+        "pages_fetched": res.total_page,
+        "urls_seen": n_seen,
+        "secrets": n_secrets,
+        "wall_sec": round(wall, 3),
+        "pages_per_sec": round(res.total_page / wall, 1),
+        "urls_per_sec": round(n_seen / wall, 1),
+        "tiers": res.tiers,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
