@@ -1,0 +1,87 @@
+"""Structured Streaming extraction path: file-source stream → secrets UDF /
+streaming URL-dedup / windowed counts, run to completion with
+trigger(availableNow) + memory sink and checked against the batch answers
+on the same pages."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from secretscraper_spark.config import loaded_rules
+from secretscraper_spark.functions.extract import make_secrets_udf
+from secretscraper_spark.sources.sitegen import generate_pages_pandas
+from secretscraper_spark.streaming.extract_stream import (
+    stream_pages,
+    stream_secrets,
+    stream_seen_dedup,
+    windowed_secret_counts,
+    with_event_time,
+)
+
+N_PAGES = 120
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages_stream"))
+    pdf = generate_pages_pandas(N_PAGES, 4)
+    # two append "arrivals" to exercise multi-file streaming
+    spark.createDataFrame(pdf.iloc[:60]).write.mode("overwrite").parquet(f"{d}/part1")
+    spark.createDataFrame(pdf.iloc[60:]).write.mode("append").parquet(f"{d}/part1")
+    return f"{d}/part1"
+
+
+def run_to_memory(stream_df, name, output_mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def test_stream_secrets_matches_batch(spark, pages_dir):
+    st = with_event_time(stream_pages(spark, pages_dir))
+    run_to_memory(stream_secrets(st), "s_secrets")
+    got = {
+        (r.url_norm, r.rule_name, r.match)
+        for r in spark.sql("SELECT * FROM s_secrets").collect()
+    }
+    batch = spark.read.parquet(pages_dir)
+    udf = make_secrets_udf(loaded_rules())
+    expected = {
+        (r.url_norm, r.s.rule_name, r.s.match)
+        for r in batch.select("url_norm", F.explode(udf("caption")).alias("s")).collect()
+    }
+    assert got == expected and expected
+
+
+def test_stream_seen_dedup(spark, pages_dir):
+    base = with_event_time(stream_pages(spark, pages_dir))
+    # duplicate the stream rows to plant dupes
+    dup = base.unionByName(base)
+    run_to_memory(
+        stream_seen_dedup(dup, watermark="1 hour").select("url_norm"), "s_seen"
+    )
+    rows = [r.url_norm for r in spark.sql("SELECT * FROM s_seen").collect()]
+    assert len(rows) == N_PAGES                 # each url exactly once
+    assert len(set(rows)) == N_PAGES
+
+
+def test_windowed_counts(spark, pages_dir):
+    st = with_event_time(stream_pages(spark, pages_dir))
+    # complete mode: append only emits windows the watermark has passed,
+    # and a single availableNow run never advances it past the last window
+    run_to_memory(
+        windowed_secret_counts(stream_secrets(st), window="1 minute"),
+        "s_win",
+        output_mode="complete",
+    )
+    rows = spark.sql("SELECT * FROM s_win").collect()
+    assert rows, "windowed aggregation produced no closed windows"
+    assert all(r.n_matches >= 1 for r in rows)
+    assert all(r.window_end > r.window_start for r in rows)
