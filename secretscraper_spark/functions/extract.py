@@ -49,13 +49,19 @@ def make_parse_url_udf() -> Callable:
     return parse_url_udf
 
 
-def make_secrets_udf(rules: dict[str, str], use_groups: bool = True) -> Callable:
+def make_secrets_udf(
+    rules: dict[str, str], use_groups: bool = True, engine: str = "re"
+) -> Callable:
     """text → array<struct<rule_name,match>>, per-text set-dedup
-    (reference crawler.py:311 ``set(secrets)``)."""
+    (reference crawler.py:311 ``set(secrets)``). ``engine`` selects the
+    kernel per the P6 factory ('re' | 'hyperscan' | 'auto'); resolution
+    happens once per task inside the iterator, on the executor."""
 
     @F.pandas_udf(T.ArrayType(SECRET_STRUCT))
     def secrets_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        extractor = RegexExtractor(rules, use_groups=use_groups)
+        from .purekit import get_extractor
+
+        extractor = get_extractor(rules, engine=engine, use_groups=use_groups)
         for texts in it:
             out = []
             for text in texts:

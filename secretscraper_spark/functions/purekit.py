@@ -195,6 +195,55 @@ class RegexExtractor:
         return out
 
 
+class HyperscanExtractor:
+    """Multi-pattern DFA variant of the reference's HyperscanRegexHandler
+    (handler.py:72-139: SOM_LEFTMOST|CASELESS, emits whole-text slices, no
+    groups). Importable only where the hyperscan wheel exists; construction
+    raises ImportError otherwise — see get_extractor for the auto fallback."""
+
+    def __init__(self, rules: dict[str, str]):
+        import hyperscan  # noqa: F401 — gated optional dependency
+
+        self.names = list(rules.keys())
+        self._db = hyperscan.Database()
+        self._db.compile(
+            expressions=[rx.encode() for rx in rules.values()],
+            ids=list(range(len(rules))),
+            flags=[
+                hyperscan.HS_FLAG_SOM_LEFTMOST | hyperscan.HS_FLAG_CASELESS
+            ] * len(rules),
+        )
+
+    def extract(self, text: str) -> list[tuple[str, str]]:
+        data = text.encode("utf-8", errors="ignore")
+        out: list[tuple[str, str]] = []
+
+        def on_match(rid: int, start: int, end: int, flags: int, ctx=None):
+            out.append((self.names[rid], data[start:end].decode("utf-8", "ignore")))
+
+        self._db.scan(data, match_event_handler=on_match)
+        return out
+
+
+def get_extractor(
+    rules: dict[str, str], engine: str = "auto", use_groups: bool = True
+):
+    """P6 handler factory (reference handler.py:165-194): explicit
+    're'/'hyperscan', or 'auto' = hyperscan when importable else re.
+    The re engine is the semantic reference; hyperscan is a performance
+    variant (in Spark the Arrow vectorization is the main win — SURVEY P4)."""
+    if engine == "re":
+        return RegexExtractor(rules, use_groups=use_groups)
+    if engine == "hyperscan":
+        return HyperscanExtractor(rules)
+    if engine == "auto":
+        try:
+            return HyperscanExtractor(rules)
+        except ImportError:
+            return RegexExtractor(rules, use_groups=use_groups)
+    raise ValueError(f"unknown engine {engine!r}")
+
+
 # ---------------------------------------------------------------------------
 # P7 title extraction — reference util.py:109-116 joins the text of all
 # <title> tags with "|", newlines→spaces, stripped.  bs4 is unavailable here;

@@ -1,0 +1,79 @@
+"""Per-host paced fetch executor — the physical realization of C1/C2.
+
+The reference paces with an asyncio semaphore (≤5 concurrent per domain,
+rate_limiter.py:55-64) and a per-domain min interval (rate_limiter.py:74-80).
+Here the frontier is grouped by host (`applyInPandas`, one group per host —
+the shuffle co-locates a host's URLs on one executor) and each group is
+issued in slot order from the deterministic schedule
+(plans/politeness.py:assign_fetch_schedule):
+
+    slot k  = rows k*C .. k*C+C-1 of the host in BFS order
+    t(k)    = k × effective_interval(host)
+
+``virtual=True`` (sandbox/tests/bench) never sleeps — the output just
+records when each fetch *would* be issued, so tests are deterministic and
+makespan math is exact. ``virtual=False`` sleeps each slot into place and
+calls ``fetch_fn(url) -> (status, body)`` for real I/O — the only mode
+difference is the clock; ordering and grouping are identical.
+
+Skew note: a host's schedule is inherently serial (the rate budget IS the
+floor, SURVEY §4), so one pathological host bounds tier makespan no matter
+how many executors exist; the salted sort (politeness.salted_priority_sort)
+spreads the *shuffle*, never the budget.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..config import CrawlConfig
+from .politeness import assign_fetch_schedule
+
+FETCH_RESULT_FIELDS = [
+    T.StructField("url_norm", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("slot", T.LongType()),
+    T.StructField("virtual_start", T.DoubleType()),
+    T.StructField("issue_order", T.IntegerType()),
+    T.StructField("status", T.StringType()),
+]
+
+
+def paced_fetch(
+    frontier: DataFrame,
+    cfg: CrawlConfig,
+    robots: DataFrame | None = None,
+    fetch_fn: Callable[[str], str] | None = None,
+    virtual: bool = True,
+) -> DataFrame:
+    """Issue one tier's fetches host-by-host under the politeness budget.
+
+    Returns (url_norm, host, slot, virtual_start, issue_order, status):
+    ``issue_order`` is the 0-based position the URL was issued at within its
+    host — always slot-major BFS order, in both clock modes.
+    """
+    scheduled = assign_fetch_schedule(frontier, cfg, robots)
+    out_schema = T.StructType(FETCH_RESULT_FIELDS)
+
+    def run_host(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["slot", "discovery_seq"], kind="mergesort")
+        t0 = time.monotonic() if not virtual else 0.0
+        rows = []
+        for order, r in enumerate(pdf.itertuples(index=False)):
+            if not virtual:
+                delay = r.virtual_start - (time.monotonic() - t0)
+                if delay > 0:
+                    time.sleep(delay)
+            status = fetch_fn(r.url_norm) if fetch_fn else "Unknown"
+            rows.append(
+                (r.url_norm, r.host, int(r.slot), float(r.virtual_start),
+                 order, status)
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in FETCH_RESULT_FIELDS])
+
+    return scheduled.groupBy("host").applyInPandas(run_host, out_schema)

@@ -59,3 +59,23 @@ def test_url_finder_rules_count():
     r = url_finder_rules()
     assert len(r) == 8
     assert set(r) == {f"urlFinder_{i}" for i in range(8)}
+
+
+def test_engine_factory(regex_dict_loaded=None):
+    """P6 factory (handler.py:165-194): explicit 're' works; 'hyperscan'
+    raises here (wheel absent); 'auto' falls back to re."""
+    import pytest as _pytest
+
+    from secretscraper_spark.config import loaded_rules
+    from secretscraper_spark.functions.purekit import (
+        RegexExtractor,
+        get_extractor,
+    )
+
+    rules = loaded_rules()
+    assert isinstance(get_extractor(rules, engine="re"), RegexExtractor)
+    assert isinstance(get_extractor(rules, engine="auto"), RegexExtractor)
+    with _pytest.raises(ImportError):
+        get_extractor(rules, engine="hyperscan")
+    with _pytest.raises(ValueError):
+        get_extractor(rules, engine="nope")

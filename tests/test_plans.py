@@ -165,3 +165,49 @@ class TestCheckpointResume:
             manifest = json.load(f)
         assert "lineage" in manifest and "seen" in manifest["lineage"]
         assert sum(p["rows"] for p in manifest["lineage"]["seen"]) > 0
+
+
+class TestPacedFetch:
+    def _frontier(self, spark, n=23, hosts=3):
+        rows = [
+            (f"http://h{i % hosts}.test/p/{i}", f"h{i % hosts}.test", f"/p/{i}", i)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "url_norm string, netloc string, path string, discovery_seq long"
+        )
+
+    def test_issue_order_and_slots(self, spark):
+        from secretscraper_spark.config import CrawlConfig
+        from secretscraper_spark.plans.fetch_exec import paced_fetch
+
+        cfg = CrawlConfig(max_concurrent_per_domain=5, min_request_interval=0.2)
+        out = paced_fetch(self._frontier(spark), cfg).collect()
+        assert len(out) == 23
+        by_host: dict[str, list] = {}
+        for r in sorted(out, key=lambda r: (r.host, r.issue_order)):
+            by_host.setdefault(r.host, []).append(r)
+        for host, rows in by_host.items():
+            # issue order == BFS (discovery_seq) order within the host
+            seqs = [int(r.url_norm.rsplit("/", 1)[1]) for r in rows]
+            assert seqs == sorted(seqs)
+            for k, r in enumerate(rows):
+                assert r.slot == k // 5
+                assert abs(r.virtual_start - (k // 5) * 0.2) < 1e-9
+            # concurrency cap: at most 5 URLs share a slot
+            from collections import Counter
+            assert max(Counter(r.slot for r in rows).values()) <= 5
+
+    def test_fetch_fn_applied(self, spark):
+        from secretscraper_spark.config import CrawlConfig
+        from secretscraper_spark.plans.fetch_exec import paced_fetch
+
+        cfg = CrawlConfig()
+        out = paced_fetch(
+            self._frontier(spark, n=6),
+            cfg,
+            fetch_fn=lambda u: "200" if u.endswith("/p/0") else "404",
+        ).collect()
+        got = {r.url_norm: r.status for r in out}
+        assert got["http://h0.test/p/0"] == "200"
+        assert all(v == "404" for k, v in got.items() if not k.endswith("/p/0"))
