@@ -39,6 +39,8 @@ def main() -> None:
                     help="read the pages table instead of generating it")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--use-bloom", action="store_true",
+                    help="partitioned-bloom URL-seen prefilter (scale path)")
     args = ap.parse_args()
 
     # spark-submit owns the session config (master, task.cpus, memory);
@@ -70,7 +72,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     res = SparkCrawler(
-        spark, pages, cfg, checkpoint_dir=args.checkpoint_dir
+        spark, pages, cfg, checkpoint_dir=args.checkpoint_dir,
+        use_bloom=args.use_bloom,
     ).run(seeds)
     n_seen = res.seen.count()
     n_secrets = res.secrets.count()
