@@ -41,6 +41,10 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--use-bloom", action="store_true",
                     help="partitioned-bloom URL-seen prefilter (scale path)")
+    ap.add_argument("--white-list", action="append", default=[],
+                    help="domain glob whitelist (reference -d/--domain)")
+    ap.add_argument("--black-list", action="append", default=[],
+                    help="domain glob blacklist (reference -D/--danger-domain)")
     args = ap.parse_args()
 
     # spark-submit owns the session config (master, task.cpus, memory);
@@ -68,7 +72,10 @@ def main() -> None:
         pages.count()  # materialize outside the timed window
 
     seeds = [url_for(i, args.n_hosts) for i in range(0, args.n_pages, args.seed_stride)]
-    cfg = CrawlConfig(max_depth=args.max_depth, max_page_num=args.max_pages)
+    cfg = CrawlConfig(
+        max_depth=args.max_depth, max_page_num=args.max_pages,
+        white_list=args.white_list, black_list=args.black_list,
+    )
 
     t0 = time.perf_counter()
     res = SparkCrawler(
