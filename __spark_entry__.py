@@ -329,10 +329,14 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_token_count(spark, sf_dir):
-    """Token counting over documents (whitespace tokens)."""
+    """Token counting over documents: whitespace tokens + BPE-ish regex
+    token estimate (letters/digits/symbol runs)."""
+    from secretscraper_spark.operators.textstats import bpe_token_count
+
     docs = _t_cpu(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"),
+                    bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
                     F.length("text").alias("n_chars_calc"))
         .orderBy("doc_id")
     )
@@ -730,8 +734,9 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(n_docs), 0) AS n_dup_docs
             FROM g
         """,
-        "q_token_count": """
+        "q_token_count": r"""
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
                    length(text) AS n_chars_calc
             FROM documents ORDER BY doc_id
         """,

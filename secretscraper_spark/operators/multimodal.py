@@ -93,6 +93,44 @@ def verify_pixels(pages: DataFrame, seed_base: int, min_psnr_db: float = 40.0) -
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def resize_images(pages: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (same fmt), with the
+    phash recomputed on the resized pixels. Pure numpy (index-gather) inside
+    Arrow batches — the standard thumbnail/normalize stage of a multimodal
+    training pipeline; swap the kernel for PIL/opencv where available."""
+    from .imagecodec import encode_image
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_image(bytes(r.bytes), r.fmt)
+                h, w, _ = px.shape
+                yi = (np.arange(out_h) * h // out_h).astype(np.intp)
+                xi = (np.arange(out_w) * w // out_w).astype(np.intp)
+                small = px[yi[:, None], xi[None, :], :]
+                rows.append(
+                    (r.image_id, encode_image(small, r.fmt), out_w, out_h,
+                     r.fmt, phash64(small))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return pages.select("image_id", "bytes", "fmt").mapInPandas(compute, RESIZED_SCHEMA)
+
+
 def frame_sample_stub(video_bytes: bytes, every_n: int = 30):
     """Video frame sampling is NOT implementable in this container (no
     decoder libraries). The Spark plumbing pattern is image_features();

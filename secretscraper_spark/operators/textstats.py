@@ -25,6 +25,18 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(text, " "))
 
 
+# BPE-ish pre-tokenizer classes (letters / digits / other-symbol runs) —
+# the GPT-2-style split shape, restricted to a dialect-portable pattern so
+# the DuckDB oracle (RE2) and Spark (Java regex) agree byte-for-byte
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate subword-token count via the BPE-ish class pattern —
+    the standard cheap LLM-token estimator for corpus sizing."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 

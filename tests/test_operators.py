@@ -223,3 +223,59 @@ def test_ivf_assign_is_nearest(spark):
         d0 = float(((vecs[i] - 1.0) ** 2).sum())
         d1 = float(((vecs[i] + 1.0) ** 2).sum())
         assert got[i] == (0 if d0 <= d1 else 1)
+
+
+def test_resize_images(spark):
+    from secretscraper_spark.operators.imagecodec import decode_image, pixels_for
+    from secretscraper_spark.sources.sitegen import SEED, generate_pages_pandas
+
+    pages = spark.createDataFrame(generate_pages_pandas(8, 4, include_images=True))
+    out = {r.image_id: r for r in multimodal.resize_images(pages, 16, 16).collect()}
+    assert len(out) == 8
+    for i in range(8):
+        r = out[f"img_{i:08d}"]
+        assert (r.w, r.h) == (16, 16)
+        px = decode_image(bytes(r.bytes), r.fmt)
+        assert px.shape == (16, 16, 3)
+        # nearest-neighbor invariant: every resized pixel exists in the source
+        src = pixels_for(SEED + i, *_wh(i))
+        if r.fmt == "png":  # lossless round-trip: compare exact gather
+            yi = (np.arange(16) * src.shape[0] // 16)
+            xi = (np.arange(16) * src.shape[1] // 16)
+            assert (px == src[yi[:, None], xi[None, :], :]).all()
+
+
+def _wh(i):
+    sizes = [32, 64, 128]
+    return sizes[i % 3], sizes[(i // 3) % 3]
+
+
+def test_bpe_token_count(spark):
+    from secretscraper_spark.operators.textstats import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(0, "hello world42, don't!"), (1, ""), (2, "a-b c")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n for r in df.select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    # hello|world|42|,|don|'|t|! = 8 ; "" = 0 ; a|-|b|c = 4
+    assert got == {0: 8, 1: 0, 2: 4}
+
+
+def test_pages_io_roundtrip(spark, tmp_path):
+    from secretscraper_spark.sources.pages_io import read_pages, write_pages
+    from secretscraper_spark.sources.sitegen import generate_pages_pandas
+
+    pdf = generate_pages_pandas(12, 4, include_images=True)
+    pages = spark.createDataFrame(pdf)
+    for fmt in ("parquet", "json", "csv"):
+        p = str(tmp_path / f"pages_{fmt}")
+        write_pages(pages, p, fmt)
+        back = read_pages(spark, p, fmt)
+        assert back.schema == pages.schema or [f.name for f in back.schema.fields] == [
+            f.name for f in pages.schema.fields
+        ]
+        a = {r.image_id: (bytes(r.bytes), r.caption, r.phash) for r in back.collect()}
+        b = {r.image_id: (bytes(r.bytes), r.caption, r.phash) for r in pages.collect()}
+        assert a == b, fmt
