@@ -88,3 +88,25 @@ def fingerprint(text: Column) -> Column:
     (portable to the DuckDB oracle; a rolling/simhash variant lives in
     operators/dedup.py)."""
     return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+
+
+def winnowing_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer et al., SIGMOD'03): hash every
+    character k-gram, keep the minimum of each sliding window of w hashes,
+    distinct. Entirely JVM-side — substring k-grams + xxhash64 stand in for
+    the Rabin-Karp rolling hash (identical output semantics: one hash per
+    gram position), sequence/transform/slice/array_min do the windowing.
+    Guarantees any shared substring of length ≥ k+w-1 yields a shared
+    fingerprint — the rolling-hash doc-fingerprinting scheme for plagiarism
+    / near-dup detection at corpus scale."""
+    t = F.lower(F.regexp_replace(text, r"\s+", " "))
+    n = F.length(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.substring(t, i, k)),
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(grams) - w, F.lit(0))),
+        lambda j: F.array_min(F.slice(grams, j + 1, w)),
+    )
+    return F.array_distinct(windows)

@@ -49,9 +49,15 @@ def _accept(norm6: tuple, cfg: CrawlConfig) -> bool:
     return True
 
 
-def simulate(site: dict[str, dict], seeds: list[str], cfg: CrawlConfig) -> SimResult:
+def simulate(
+    site: dict[str, dict], seeds: list[str], cfg: CrawlConfig,
+    robots: dict[str, list[str]] | None = None,
+) -> SimResult:
     """site: url_norm → row dict with caption/status/content_type/
-    content_length keys (the synthetic web). Fetch = dict lookup."""
+    content_length keys (the synthetic web). Fetch = dict lookup.
+    robots: host → disallowed path prefixes (C5 north-rule gate; blocked
+    URLs are dequeued but never fetched nor counted — same exclusion as
+    evade, mirroring plans/crawler.py robots-then-evade order)."""
     r = SimResult()
     extractor = pk.LinkExtractor(url_finder_rules())
     secrets_rules = pk.RegexExtractor(loaded_rules(), use_groups=True)
@@ -77,6 +83,10 @@ def simulate(site: dict[str, dict], seeds: list[str], cfg: CrawlConfig) -> SimRe
         norm, t6, depth = queue.popleft()
         if cfg.max_depth > 0 and depth > cfg.max_depth:
             continue  # dequeue gate F9 (crawler.py:204)
+        if robots:
+            host, _ = pk.to_host_port(t6[1])
+            if any(t6[2].startswith(p) for p in robots.get(host, ())):
+                continue  # robots-blocked: not fetched, not counted (C5)
         if evade(t6[2]):
             continue  # evaded: not counted, not fetched (crawler.py:272-274)
         r.total_page += 1  # counted even if fetch fails (crawler.py:276-277)

@@ -122,3 +122,27 @@ def test_shared_child_enqueued_once(site):
     for c in multi:
         if c in sim.seen:
             assert isinstance(sim.seen[c], tuple)
+
+
+def test_robots_gated_crawl_parity(spark, site_pdf, site):
+    """C5 robots gating e2e: Spark crawl with a robots dim table matches the
+    simulator with the same host→prefix map — blocked URLs are dequeued but
+    never fetched nor counted, like evade."""
+    cfg = CrawlConfig(max_depth=2, max_page_num=0)
+    robots_map = {"site0.test": ["/p/1"], "site1.test": ["/"]}
+    sim = simulate(site, seeds_for(N_HOSTS), cfg, robots=robots_map)
+    sim_plain = simulate(site, seeds_for(N_HOSTS), cfg)
+    assert sim.total_page < sim_plain.total_page  # the gate actually bites
+
+    robots_df = spark.createDataFrame(
+        [(h, p, 0.2) for h, ps in robots_map.items() for p in ps],
+        "host string, disallow_prefix string, crawl_delay double",
+    )
+    pages = spark.createDataFrame(site_pdf.drop(columns=["bytes"]))
+    res = SparkCrawler(spark, pages, cfg, robots=robots_df).run(seeds_for(N_HOSTS))
+    assert_parity(sim, res)
+    for r in res.nodes.collect():
+        host = r.netloc.split(":")[0]
+        assert not any(
+            r.path.startswith(p) for p in robots_map.get(host, ())
+        ), f"robots-blocked url fetched: {r.url_norm}"

@@ -279,3 +279,44 @@ def test_pages_io_roundtrip(spark, tmp_path):
         a = {r.image_id: (bytes(r.bytes), r.caption, r.phash) for r in back.collect()}
         b = {r.image_id: (bytes(r.bytes), r.caption, r.phash) for r in pages.collect()}
         assert a == b, fmt
+
+
+def test_winnowing_fingerprints(spark):
+    """Winnowing guarantees: shared substrings >= k+w-1 chars produce a
+    shared fingerprint; verified against a pure-python reference."""
+    from secretscraper_spark.operators.textstats import winnowing_fingerprints
+
+    def py_winnow(text, k=8, w=4):
+        import re as _re
+        t = _re.sub(r"\s+", " ", text).lower()
+        if len(t) < k:
+            grams = [t]
+        else:
+            grams = [t[i:i + k] for i in range(len(t) - k + 1)]
+        # xxhash64 unavailable in pure python — compare via Spark's own
+        # hashes by round-tripping gram hashing through a tiny df
+        gdf = spark.createDataFrame([(g,) for g in grams], "g string")
+        hs = [r.h for r in gdf.select(F.xxhash64("g").alias("h")).collect()]
+        wins = [min(hs[j:j + w]) for j in range(max(len(hs) - w, 0) + 1)]
+        out, seen = [], set()
+        for v in wins:
+            if v not in seen:
+                seen.add(v)
+                out.append(v)
+        return out
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a completely different sentence with other words entirely"),
+        (2, "prefix prefix the quick brown fox jumps over the lazy dog"),
+        (3, "tiny"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: list(r.fp) for r in df.select(
+        "doc_id", winnowing_fingerprints(F.col("text")).alias("fp")).collect()}
+    for i, t in texts:
+        assert got[i] == py_winnow(t), i
+    # docs 0 and 2 share a long substring -> overlapping fingerprints
+    assert set(got[0]) & set(got[2])
+    # unrelated docs share nothing
+    assert not (set(got[0]) & set(got[1]))
