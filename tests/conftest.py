@@ -9,6 +9,8 @@ rejects and dangerous paths.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from secretscraper_spark.session import get_spark
@@ -16,7 +18,12 @@ from secretscraper_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    # SPARK_GRAFT_TEST_MASTER lets submit/run_tests.sh re-run the whole
+    # suite under spark-submit at two parallelism levels (the BASELINE.json
+    # correctness-gate launch shape); plain pytest uses local[4]
+    master = os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[4]")
+    shuffle = int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "4"))
+    s = get_spark("tests", master=master, shuffle_partitions=shuffle)
     yield s
     s.stop()
 
