@@ -104,13 +104,26 @@ class SparkCrawler:
         use_bloom: bool = False,
         checkpoint_dir: str | None = None,
         schedule_politeness: bool = True,
+        fetch_mode: str = "join",
+        page_fetch_fn=None,
     ):
+        """fetch_mode='join' (default): fetch = hash join vs the pages
+        store — the pure, deterministic sandbox scan (SURVEY S2).
+        fetch_mode='paced': fetch runs through the per-host paced executor
+        (plans/fetch_exec.py, applyInPandas) calling ``page_fetch_fn(url)``
+        per URL under the politeness schedule — the real-network vehicle.
+        When page_fetch_fn is None in paced mode, a broadcast lookup of the
+        pages store stands in (test scale only; live deployments pass an
+        HTTP fetcher)."""
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.robots = robots
         self.use_bloom = use_bloom
         self.checkpoint_dir = checkpoint_dir
         self.schedule_politeness = schedule_politeness
+        assert fetch_mode in ("join", "paced")
+        self.fetch_mode = fetch_mode
+        self._page_fetch_fn = page_fetch_fn
         # pre-project the fetch side once; url_hash join key for cheap shuffle
         self.pages = (
             pages.select(
@@ -120,6 +133,16 @@ class SparkCrawler:
         )
         self._secrets_udf = make_secrets_udf(loaded_rules())
         self._links_udf = make_links_udf(url_finder_rules())
+        if self.fetch_mode == "paced" and self._page_fetch_fn is None:
+            site = {
+                r["url_norm"]: {
+                    "status": r["status"], "content_type": r["content_type"],
+                    "content_length": r["content_length"], "caption": r["caption"],
+                }
+                for r in self.pages.collect()
+            }
+            b = spark.sparkContext.broadcast(site)
+            self._page_fetch_fn = lambda u: b.value.get(u)
 
     # -- public API -----------------------------------------------------------
 
@@ -241,16 +264,33 @@ class SparkCrawler:
             makespan = tier_makespan(scheduled, cfg)
         mark("politeness")
 
-        # S2 fetch = hash join against the pages store. The frontier tier is
-        # broadcast while it fits (deterministic plan, no pages shuffle);
-        # a 10^8-row tier at real scale exceeds any broadcast budget and
-        # takes the shuffle-hash path instead (AQE picks it).
-        keyed = to_process.withColumn("url_hash", F.xxhash64("url_norm"))
-        if n_processed <= cfg.broadcast_frontier_rows:
-            keyed = F.broadcast(keyed)
-        fetched = keyed.join(
-            self.pages, ["url_hash", "url_norm"], "inner"
-        ).localCheckpoint()
+        # S2 fetch.
+        if self.fetch_mode == "paced":
+            # real-network vehicle: per-host paced applyInPandas executor
+            # calling page_fetch_fn under the politeness schedule
+            from .fetch_exec import paced_fetch_pages
+
+            paced = paced_fetch_pages(
+                to_process, cfg, self._page_fetch_fn, self.robots
+            )
+            fetched = (
+                paced.filter(F.col("fetched"))
+                .select("url_norm", "status", "content_type",
+                        "content_length", "caption")
+                .join(to_process, "url_norm")
+                .localCheckpoint()
+            )
+        else:
+            # sandbox scan: hash join vs the pages store. The frontier tier
+            # is broadcast while it fits (deterministic plan, no pages
+            # shuffle); a 10^8-row tier at real scale exceeds any broadcast
+            # budget and takes the shuffle-hash path instead (AQE picks it).
+            keyed = to_process.withColumn("url_hash", F.xxhash64("url_norm"))
+            if n_processed <= cfg.broadcast_frontier_rows:
+                keyed = F.broadcast(keyed)
+            fetched = keyed.join(
+                self.pages, ["url_hash", "url_norm"], "inner"
+            ).localCheckpoint()
         mark("fetch_join")
 
         # P10 metadata projection + P7 title

@@ -43,6 +43,15 @@ FETCH_RESULT_FIELDS = [
     T.StructField("status", T.StringType()),
 ]
 
+# full-page variant: the fetch function returns the page body too (HTTP GET
+# in a live deployment; a store lookup in the sandbox)
+PAGE_FETCH_FIELDS = FETCH_RESULT_FIELDS + [
+    T.StructField("content_type", T.StringType()),
+    T.StructField("content_length", T.LongType()),
+    T.StructField("caption", T.StringType()),
+    T.StructField("fetched", T.BooleanType()),
+]
+
 
 def paced_fetch(
     frontier: DataFrame,
@@ -75,5 +84,46 @@ def paced_fetch(
                  order, status)
             )
         return pd.DataFrame(rows, columns=[f.name for f in FETCH_RESULT_FIELDS])
+
+    return scheduled.groupBy("host").applyInPandas(run_host, out_schema)
+
+
+def paced_fetch_pages(
+    frontier: DataFrame,
+    cfg: CrawlConfig,
+    page_fetch_fn: Callable[[str], dict | None],
+    robots: DataFrame | None = None,
+    virtual: bool = True,
+) -> DataFrame:
+    """Like paced_fetch, but the fetch function returns the page itself:
+    ``page_fetch_fn(url) -> {status, content_type, content_length, caption}
+    | None`` (None = fetch failure → fetched=False, status stays Unknown,
+    reference crawler.py:277 semantics). This is the real-network fetch
+    vehicle — HTTP GET per URL, paced per host; the sandbox backs it with
+    a page-store lookup (SparkCrawler fetch_mode='paced')."""
+    scheduled = assign_fetch_schedule(frontier, cfg, robots)
+    out_schema = T.StructType(PAGE_FETCH_FIELDS)
+
+    def run_host(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["slot", "discovery_seq"], kind="mergesort")
+        t0 = time.monotonic() if not virtual else 0.0
+        rows = []
+        for order, r in enumerate(pdf.itertuples(index=False)):
+            if not virtual:
+                delay = r.virtual_start - (time.monotonic() - t0)
+                if delay > 0:
+                    time.sleep(delay)
+            page = page_fetch_fn(r.url_norm)
+            if page is None:
+                rows.append((r.url_norm, r.host, int(r.slot),
+                             float(r.virtual_start), order, "Unknown",
+                             None, None, None, False))
+            else:
+                rows.append((r.url_norm, r.host, int(r.slot),
+                             float(r.virtual_start), order,
+                             str(page["status"]), page["content_type"],
+                             int(page["content_length"]), page["caption"],
+                             True))
+        return pd.DataFrame(rows, columns=[f.name for f in PAGE_FETCH_FIELDS])
 
     return scheduled.groupBy("host").applyInPandas(run_host, out_schema)

@@ -146,3 +146,14 @@ def test_robots_gated_crawl_parity(spark, site_pdf, site):
         assert not any(
             r.path.startswith(p) for p in robots_map.get(host, ())
         ), f"robots-blocked url fetched: {r.url_norm}"
+
+
+def test_paced_fetch_mode_matches_join_mode(spark, site_pdf, site):
+    """fetch_mode='paced' (per-host paced applyInPandas executor + page
+    fetch function) must produce exactly the same crawl as the sandbox
+    join fetch — and both match the reference simulator."""
+    cfg = CrawlConfig(max_depth=2, max_page_num=0)
+    sim = simulate(site, seeds_for(N_HOSTS), cfg)
+    pages = spark.createDataFrame(site_pdf.drop(columns=["bytes"]))
+    res = SparkCrawler(spark, pages, cfg, fetch_mode="paced").run(seeds_for(N_HOSTS))
+    assert_parity(sim, res)
