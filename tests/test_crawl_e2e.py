@@ -157,3 +157,23 @@ def test_paced_fetch_mode_matches_join_mode(spark, site_pdf, site):
     pages = spark.createDataFrame(site_pdf.drop(columns=["bytes"]))
     res = SparkCrawler(spark, pages, cfg, fetch_mode="paced").run(seeds_for(N_HOSTS))
     assert_parity(sim, res)
+
+
+def test_empty_and_fully_filtered_seeds(spark, site_pdf, site):
+    """Degenerate inputs terminate cleanly with empty results."""
+    pages = spark.createDataFrame(site_pdf.drop(columns=["bytes"]))
+    cfg = CrawlConfig(max_depth=2, max_page_num=0)
+    res = SparkCrawler(spark, pages, cfg).run([])
+    assert res.total_page == 0 and res.seen.count() == 0
+
+    cfg2 = CrawlConfig(max_depth=2, max_page_num=0, white_list=["nomatch.example"])
+    res2 = SparkCrawler(spark, pages, cfg2).run(seeds_for(N_HOSTS))
+    assert res2.total_page == 0 and res2.seen.count() == 0
+
+
+def test_budget_one(spark, site_pdf, site):
+    """max_page_num=1 processes exactly the first seed in BFS order."""
+    cfg = CrawlConfig(max_depth=0, max_page_num=1)
+    sim, res = run_both(spark, site_pdf, site, cfg)
+    assert sim.total_page == 1 == res.total_page
+    assert_parity(sim, res)
