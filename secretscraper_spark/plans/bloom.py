@@ -112,3 +112,87 @@ def bloom_anti_join(
         .join(seen.select(key_col), key_col, "left_anti")
     )
     return negatives.unionByName(positives)
+
+
+# --- bucketed (truly partitioned) variant — the 10^10 form -------------------
+#
+# One broadcast bitmap stops working when the seen set outgrows driver
+# memory (10^10 URLs at 1% fpp ≈ 12 GB of bitmap). The north-rule form
+# shards the filter by key hash: bucket b owns bitmap_b covering only the
+# keys with pmod(xxhash64(key), B) == b. Build and probe are both
+# hash-partitioned on the bucket — no single machine ever holds more than
+# one shard, and the probe shuffle is the same partitioning the exact
+# anti-join needs anyway.
+
+def build_bucketed_bloom(
+    seen: DataFrame, key_col: str = "url_norm", n_buckets: int = 64,
+    capacity_per_bucket: int = 1 << 16, fpp: float = 0.01,
+) -> DataFrame:
+    """(bucket, bitmap) table: one bloom shard per key-hash bucket."""
+    bits = _num_bits(capacity_per_bucket, fpp)
+    k = _num_hashes(bits, capacity_per_bucket)
+    hashed = seen.select(
+        F.xxhash64(key_col).alias("h"),
+        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).alias("bucket"),
+    )
+
+    def to_bitmap(pdf: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(bits // 8, dtype=np.uint8)
+        hs = pdf["h"].to_numpy(dtype=np.int64)
+        for pos in _positions(hs, k, bits):
+            np.bitwise_or.at(bm, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "bitmap": [bm.tobytes()],
+             "bits": [bits], "k": [k]}
+        )
+
+    return hashed.groupBy("bucket").applyInPandas(
+        to_bitmap, "bucket int, bitmap binary, bits int, k int"
+    )
+
+
+def bucketed_bloom_anti_join(
+    candidates: DataFrame, seen: DataFrame, blooms: DataFrame,
+    key_col: str = "url_norm", n_buckets: int = 64,
+) -> DataFrame:
+    """Exact `candidates ∖ seen` via the sharded filter: candidates are
+    hash-partitioned by bucket, probed against their own shard inside
+    applyInPandas (the bitmap is group-constant, held once per task), and
+    only shard-positive rows pay the exact anti-join."""
+    cand = candidates.withColumn(
+        "__bucket", F.pmod(F.xxhash64(key_col), F.lit(n_buckets))
+    )
+    joined = cand.join(
+        blooms.withColumnRenamed("bucket", "__bucket"), "__bucket", "left"
+    )
+    from pyspark.sql import types as T
+
+    def probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        body = pdf.drop(columns=["bitmap", "bits", "k"])
+        if pdf["bitmap"].iloc[0] is None:  # no shard ⇒ bucket never seen
+            body["bloom_positive"] = False
+            return body
+        bm = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8)
+        bits, k = int(pdf["bits"].iloc[0]), int(pdf["k"].iloc[0])
+        vals = pdf["__h"].to_numpy(dtype=np.int64)
+        hit = np.ones(len(vals), dtype=bool)
+        for pos in _positions(vals, k, bits):
+            hit &= (bm[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+        body["bloom_positive"] = hit
+        return body
+
+    with_h = joined.withColumn("__h", F.xxhash64(key_col))
+    probe_schema = T.StructType(
+        [f for f in with_h.schema.fields if f.name not in ("bitmap", "bits", "k")]
+        + [T.StructField("bloom_positive", T.BooleanType())]
+    )
+    tagged = with_h.groupBy("__bucket").applyInPandas(probe, probe_schema)
+    tagged = tagged.drop("__h", "__bucket")
+
+    negatives = tagged.filter(~F.col("bloom_positive")).drop("bloom_positive")
+    positives = (
+        tagged.filter(F.col("bloom_positive"))
+        .drop("bloom_positive")
+        .join(seen.select(key_col), key_col, "left_anti")
+    )
+    return negatives.unionByName(positives)

@@ -211,3 +211,37 @@ class TestPacedFetch:
         got = {r.url_norm: r.status for r in out}
         assert got["http://h0.test/p/0"] == "200"
         assert all(v == "404" for k, v in got.items() if not k.endswith("/p/0"))
+
+
+class TestBucketedBloom:
+    def _dfs(self, spark):
+        seen = spark.createDataFrame(
+            [(f"http://h{i % 5}.test/p/{i}",) for i in range(0, 400, 2)],
+            "url_norm string",
+        )
+        cands = spark.createDataFrame(
+            [(f"http://h{i % 5}.test/p/{i}",) for i in range(400)],
+            "url_norm string",
+        )
+        return seen, cands
+
+    def test_exactness(self, spark):
+        from secretscraper_spark.plans import bloom as bl
+
+        seen, cands = self._dfs(spark)
+        blooms = bl.build_bucketed_bloom(seen, n_buckets=8)
+        assert blooms.count() <= 8
+        got = {r.url_norm for r in
+               bl.bucketed_bloom_anti_join(cands, seen, blooms, n_buckets=8).collect()}
+        expected = {r.url_norm for r in cands.join(seen, "url_norm", "left_anti").collect()}
+        assert got == expected  # sharded filter never changes the answer
+        assert len(got) == 200  # the odd-numbered half
+
+    def test_empty_seen(self, spark):
+        from secretscraper_spark.plans import bloom as bl
+
+        seen = spark.createDataFrame([], "url_norm string")
+        cands = spark.createDataFrame([("http://a.test/x",)], "url_norm string")
+        blooms = bl.build_bucketed_bloom(seen, n_buckets=8)
+        out = bl.bucketed_bloom_anti_join(cands, seen, blooms, n_buckets=8).collect()
+        assert len(out) == 1  # missing shard ⇒ definitely unseen
