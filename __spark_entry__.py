@@ -494,6 +494,45 @@ def q_image_verify(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (Schleimer et al.) per document —
+    pure Catalyst exprs (non-SQL-expressible oracle-side: DuckDB lacks
+    xxhash64; exact verification vs a python reference in
+    tests/test_operators.py::test_winnowing_fingerprints)."""
+    from secretscraper_spark.operators.textstats import winnowing_fingerprints
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    fp = winnowing_fingerprints(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(fp).alias("n_fingerprints"),
+            F.size(F.array_distinct(fp)).alias("n_distinct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_image_resize(spark, sf_dir):
+    """Multimodal resize stage: deterministic image slice → 16×16
+    nearest-neighbor thumbnails, re-encoded; aggregated by format
+    (rows-only; exact pixel-gather check in tests/test_operators.py)."""
+    from secretscraper_spark.operators.multimodal import resize_images
+    from secretscraper_spark.sources.sitegen import generate_pages_spark
+
+    pages = generate_pages_spark(spark, 48, n_hosts=4, include_images=True, partitions=8)
+    out = resize_images(pages, 16, 16)
+    return (
+        out.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("phash").alias("n_distinct_phash"),
+            F.min(F.length("bytes")).alias("min_bytes"),
+        )
+        .orderBy("fmt")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -526,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_global_seq": q_global_seq,
         "q_robots_gate": q_robots_gate,
         "q_image_verify": q_image_verify,
+        "q_winnow_fingerprint": q_winnow_fingerprint,
+        "q_image_resize": q_image_resize,
     }
 
 
