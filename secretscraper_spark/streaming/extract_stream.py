@@ -70,6 +70,45 @@ def stream_seen_dedup(
     )
 
 
+def host_running_counts(pages: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-host running
+    crawl totals — pages fetched and bytes of caption — maintained across
+    micro-batches. This is the streaming form of the D10 per-host metrics
+    the batch crawler records per tier; state is one row per host.
+    Emits the updated total for a host whenever one of its pages arrives
+    (output mode 'update')."""
+    from collections.abc import Iterable
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("host", T.StringType()),
+        T.StructField("n_pages", T.LongType()),
+        T.StructField("caption_bytes", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_pages", T.LongType()),
+        T.StructField("caption_bytes", T.LongType()),
+    ])
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        n, b = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            b += int(pdf["caption"].fillna("").str.len().sum())
+        state.update((n, b))
+        yield pd.DataFrame({"host": [key[0]], "n_pages": [n], "caption_bytes": [b]})
+
+    with_host = pages.withColumn(
+        "host", F.regexp_extract("url_norm", "//([^/:]+)", 1)
+    )
+    return with_host.groupBy("host").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_secret_counts(
     secrets: DataFrame, window: str = "10 minutes",
     watermark: str = "30 minutes", ts_col: str = "event_time",

@@ -85,3 +85,33 @@ def test_windowed_counts(spark, pages_dir):
     assert rows, "windowed aggregation produced no closed windows"
     assert all(r.n_matches >= 1 for r in rows)
     assert all(r.window_end > r.window_start for r in rows)
+
+
+def test_host_running_counts_stateful(spark, pages_dir):
+    """applyInPandasWithState: per-host running totals survive across
+    micro-batches and match the batch groupBy on the same data."""
+    from secretscraper_spark.streaming.extract_stream import host_running_counts
+
+    st = with_event_time(
+        stream_pages(spark, pages_dir, max_files_per_trigger=1)
+    )
+    run_to_memory(host_running_counts(st), "s_hosts", output_mode="update")
+    # update mode appends a row per (host, batch); the LAST row per host is
+    # the final running total
+    rows = spark.sql("SELECT * FROM s_hosts").collect()
+    final = {}
+    for r in rows:  # totals are monotone → the max row is the final state
+        if r.host not in final or r.n_pages > final[r.host][0]:
+            final[r.host] = (r.n_pages, r.caption_bytes)
+
+    batch = spark.read.parquet(pages_dir)
+    expected = {
+        r.host: (r.n, r.b)
+        for r in batch.selectExpr(
+            "regexp_extract(url_norm, '//([^/:]+)', 1) AS host", "caption"
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("n"), F.sum(F.length("caption")).alias("b"))
+        .collect()
+    }
+    assert final == expected and expected
