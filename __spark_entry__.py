@@ -494,6 +494,29 @@ def q_image_verify(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + filtered groupBy top-10 — the
+    join-reorder/broadcast path the report sinks compose from (K2-K6 use
+    the same primitives over crawl tables)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .orderBy(F.desc("revenue"), "orderdate", "orderkey")
+        .limit(10)
+    )
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (Schleimer et al.) per document —
     pure Catalyst exprs (non-SQL-expressible oracle-side: DuckDB lacks
@@ -567,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_verify": q_image_verify,
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_image_resize": q_image_resize,
+        "q_shipping_priority": q_shipping_priority,
     }
 
 
@@ -793,6 +817,21 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 3) AS cosine_r3
             FROM embeddings e, q
             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+            LIMIT 10
+        """,
+        "q_shipping_priority": """
+            SELECT o_orderkey AS orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(o_orderdate AS VARCHAR) AS orderdate,
+                   o_orderpriority AS orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, orderdate, orderkey
             LIMIT 10
         """,
         "q_ngram_jaccard": r"""
