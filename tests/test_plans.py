@@ -245,3 +245,45 @@ class TestBucketedBloom:
         blooms = bl.build_bucketed_bloom(seen, n_buckets=8)
         out = bl.bucketed_bloom_anti_join(cands, seen, blooms, n_buckets=8).collect()
         assert len(out) == 1  # missing shard ⇒ definitely unseen
+
+
+class TestCuckoo:
+    def test_shard_membership_and_delete(self):
+        import numpy as np
+
+        from secretscraper_spark.plans.cuckoo import CuckooShard
+
+        shard = CuckooShard(capacity=4096)
+        rng = np.random.default_rng(7)
+        keys = rng.integers(-(2**62), 2**62, size=2000, dtype=np.int64)
+        assert shard.insert_hashes(keys) == 0  # all fit at 95% target load
+        assert shard.contains_hashes(keys).all()  # no false negatives
+
+        other = rng.integers(-(2**62), 2**62, size=2000, dtype=np.int64)
+        fresh = other[~np.isin(other, keys)]
+        fp_rate = shard.contains_hashes(fresh).mean()
+        assert fp_rate < 0.05  # 16-bit fingerprints → tiny fp rate
+
+        # the bloom filter cannot do this: forget half the keys (TTL expiry)
+        assert shard.delete_hashes(keys[:1000]) == 1000
+        assert shard.contains_hashes(keys[1000:]).all()
+        assert shard.contains_hashes(keys[:1000]).mean() < 0.05
+
+    def test_sharded_anti_join_exact(self, spark):
+        from secretscraper_spark.plans import cuckoo as ck
+
+        seen = spark.createDataFrame(
+            [(f"http://h{i % 5}.test/p/{i}",) for i in range(0, 600, 2)],
+            "url_norm string",
+        )
+        cands = spark.createDataFrame(
+            [(f"http://h{i % 5}.test/p/{i}",) for i in range(600)],
+            "url_norm string",
+        )
+        shards = ck.build_sharded_cuckoo(seen, n_buckets=8, capacity_per_bucket=1024)
+        assert shards.agg({"failed": "sum"}).first()[0] == 0
+        got = {r.url_norm for r in
+               ck.cuckoo_anti_join(cands, seen, shards, n_buckets=8).collect()}
+        expected = {r.url_norm for r in cands.join(seen, "url_norm", "left_anti").collect()}
+        assert got == expected
+        assert len(got) == 300
