@@ -795,13 +795,13 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
               SELECT md5(text) AS text_md5, count(*) AS n_docs
               FROM documents GROUP BY md5(text) HAVING count(*) > 1)
-            SELECT coalesce(count(*), 0) AS n_dup_groups,
-                   coalesce(sum(n_docs), 0) AS n_dup_docs
+            SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS n_dup_groups,
+                   CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS n_dup_docs
             FROM g
         """,
         "q_token_count": r"""
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]')) AS n_bpe_tokens,
                    length(text) AS n_chars_calc
             FROM documents ORDER BY doc_id
         """,

@@ -27,8 +27,10 @@ def token_count(text: Column) -> Column:
 
 # BPE-ish pre-tokenizer classes (letters / digits / other-symbol runs) —
 # the GPT-2-style split shape, restricted to a dialect-portable pattern so
-# the DuckDB oracle (RE2) and Spark (Java regex) agree byte-for-byte
-BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# the DuckDB oracle (RE2) and Spark (Java regex) agree byte-for-byte.
+# Whitespace is an EXPLICIT class, not \s: Java's \s includes \x0B while
+# RE2's does not, so \s would diverge on vertical-tab bytes.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]"
 
 
 def bpe_token_count(text: Column) -> Column:

@@ -157,19 +157,27 @@ def cuckoo_anti_join(
         "__bucket", F.pmod(F.xxhash64(key_col), F.lit(n_buckets))
     ).withColumn("__h", F.xxhash64(key_col))
     joined = cand.join(
-        shards.withColumnRenamed("bucket", "__bucket").select("__bucket", "table", "m"),
+        shards.withColumnRenamed("bucket", "__bucket")
+        .select("__bucket", "table", "m", "failed"),
         "__bucket", "left",
     )
 
     probe_schema = T.StructType(
-        [f for f in joined.schema.fields if f.name not in ("table", "m")]
+        [f for f in joined.schema.fields if f.name not in ("table", "m", "failed")]
         + [T.StructField("maybe_seen", T.BooleanType())]
     )
 
     def probe(pdf: pd.DataFrame) -> pd.DataFrame:
-        body = pdf.drop(columns=["table", "m"])
+        body = pdf.drop(columns=["table", "m", "failed"])
         if pdf["table"].iloc[0] is None:
             body["maybe_seen"] = False
+            return body
+        # a shard with failed inserts is missing fingerprints — its
+        # negatives are NOT trustworthy, so route the whole bucket to the
+        # exact anti-join (practically unreachable: build sizes 2x, but the
+        # exactness contract must not depend on sizing)
+        if int(pdf["failed"].iloc[0] or 0) > 0:
+            body["maybe_seen"] = True
             return body
         shard = CuckooShard.from_bytes(pdf["table"].iloc[0], int(pdf["m"].iloc[0]))
         body["maybe_seen"] = shard.contains_hashes(pdf["__h"].to_numpy(dtype=np.int64))

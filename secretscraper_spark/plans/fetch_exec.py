@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import time
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -33,6 +34,43 @@ from pyspark.sql import types as T
 
 from ..config import CrawlConfig
 from .politeness import assign_fetch_schedule
+
+
+def _issue_host(
+    pdf: pd.DataFrame, virtual: bool, n_workers: int, call: Callable
+) -> list[tuple]:
+    """Issue one host's rows in slot-major BFS order.
+
+    virtual=True: no clock, strictly serial — deterministic for tests.
+    virtual=False: sleep each row to its scheduled ``virtual_start`` then
+    issue through a ``n_workers``-wide thread pool, so the
+    max_concurrent_per_domain-way concurrency the schedule budgets for is
+    actually used (the reference's asyncio semaphore model,
+    rate_limiter.py:55-64) instead of over-enforcing serially. ``call(row)``
+    returns the result tuple-tail; issue_order is the submission order."""
+    pdf = pdf.sort_values(["slot", "discovery_seq"], kind="mergesort")
+    rows_iter = list(pdf.itertuples(index=False))
+    if virtual:
+        return [
+            (r.url_norm, r.host, int(r.slot), float(r.virtual_start), order)
+            + call(r)
+            for order, r in enumerate(rows_iter)
+        ]
+    t0 = time.monotonic()
+    with ThreadPoolExecutor(max_workers=max(n_workers, 1)) as pool:
+        futures = []
+        for order, r in enumerate(rows_iter):
+            delay = r.virtual_start - (time.monotonic() - t0)
+            if delay > 0:
+                time.sleep(delay)
+            futures.append(
+                (order, r, pool.submit(call, r))
+            )
+        return [
+            (r.url_norm, r.host, int(r.slot), float(r.virtual_start), order)
+            + fut.result()
+            for order, r, fut in futures
+        ]
 
 FETCH_RESULT_FIELDS = [
     T.StructField("url_norm", T.StringType()),
@@ -69,20 +107,11 @@ def paced_fetch(
     scheduled = assign_fetch_schedule(frontier, cfg, robots)
     out_schema = T.StructType(FETCH_RESULT_FIELDS)
 
+    def call(r) -> tuple:
+        return (fetch_fn(r.url_norm) if fetch_fn else "Unknown",)
+
     def run_host(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["slot", "discovery_seq"], kind="mergesort")
-        t0 = time.monotonic() if not virtual else 0.0
-        rows = []
-        for order, r in enumerate(pdf.itertuples(index=False)):
-            if not virtual:
-                delay = r.virtual_start - (time.monotonic() - t0)
-                if delay > 0:
-                    time.sleep(delay)
-            status = fetch_fn(r.url_norm) if fetch_fn else "Unknown"
-            rows.append(
-                (r.url_norm, r.host, int(r.slot), float(r.virtual_start),
-                 order, status)
-            )
+        rows = _issue_host(pdf, virtual, cfg.max_concurrent_per_domain, call)
         return pd.DataFrame(rows, columns=[f.name for f in FETCH_RESULT_FIELDS])
 
     return scheduled.groupBy("host").applyInPandas(run_host, out_schema)
@@ -104,26 +133,15 @@ def paced_fetch_pages(
     scheduled = assign_fetch_schedule(frontier, cfg, robots)
     out_schema = T.StructType(PAGE_FETCH_FIELDS)
 
+    def call(r) -> tuple:
+        page = page_fetch_fn(r.url_norm)
+        if page is None:
+            return ("Unknown", None, None, None, False)
+        return (str(page["status"]), page["content_type"],
+                int(page["content_length"]), page["caption"], True)
+
     def run_host(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["slot", "discovery_seq"], kind="mergesort")
-        t0 = time.monotonic() if not virtual else 0.0
-        rows = []
-        for order, r in enumerate(pdf.itertuples(index=False)):
-            if not virtual:
-                delay = r.virtual_start - (time.monotonic() - t0)
-                if delay > 0:
-                    time.sleep(delay)
-            page = page_fetch_fn(r.url_norm)
-            if page is None:
-                rows.append((r.url_norm, r.host, int(r.slot),
-                             float(r.virtual_start), order, "Unknown",
-                             None, None, None, False))
-            else:
-                rows.append((r.url_norm, r.host, int(r.slot),
-                             float(r.virtual_start), order,
-                             str(page["status"]), page["content_type"],
-                             int(page["content_length"]), page["caption"],
-                             True))
+        rows = _issue_host(pdf, virtual, cfg.max_concurrent_per_domain, call)
         return pd.DataFrame(rows, columns=[f.name for f in PAGE_FETCH_FIELDS])
 
     return scheduled.groupBy("host").applyInPandas(run_host, out_schema)

@@ -51,7 +51,11 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
             # quotes them, the reader must not split records on them
             r = r.option("header", True).option("multiLine", True).option("escape", '"')
         df = getattr(r, fmt)(path)
+        # preserve NULL bytes (pages generated without images): a NULL
+        # bytes_b64 must round-trip to NULL binary, not b""
         return df.withColumn(
-            "bytes", F.unbase64(F.coalesce(F.col("bytes_b64"), F.lit("")))
+            "bytes",
+            F.when(F.col("bytes_b64").isNull(), F.lit(None).cast("binary"))
+            .otherwise(F.unbase64("bytes_b64")),
         ).drop("bytes_b64").select([f.name for f in PAGES_SCHEMA.fields])
     raise ValueError(f"unsupported pages format {fmt!r}")

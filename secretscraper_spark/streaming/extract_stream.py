@@ -60,13 +60,20 @@ def stream_seen_dedup(
     pages: DataFrame, watermark: str = "1 hour", ts_col: str = "event_time"
 ) -> DataFrame:
     """Streaming URL-seen (D1's stream form): first occurrence of each
-    url_hash within the watermark horizon passes; duplicates drop. State
-    size is bounded by the horizon — the unbounded-history variant is the
-    batch bloom/anti-join path (plans/bloom.py)."""
+    url_hash within the watermark horizon passes; duplicates drop.
+
+    Uses ``dropDuplicatesWithinWatermark`` so the engine actually EVICTS a
+    key's state once the watermark passes its first-seen event time — plain
+    ``dropDuplicates(['url_hash'])`` under a watermark never evicts unless
+    the event-time column is part of the dedup key, so state would grow
+    unboundedly in a long-running stream. The trade (identical to the batch
+    TTL-recrawl semantics): a duplicate arriving later than the horizon
+    after its first occurrence re-emits. The unbounded-history variant is
+    the batch bloom/anti-join path (plans/bloom.py)."""
     return (
         pages.withColumn("url_hash", F.xxhash64("url_norm"))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["url_hash"])
+        .dropDuplicatesWithinWatermark(["url_hash"])
     )
 
 

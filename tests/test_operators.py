@@ -281,6 +281,30 @@ def test_pages_io_roundtrip(spark, tmp_path):
         assert a == b, fmt
 
 
+def test_pages_io_roundtrip_no_images(spark, tmp_path):
+    """NULL bytes (pages generated without images) must round-trip as NULL
+    through the text formats, not collapse to b'' (ADVICE r01)."""
+    from secretscraper_spark.sources.pages_io import read_pages, write_pages
+    from secretscraper_spark.sources.sitegen import generate_pages_pandas
+
+    pdf = generate_pages_pandas(12, 4, include_images=False)
+    # no-image pages carry NULL binary (sitegen's pandas path emits b"" only
+    # because all-None columns defeat createDataFrame type inference)
+    pages = spark.createDataFrame(pdf).withColumn(
+        "bytes", F.lit(None).cast("binary")
+    )
+    assert pages.filter(F.col("bytes").isNull()).count() == 12
+    for fmt in ("parquet", "json", "csv"):
+        p = str(tmp_path / f"pages_ni_{fmt}")
+        write_pages(pages, p, fmt)
+        back = read_pages(spark, p, fmt)
+        rows = back.collect()
+        assert all(r.bytes is None for r in rows), fmt
+        a = {r.image_id: (r.caption, r.phash) for r in rows}
+        b = {r.image_id: (r.caption, r.phash) for r in pages.collect()}
+        assert a == b, fmt
+
+
 def test_winnowing_fingerprints(spark):
     """Winnowing guarantees: shared substrings >= k+w-1 chars produce a
     shared fingerprint; verified against a pure-python reference."""

@@ -287,3 +287,32 @@ class TestCuckoo:
         expected = {r.url_norm for r in cands.join(seen, "url_norm", "left_anti").collect()}
         assert got == expected
         assert len(got) == 300
+
+    def test_failed_shard_routes_to_exact_join(self, spark):
+        """A shard reporting failed inserts is missing fingerprints, so its
+        negatives are untrustworthy — cuckoo_anti_join must route the whole
+        bucket through the exact anti-join (ADVICE r01). Simulated by
+        overwriting the failed count on a real shard table."""
+        from pyspark.sql import functions as F
+
+        from secretscraper_spark.plans import cuckoo as ck
+
+        seen = spark.createDataFrame(
+            [(f"http://h{i % 5}.test/p/{i}",) for i in range(0, 600, 2)],
+            "url_norm string",
+        )
+        cands = spark.createDataFrame(
+            [(f"http://h{i % 5}.test/p/{i}",) for i in range(600)],
+            "url_norm string",
+        )
+        # build the filter from only HALF the seen set (as if the other
+        # half's inserts failed) and stamp failed=1: a trusting filter
+        # would emit the missing half's candidates as definitely-unseen
+        half_seen = seen.limit(150)
+        shards = ck.build_sharded_cuckoo(
+            half_seen, n_buckets=8, capacity_per_bucket=1024
+        ).withColumn("failed", F.lit(1))
+        got = {r.url_norm for r in
+               ck.cuckoo_anti_join(cands, seen, shards, n_buckets=8).collect()}
+        expected = {r.url_norm for r in cands.join(seen, "url_norm", "left_anti").collect()}
+        assert got == expected  # exactness survives a lying filter
