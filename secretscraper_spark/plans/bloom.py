@@ -151,6 +151,48 @@ def build_bucketed_bloom(
     )
 
 
+def update_bucketed_bloom(
+    blooms: DataFrame, new_seen: DataFrame, key_col: str = "url_norm",
+    n_buckets: int = 64, capacity_per_bucket: int = 1 << 16, fpp: float = 0.01,
+) -> DataFrame:
+    """Incrementally OR *new_seen*'s keys into the sharded filter — the
+    per-tier crawler update. Cogroups each shard with its bucket's new key
+    hashes on the executors (no driver-side bitmap ever exists, unlike the
+    broadcast bloom's driver merge): existing shards keep their (bits, k)
+    sizing; buckets appearing for the first time get a fresh shard at the
+    default sizing. Overfilling a shard only raises its fp rate — the
+    filter routes rows, it never decides membership (correctness contract
+    unchanged)."""
+    default_bits = _num_bits(capacity_per_bucket, fpp)
+    default_k = _num_hashes(default_bits, capacity_per_bucket)
+    hashed = new_seen.select(
+        F.xxhash64(key_col).alias("h"),
+        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).alias("bucket"),
+    )
+
+    def merge(shard_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(shard_pdf):
+            bucket = int(shard_pdf["bucket"].iloc[0])
+            bits, k = int(shard_pdf["bits"].iloc[0]), int(shard_pdf["k"].iloc[0])
+            bm = np.frombuffer(shard_pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+        else:
+            bucket = int(new_pdf["bucket"].iloc[0])
+            bits, k = default_bits, default_k
+            bm = np.zeros(bits // 8, dtype=np.uint8)
+        if len(new_pdf):
+            hs = new_pdf["h"].to_numpy(dtype=np.int64)
+            for pos in _positions(hs, k, bits):
+                np.bitwise_or.at(bm, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        return pd.DataFrame(
+            {"bucket": [bucket], "bitmap": [bm.tobytes()],
+             "bits": [bits], "k": [k]}
+        )
+
+    return blooms.groupBy("bucket").cogroup(hashed.groupBy("bucket")).applyInPandas(
+        merge, "bucket int, bitmap binary, bits int, k int"
+    )
+
+
 def bucketed_bloom_anti_join(
     candidates: DataFrame, seen: DataFrame, blooms: DataFrame,
     key_col: str = "url_norm", n_buckets: int = 64,

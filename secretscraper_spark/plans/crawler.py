@@ -12,9 +12,12 @@ Re-expresses the reference's asyncio loop (crawler.py:175-217, 268-303,
 Scale design (10^10 frontier / 1000 executors):
 - fetch = hash join frontier⋈pages on xxhash64(url_norm); AQE picks
   shuffle-hash vs sort-merge; bucketed pages makes it co-located.
-- seen dedup: exact left_anti at test scale; with use_bloom=True the
-  partitioned-bloom prefilter (plans/bloom.py) routes definite-unseen rows
-  around the join — correctness never depends on the bloom.
+- seen dedup: exact left_anti at test scale; seen_filter picks a prefilter
+  that routes definite-unseen rows around the join — 'broadcast-bloom'
+  (one driver bitmap, bench scale), 'bucketed-bloom' / 'cuckoo' (sharded
+  (bucket, filter) tables built/updated/probed on the executors — the
+  10^10 north-rule form; cuckoo adds delete() for TTL recrawl).
+  Correctness never depends on the filter.
 - discovery ordering: two-phase distributed rank (plans/ranking.py) — no
   single-task window anywhere.
 - budget cutoff: orderBy(seq).limit(k) = TakeOrderedAndProject.
@@ -47,6 +50,7 @@ from ..functions.extract import make_links_udf, make_secrets_udf, title_udf
 from ..schemas import EDGES_SCHEMA, FRONTIER_SCHEMA, SECRETS_SCHEMA
 from . import bloom as bloommod
 from . import checkpoint as ckpt
+from . import cuckoo as cuckoomod
 from .politeness import assign_fetch_schedule, robots_gate, tier_makespan
 from .ranking import assign_global_seq
 
@@ -106,6 +110,7 @@ class SparkCrawler:
         schedule_politeness: bool = True,
         fetch_mode: str = "join",
         page_fetch_fn=None,
+        seen_filter: str | None = None,
     ):
         """fetch_mode='join' (default): fetch = hash join vs the pages
         store — the pure, deterministic sandbox scan (SURVEY S2).
@@ -114,11 +119,26 @@ class SparkCrawler:
         per URL under the politeness schedule — the real-network vehicle.
         When page_fetch_fn is None in paced mode, a broadcast lookup of the
         pages store stands in (test scale only; live deployments pass an
-        HTTP fetcher)."""
+        HTTP fetcher).
+
+        seen_filter picks the URL-seen prefilter in front of the exact
+        anti-join (correctness NEVER depends on it — it only routes rows):
+        - 'exact' (default): plain left_anti against the seen table.
+        - 'broadcast-bloom': one driver-merged broadcast bitmap
+          (plans/bloom.build_bloom) — fast at bench scale, but the bitmap
+          lives on the driver: ~12 GB at the 10^10 north-rule scale.
+        - 'bucketed-bloom': sharded (bucket, bitmap) table, built/updated/
+          probed entirely on the executors — the 10^10 form.
+        - 'cuckoo': sharded cuckoo filter (plans/cuckoo.py) — same scale
+          shape as bucketed-bloom, plus delete() for TTL recrawl.
+        ``use_bloom=True`` is the legacy spelling of 'broadcast-bloom'."""
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.robots = robots
-        self.use_bloom = use_bloom
+        if seen_filter is None:
+            seen_filter = "broadcast-bloom" if use_bloom else "exact"
+        assert seen_filter in ("exact", "broadcast-bloom", "bucketed-bloom", "cuckoo")
+        self.seen_filter = seen_filter
         self.checkpoint_dir = checkpoint_dir
         self.schedule_politeness = schedule_politeness
         assert fetch_mode in ("join", "paced")
@@ -190,13 +210,67 @@ class SparkCrawler:
     def _empty(self, schema) -> DataFrame:
         return self.spark.createDataFrame([], schema)
 
+    # -- seen-filter strategy (build / anti-join / per-tier update) -----------
+
+    def _seen_build(self, seen: DataFrame):
+        cfg = self.cfg
+        if self.seen_filter == "broadcast-bloom":
+            return bloommod.build_bloom(
+                seen, capacity=cfg.bloom_capacity, fpp=cfg.bloom_fpp
+            )
+        if self.seen_filter == "bucketed-bloom":
+            return bloommod.build_bucketed_bloom(
+                seen, n_buckets=cfg.seen_n_buckets,
+                capacity_per_bucket=cfg.seen_bucket_capacity, fpp=cfg.bloom_fpp,
+            ).localCheckpoint()
+        if self.seen_filter == "cuckoo":
+            return cuckoomod.build_sharded_cuckoo(
+                seen, n_buckets=cfg.seen_n_buckets,
+                capacity_per_bucket=cfg.seen_bucket_capacity,
+            ).localCheckpoint()
+        return None  # exact
+
+    def _seen_anti_join(self, eligible: DataFrame, seen: DataFrame, state):
+        cfg = self.cfg
+        if self.seen_filter == "broadcast-bloom":
+            return bloommod.bloom_anti_join(eligible, seen, state)
+        if self.seen_filter == "bucketed-bloom":
+            return bloommod.bucketed_bloom_anti_join(
+                eligible, seen, state, n_buckets=cfg.seen_n_buckets
+            )
+        if self.seen_filter == "cuckoo":
+            return cuckoomod.cuckoo_anti_join(
+                eligible, seen, state, n_buckets=cfg.seen_n_buckets
+            )
+        return eligible.join(seen, "url_norm", "left_anti")
+
+    def _seen_update(self, state, new_frontier: DataFrame):
+        """Fold one tier's newly-enqueued URLs into the filter state. The
+        sharded forms merge on the executors (cogroup per bucket) — no
+        driver-side bitmap ever exists; localCheckpoint keeps the shard
+        table's lineage flat across tiers."""
+        cfg = self.cfg
+        if self.seen_filter == "broadcast-bloom":
+            extra = bloommod.build_bloom(
+                new_frontier, capacity=cfg.bloom_capacity, fpp=cfg.bloom_fpp
+            )
+            merged = bytes(a | b for a, b in zip(state[0], extra[0]))
+            return (merged, state[1], state[2])
+        if self.seen_filter == "bucketed-bloom":
+            return bloommod.update_bucketed_bloom(
+                state, new_frontier, n_buckets=cfg.seen_n_buckets,
+                capacity_per_bucket=cfg.seen_bucket_capacity, fpp=cfg.bloom_fpp,
+            ).localCheckpoint()
+        if self.seen_filter == "cuckoo":
+            return cuckoomod.update_sharded_cuckoo(
+                state, new_frontier, n_buckets=cfg.seen_n_buckets,
+                capacity_per_bucket=cfg.seen_bucket_capacity,
+            ).localCheckpoint()
+        return None
+
     def _loop(self, st: dict) -> CrawlResult:
         cfg = self.cfg
-        bloom = None
-        if self.use_bloom:
-            bloom = bloommod.build_bloom(
-                st["seen"], capacity=cfg.bloom_capacity, fpp=cfg.bloom_fpp
-            )
+        seen_state = self._seen_build(st["seen"])
         while True:
             if cfg.max_depth > 0 and st["depth"] > cfg.max_depth:
                 break
@@ -204,7 +278,7 @@ class SparkCrawler:
                 break
             if st["frontier"].count() == 0:
                 break
-            bloom = self._tier(st, bloom)
+            seen_state = self._tier(st, seen_state)
             if self.checkpoint_dir:
                 self._snapshot(st)
             st["depth"] += 1
@@ -219,7 +293,7 @@ class SparkCrawler:
             tiers=st["tiers"],
         )
 
-    def _tier(self, st: dict, bloom) -> object:
+    def _tier(self, st: dict, seen_state) -> object:
         cfg, depth = self.cfg, st["depth"]
         phase_t: dict[str, float] = {}
         _last = time.perf_counter()
@@ -353,10 +427,7 @@ class SparkCrawler:
                 .agg(F.min("parent_seq").alias("min_parent_seq"),
                      F.min("parent_norm").alias("parent_norm"))
             )
-            if bloom is not None:
-                new_nodes = bloommod.bloom_anti_join(eligible, st["seen"], bloom)
-            else:
-                new_nodes = eligible.join(st["seen"], "url_norm", "left_anti")
+            new_nodes = self._seen_anti_join(eligible, st["seen"], seen_state)
             new_frontier = assign_global_seq(
                 new_nodes, ["min_parent_seq", "url_norm"], start=st["next_seq"]
             ).select(
@@ -371,13 +442,8 @@ class SparkCrawler:
                 new_frontier.select("url_norm", "depth", "discovery_seq")
             ).localCheckpoint()
             mark("seen_union")
-            if bloom is not None and n_new:
-                extra = bloommod.build_bloom(
-                    new_frontier, capacity=self.cfg.bloom_capacity,
-                    fpp=self.cfg.bloom_fpp,
-                )
-                merged = bytes(a | b for a, b in zip(bloom[0], extra[0]))
-                bloom = (merged, bloom[1], bloom[2])
+            if seen_state is not None and n_new:
+                seen_state = self._seen_update(seen_state, new_frontier)
         else:
             new_frontier = self._empty(FRONTIER_SCHEMA)
 
@@ -393,7 +459,7 @@ class SparkCrawler:
             }
         )
         st["frontier"] = new_frontier
-        return bloom
+        return seen_state
 
     def _snapshot(self, st: dict) -> None:
         state = ckpt.CrawlState(

@@ -147,6 +147,45 @@ def build_sharded_cuckoo(
     )
 
 
+def update_sharded_cuckoo(
+    shards: DataFrame, new_seen: DataFrame, key_col: str = "url_norm",
+    n_buckets: int = 64, capacity_per_bucket: int = 1 << 16,
+) -> DataFrame:
+    """Incrementally insert *new_seen*'s keys into the sharded filter — the
+    per-tier crawler update (and the TTL-recrawl counterpart of
+    ``delete_hashes``). Cogroups each shard with its bucket's new key hashes
+    on the executors; raw hashes (not fingerprints) travel, so index math
+    always uses the receiving shard's own ``m``. Buckets appearing for the
+    first time get a fresh shard. ``failed`` accumulates — a shard that ever
+    failed an insert routes its whole bucket to the exact anti-join."""
+    hashed = new_seen.select(
+        F.xxhash64(key_col).alias("h"),
+        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).alias("bucket"),
+    )
+
+    def merge(shard_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(shard_pdf):
+            bucket = int(shard_pdf["bucket"].iloc[0])
+            shard = CuckooShard.from_bytes(
+                shard_pdf["table"].iloc[0], int(shard_pdf["m"].iloc[0])
+            )
+            failed = int(shard_pdf["failed"].iloc[0])
+        else:
+            bucket = int(new_pdf["bucket"].iloc[0])
+            shard = CuckooShard(max(capacity_per_bucket, len(new_pdf) * 2))
+            failed = 0
+        if len(new_pdf):
+            failed += shard.insert_hashes(new_pdf["h"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({
+            "bucket": [bucket], "table": [shard.to_bytes()],
+            "m": [shard.m], "failed": [failed],
+        })
+
+    return shards.groupBy("bucket").cogroup(hashed.groupBy("bucket")).applyInPandas(
+        merge, "bucket int, table binary, m int, failed int"
+    )
+
+
 def cuckoo_anti_join(
     candidates: DataFrame, seen: DataFrame, shards: DataFrame,
     key_col: str = "url_norm", n_buckets: int = 64,

@@ -40,7 +40,11 @@ def main() -> None:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--use-bloom", action="store_true",
-                    help="partitioned-bloom URL-seen prefilter (scale path)")
+                    help="legacy alias for --seen-filter broadcast-bloom")
+    ap.add_argument("--seen-filter", default=None,
+                    choices=["exact", "broadcast-bloom", "bucketed-bloom", "cuckoo"],
+                    help="URL-seen prefilter; bucketed-bloom/cuckoo are the "
+                         "sharded 10^10-scale forms (no driver-side bitmap)")
     ap.add_argument("--white-list", action="append", default=[],
                     help="domain glob whitelist (reference -d/--domain)")
     ap.add_argument("--black-list", action="append", default=[],
@@ -80,7 +84,7 @@ def main() -> None:
     t0 = time.perf_counter()
     res = SparkCrawler(
         spark, pages, cfg, checkpoint_dir=args.checkpoint_dir,
-        use_bloom=args.use_bloom,
+        use_bloom=args.use_bloom, seen_filter=args.seen_filter,
     ).run(seeds)
     n_seen = res.seen.count()
     n_secrets = res.secrets.count()

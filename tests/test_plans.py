@@ -107,6 +107,28 @@ class TestBloom:
         got = {r.url_norm: (r.depth, r.discovery_seq) for r in res.seen.collect()}
         assert got == sim.seen
 
+    @pytest.mark.parametrize("mode", ["bucketed-bloom", "cuckoo"])
+    def test_crawl_with_sharded_seen_matches_exact(self, spark, mode):
+        """The 10^10-grade sharded seen-set modes wired into SparkCrawler
+        must reproduce the exact-anti-join crawl bit-for-bit (seen set with
+        depth+seq, edges, secrets) — the filter only routes rows. Tiny
+        per-shard capacity forces real incremental updates + overfill."""
+        pdf = generate_pages_pandas(200, 4)
+        site = site_from_pandas(pdf)
+        cfg = CrawlConfig(
+            max_depth=2, max_page_num=0, seen_n_buckets=8,
+            seen_bucket_capacity=64,
+        )
+        sim = simulate(site, seeds_for(4), cfg)
+        pages = spark.createDataFrame(pdf.drop(columns=["bytes"]))
+        res = SparkCrawler(spark, pages, cfg, seen_filter=mode).run(seeds_for(4))
+        got = {r.url_norm: (r.depth, r.discovery_seq) for r in res.seen.collect()}
+        assert got == sim.seen
+        got_edges = {(r.parent_norm, r.child_norm, r.kind) for r in res.edges.collect()}
+        assert got_edges == sim.edges
+        got_secrets = {(r.url_norm, r.rule_name, r.match) for r in res.secrets.collect()}
+        assert got_secrets == sim.secrets
+
 
 class TestValidate:
     def test_unknown_statuses_resolved(self, spark):
