@@ -174,6 +174,56 @@ def is_js_path(path: str) -> bool:
 # use_groups=True: findall, tuple matches collapse to group[0] (handler.py:49).
 # use_groups=False: first search, whole match.  Compiled re.IGNORECASE.
 # ---------------------------------------------------------------------------
+def _build_prefilter_gates() -> tuple[dict[str, list[str]], dict[str, re.Pattern]]:
+    """Necessary-condition prefilter gates, keyed by the EXACT regex source
+    string of the shipped config (so a user-edited rule silently gets no
+    gate and simply runs ungated — correctness never depends on this).
+
+    A gate is a set of lowercase literals of which at least one MUST occur
+    in lower(text) for the rule to be able to match (every alternation arm
+    of the rule contains one of them, and the rules compile IGNORECASE), or
+    a cheap regex that is a superset of the rule's matches. Skipping a
+    gated rule whose condition fails cannot change the extraction result;
+    it only avoids scanning 6 KB of page text with an expensive pattern
+    that cannot hit. This is the single-pattern analogue of hyperscan's
+    literal-prefilter stage, and it lifts the secrets kernel from
+    ~2.6 MB/s to >20 MB/s per thread on crawl pages (see BASELINE.md).
+    """
+    from ..config import JS_FIND, RULES, URL_FIND
+
+    by_name = {name: rx for name, rx, _ in RULES}
+    lits: dict[str, list[str]] = {}
+    regexes: dict[str, re.Pattern] = {}
+
+    for name, required in {
+        "Swagger": ["swagger"],           # every arm spells 'swagger'
+        "JS Map": [".js.map"],
+        "Email": ["@"],
+        "Internal IP": ["127.0.0.1", "10.", "172.", "192.168."],
+        "Cloud Key": ["accesskey", "ltai"],
+        "Shiro": ["=deleteme", "rememberme="],
+        "Jwt": ["ey"],
+    }.items():
+        if name in by_name:
+            lits[by_name[name]] = required
+    if "ID Card" in by_name:
+        # both arms require ≥15 consecutive digits (8+2+2+3 / 6+2+2+2+2+3)
+        regexes[by_name["ID Card"]] = re.compile(r"\d{15}")
+
+    # urlFind/jsFind (the LinkExtractor's inner RegexExtractor)
+    for i, required in {
+        0: ["http"], 1: ["http"], 2: ["/"], 3: ["/"], 4: ["href", "action"],
+    }.items():
+        if i < len(URL_FIND):
+            lits[URL_FIND[i]] = required
+    for rx in JS_FIND:
+        lits[rx] = [".js"]
+    return lits, regexes
+
+
+_GATE_LITERALS, _GATE_REGEXES = _build_prefilter_gates()
+
+
 class RegexExtractor:
     """Vectorizable equivalent of the reference's ReRegexHandler."""
 
@@ -181,10 +231,22 @@ class RegexExtractor:
         self.names = list(rules.keys())
         self.patterns = [re.compile(rx, re.IGNORECASE) for rx in rules.values()]
         self.use_groups = use_groups
+        self._lit_gates = [_GATE_LITERALS.get(rx) for rx in rules.values()]
+        self._re_gates = [_GATE_REGEXES.get(rx) for rx in rules.values()]
 
     def extract(self, text: str) -> list[tuple[str, str]]:
         out: list[tuple[str, str]] = []
-        for name, pat in zip(self.names, self.patterns):
+        low: str | None = None
+        for i, (name, pat) in enumerate(zip(self.names, self.patterns)):
+            lits = self._lit_gates[i]
+            if lits is not None:
+                if low is None:
+                    low = text.lower()
+                if not any(lit in low for lit in lits):
+                    continue
+            rgate = self._re_gates[i]
+            if rgate is not None and rgate.search(text) is None:
+                continue
             if self.use_groups:
                 for m in pat.findall(text):
                     out.append((name, m if not isinstance(m, tuple) else m[0]))

@@ -2,7 +2,7 @@
 per-partition lineage + metrics).
 
 Each crawl round appends parquet snapshots under
-    <dir>/round=<d>/{frontier,seen,nodes,edges,secrets,found}/
+    <dir>/round=<d>/{frontier,seen,nodes,edges,secrets}/
 plus a manifest.json holding the driver-side loop state (depth, totals,
 next_seq, per-round metrics incl. per-partition row counts).
 
@@ -24,7 +24,7 @@ from dataclasses import asdict, dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MANIFEST = "manifest.json"
-TABLES = ("frontier", "seen", "nodes", "edges", "secrets", "found")
+TABLES = ("frontier", "seen", "nodes", "edges", "secrets")
 
 
 @dataclass

@@ -111,6 +111,8 @@ class SparkCrawler:
         fetch_mode: str = "join",
         page_fetch_fn=None,
         seen_filter: str | None = None,
+        rules: dict[str, str] | None = None,
+        link_rules: dict[str, str] | None = None,
     ):
         """fetch_mode='join' (default): fetch = hash join vs the pages
         store — the pure, deterministic sandbox scan (SURVEY S2).
@@ -151,8 +153,14 @@ class SparkCrawler:
             )
             .withColumn("url_hash", F.xxhash64("url_norm"))
         )
-        self._secrets_udf = make_secrets_udf(loaded_rules())
-        self._links_udf = make_links_udf(url_finder_rules())
+        # rules/link_rules: externally-loaded regex sets (settings.py YAML/
+        # env merge); default to the shipped config (reference settings.yml)
+        self._secrets_udf = make_secrets_udf(
+            loaded_rules() if rules is None else rules
+        )
+        self._links_udf = make_links_udf(
+            url_finder_rules() if link_rules is None else link_rules
+        )
         if self.fetch_mode == "paced" and self._page_fetch_fn is None:
             site = {
                 r["url_norm"]: {
@@ -175,7 +183,6 @@ class SparkCrawler:
             "nodes": self._empty(NODES_DDL),
             "edges": self._empty(EDGES_SCHEMA),
             "secrets": self._empty(SECRETS_SCHEMA),
-            "found": self._empty("url_norm string"),
             "depth": 0,
             "total_page": 0,
             "next_seq": frontier.count(),
@@ -197,7 +204,6 @@ class SparkCrawler:
             "nodes": tables.get("nodes", self._empty(NODES_DDL)),
             "edges": tables.get("edges", self._empty(EDGES_SCHEMA)),
             "secrets": tables.get("secrets", self._empty(SECRETS_SCHEMA)),
-            "found": tables.get("found", self._empty("url_norm string")),
             "depth": state.depth + 1,
             "total_page": state.total_page,
             "next_seq": state.next_seq,
@@ -288,7 +294,13 @@ class SparkCrawler:
             edges=st["edges"].dropDuplicates(["parent_norm", "child_norm", "kind"]),
             secrets=st["secrets"].dropDuplicates(["url_norm", "rule_name", "match"]),
             seen=st["seen"],
-            found=st["found"].distinct(),
+            # found_urls ≡ the distinct children ever extracted — exactly
+            # the edge targets, so it is derived instead of accumulated
+            # (zero extra extraction passes; crawler.py:364-376 adds every
+            # child to a dict AND found_urls together)
+            found=st["edges"].select(
+                F.col("child_norm").alias("url_norm")
+            ).distinct(),
             total_page=st["total_page"],
             tiers=st["tiers"],
         )
@@ -379,20 +391,26 @@ class SparkCrawler:
             )
         )
 
-        # P3 secrets — extracted from every fetched page (crawler.py:296)
+        # P3 secrets — extracted from every fetched page (crawler.py:296).
+        # Checkpointed per tier: the extracted rows are TINY (matches are
+        # rare), so this runs the secrets UDF exactly once per page ever —
+        # result-time consumers (counts, reports, CSV) read the handful of
+        # materialized rows instead of re-scanning every caption per action.
         st["secrets"] = st["secrets"].unionByName(
             fetched.select(
                 "url_norm", F.explode(self._secrets_udf("caption")).alias("s")
             ).select("url_norm", "s.rule_name", "s.match")
-        )
+        ).localCheckpoint()
 
         # P1+P2 link extraction, gated by F7 (crawler.py:343-344).
-        # `children` stays LAZY: materializing the exploded output is
-        # O(out-degree × tier) rows of wide strings; instead the enqueue
-        # path consumes it through a groupBy (shuffle carries only distinct
-        # children) and the edges/found accumulators re-derive from the
-        # checkpointed `fetched` at result time — one extra pass of the
-        # cheap links UDF instead of a tier-sized RAM write.
+        # `children` is checkpointed once per tier: the single links-UDF
+        # pass feeds enqueue, edges, AND found — without this, the lazy
+        # lineage re-ran the UDF once for the enqueue materialization and
+        # again per result-time action. The exploded output is
+        # O(out-degree × tier) rows; localCheckpoint stores it
+        # MEMORY_AND_DISK (spills, never OOMs), and at real scale each
+        # tier's edges land in the sink incrementally anyway (checkpoint
+        # rounds re-point lineage at parquet).
         ext = fetched.filter(is_extend_expr(F.col("content_type")))
         children = (
             ext.select(
@@ -401,11 +419,12 @@ class SparkCrawler:
                 F.explode(self._links_udf("scheme", "netloc", "caption")).alias("c"),
             )
             .select("parent_norm", "parent_seq", "c.*")
+            .localCheckpoint()
         )
         mark("extract_links")
 
         # D5 edges recorded regardless of enqueue (crawler.py:364-376) —
-        # lazy unions over the per-tier checkpointed `fetched`; the single
+        # lazy unions over the per-tier checkpointed `children`; the single
         # dropDuplicates in _loop dedups the whole accumulation at the end
         st["edges"] = st["edges"].unionByName(
             children.select(
@@ -414,7 +433,6 @@ class SparkCrawler:
                 F.when(is_js_expr(F.col("path")), "js").otherwise("url").alias("kind"),
             )
         )
-        st["found"] = st["found"].unionByName(children.select("url_norm"))
 
         # D1 enqueue: depth gate F8 + filter chain + seen anti-join
         is_extending = cfg.max_depth <= 0 or depth + 1 <= cfg.max_depth
@@ -476,11 +494,10 @@ class SparkCrawler:
                 "nodes": st["nodes"],
                 "edges": st["edges"],
                 "secrets": st["secrets"],
-                "found": st["found"],
             },
         )
         st["tiers"][-1]["lineage"] = {k: len(v) for k, v in lineage.items()}
         # re-read snapshots so downstream lineage points at parquet, not RAM
         base = ckpt._round_dir(self.checkpoint_dir, st["depth"])
-        for name in ("frontier", "seen", "nodes", "edges", "secrets", "found"):
+        for name in ("frontier", "seen", "nodes", "edges", "secrets"):
             st[name] = self.spark.read.parquet(f"{base}/{name}")

@@ -25,6 +25,13 @@ def assign_global_seq(
     """Add ``seq_col`` = dense global rank of rows ordered by *order_cols*
     (caller guarantees the key is unique per row), starting at *start*."""
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    # Materialize the input first: repartitionByRange runs a boundary-
+    # sampling job that RE-EXECUTES the full upstream plan before the
+    # shuffle itself runs it again. With an expensive upstream (the
+    # crawler's links-UDF explode + groupBy + anti-join) that doubles the
+    # cost of ranking; after this checkpoint the sample pass reads
+    # already-materialized rows.
+    df = df.localCheckpoint()
     ranged = df.repartitionByRange(int(parts), *order_cols).sortWithinPartitions(*order_cols)
     # freeze the (sampled) range boundaries so the count pass and the tag
     # pass see identical partitioning

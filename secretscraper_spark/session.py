@@ -43,4 +43,19 @@ def get_spark(
     # Constant folding evaluates this on the driver; in local mode driver
     # and executors share the JVM, so the class is initialized for all.
     spark.sql("SELECT lower('WarḿÉ') AS w").collect()
+    # Pre-fork the Arrow Python workers, one per task slot: the first
+    # Pandas-UDF stage otherwise pays worker fork + pandas/pyarrow import
+    # (~2 s) inside the measured job. Workers are reused afterwards
+    # (spark.python.worker.reuse defaults to true), so this is a once-per-
+    # executor cost — the same one a real cluster pays at executor start.
+    n = spark.sparkContext.defaultParallelism
+
+    def _noop(it):
+        yield from it
+
+    (
+        spark.range(0, n, 1, numPartitions=n)
+        .mapInPandas(_noop, "id long")
+        .write.format("noop").mode("overwrite").save()
+    )
     return spark

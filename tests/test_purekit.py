@@ -111,3 +111,52 @@ class TestTitle:
 
     def test_none(self):
         assert pk.extract_title("no titles here") == ""
+
+
+class TestPrefilterGates:
+    """The literal/regex gates on RegexExtractor are necessary conditions:
+    gated and ungated extraction must be IDENTICAL on any input."""
+
+    def _pair(self, rules):
+        gated = pk.RegexExtractor(rules, use_groups=True)
+        ungated = pk.RegexExtractor(rules, use_groups=True)
+        ungated._lit_gates = [None] * len(ungated.names)
+        ungated._re_gates = [None] * len(ungated.names)
+        return gated, ungated
+
+    def test_parity_on_hit_strings(self):
+        from secretscraper_spark.config import loaded_rules
+
+        gated, ungated = self._pair(loaded_rules())
+        samples = [
+            "see swagger-ui.html now", '"swagger": 2', "SWAGGER UI",
+            'x"127.0.0.1"y', "a 10.1.2.3 b", "192.168.0.1!", "z172.16.0.1",
+            "app.js.map", "bundle.JS.MAP", '"foo@bar.com"', "rememberMe=1",
+            "=deleteMe", "LTAIabcdef123456", "AccessKeyId=AK",
+            '"ey' + "a" * 12 + "." + "b" * 12 + '"',
+            "110101199003071234", "1234567890123456789X",
+            '"13812345678"', '"' + "a" * 32 + '"',
+            "plain text with none of it", "", "ey", "10.", "172.",
+        ]
+        for s in samples:
+            assert gated.extract(s) == ungated.extract(s), s
+
+    def test_parity_random(self):
+        import random
+        import string
+
+        from secretscraper_spark.config import loaded_rules, url_finder_rules
+
+        rnd = random.Random(42)
+        g1, u1 = self._pair(loaded_rules())
+        g2, u2 = self._pair(url_finder_rules())
+        for _ in range(200):
+            s = "".join(rnd.choices(string.printable, k=400))
+            assert g1.extract(s) == u1.extract(s)
+            assert g2.extract(s) == u2.extract(s)
+
+    def test_user_rule_gets_no_gate(self):
+        # a rule whose regex is NOT in the shipped config runs ungated
+        ex = pk.RegexExtractor({"custom": r"zebra\d+"}, use_groups=True)
+        assert ex._lit_gates == [None] and ex._re_gates == [None]
+        assert ex.extract("a zebra42 b") == [("custom", "zebra42")]
