@@ -1,0 +1,102 @@
+"""Real HTTP ``page_fetch_fn`` for the paced executor (S2/C4 completed).
+
+Re-expresses the reference's fetch wrapper (``crawler.py:384-421``): an
+httpx GET with headers / proxy / timeout / redirect policy where EVERY
+error arm returns None — the page's status then stays "Unknown"
+(``crawler.py:235-239``), it is never retried within the run, and it
+still counts as processed. The reference enumerates 8 arms (TimeoutError,
+ConnectError, ClosedResourceError, InvalidURL, TimeoutException,
+ReadError, KeyboardInterrupt, Exception); over the stdlib client these
+collapse to the equivalent families below, with the same outcome for
+each: swallow and return None.
+
+Built on ``urllib.request`` (httpx is not installable here; the stdlib
+client is the public equivalent). Each paced-executor task builds its own
+opener — handlers are not thread-safe to share — and the reference's
+connection-pool knobs (``max_connections`` C4) bound concurrency at the
+politeness layer (slots × hosts), which is where the paced executor
+enforces them.
+
+Returned mapping matches what ``paced_fetch_pages`` expects from a fetch
+fn: ``{"status", "content_type", "content_length", "caption"}`` where
+``caption`` carries the decoded body text (the engine's text column,
+BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import typing
+import urllib.error
+import urllib.parse
+import urllib.request
+
+
+class _NoRedirect(urllib.request.HTTPRedirectHandler):
+    def redirect_request(self, req, fp, code, msg, headers, newurl):  # noqa: N802
+        return None
+
+
+def make_http_fetch_fn(
+    headers: dict[str, str] | None = None,
+    timeout: float = 5.0,
+    follow_redirects: bool = True,
+    proxy: str | None = None,
+    max_body_bytes: int = 8 * 1024 * 1024,
+) -> typing.Callable[[str], dict | None]:
+    """Build a picklable fetch fn for the paced executor.
+
+    The returned callable runs on executors inside applyInPandas workers;
+    it constructs its opener lazily per process and caches it.
+    """
+    headers = dict(headers or {})
+    state: dict[str, typing.Any] = {}
+
+    def _opener() -> urllib.request.OpenerDirector:
+        op = state.get("opener")
+        if op is None:
+            handlers: list[urllib.request.BaseHandler] = []
+            if proxy:
+                scheme = urllib.parse.urlparse(proxy).scheme or "http"
+                handlers.append(
+                    urllib.request.ProxyHandler(
+                        {"http": proxy, "https": proxy, scheme: proxy}
+                    )
+                )
+            if not follow_redirects:
+                handlers.append(_NoRedirect())
+            op = urllib.request.build_opener(*handlers)
+            state["opener"] = op
+        return op
+
+    def _result(status: int, hdrs, body: bytes) -> dict:
+        ctype = (hdrs.get("Content-Type") or "") if hdrs is not None else ""
+        clen = hdrs.get("Content-Length") if hdrs is not None else None
+        return {
+            "status": str(status),
+            "content_type": ctype,
+            "content_length": int(clen) if clen is not None else len(body),
+            "caption": body.decode("utf-8", errors="ignore"),
+        }
+
+    def fetch(url: str) -> dict | None:
+        req_headers = {k: v for k, v in headers.items() if v}
+        try:
+            req = urllib.request.Request(url, headers=req_headers, method="GET")
+            with _opener().open(req, timeout=timeout) as resp:
+                body = resp.read(max_body_bytes)
+                return _result(resp.status, resp.headers, body)
+        except urllib.error.HTTPError as e:
+            # non-2xx/3xx: httpx RETURNS the response (no raise-for-status
+            # in the reference) — mirror that: a real status + body
+            try:
+                body = e.read(max_body_bytes)
+            except Exception:
+                body = b""
+            return _result(e.code, e.headers, body)
+        except KeyboardInterrupt:
+            return None  # crawler.py:417: ignored, page stays Unknown
+        except Exception:
+            # timeout / connect / invalid-URL / read arms (crawler.py:405-420)
+            return None
+
+    return fetch

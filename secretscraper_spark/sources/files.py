@@ -55,11 +55,15 @@ def scan_files(spark: SparkSession, root: str, glob: str = "*") -> DataFrame:
     )
 
 
-def scan_secrets(spark: SparkSession, root: str) -> DataFrame:
+def scan_secrets(
+    spark: SparkSession, root: str, rules: dict[str, str] | None = None
+) -> DataFrame:
     """The FileScannerFacade pipeline (SURVEY §3.2): files → secrets UDF →
-    (path, rule_name, match), set-deduped per file (scanner.py:44)."""
+    (path, rule_name, match), set-deduped per file (scanner.py:44).
+    *rules* defaults to the shipped config; the facade passes the
+    YAML/env-merged set (settings.py)."""
     files = scan_files(spark, root)
-    udf = make_secrets_udf(loaded_rules())
+    udf = make_secrets_udf(loaded_rules() if rules is None else rules)
     return (
         files.select("path", F.explode(udf("text")).alias("s"))
         .select("path", "s.rule_name", "s.match")
