@@ -169,13 +169,27 @@ def main() -> None:
         # level runs 8 JVM+Python slot pairs = 16 busy cores, half this
         # 32-core host — both levels measure the engine, not host
         # saturation (at local[32] all 32 cores are hot and per-core
-        # throughput of the host itself degrades ~1.6×; see BASELINE.md)
-        lo = run_crawl("local[4]", N_PAGES, 8, saturated=True)
-        hi = run_crawl("local[16]", N_PAGES, 16, saturated=True)
+        # throughput of the host itself degrades ~1.6×; see BASELINE.md).
+        # Each leg runs SPARK_GRAFT_SCALING_REPEATS times (default 2) and
+        # keeps its best throughput: the legs run minutes apart on a shared
+        # host, so best-of-N removes interference noise from the ratio
+        # (both legs get the same treatment).
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+
+        def best_leg(master: str, shuffle: int) -> dict:
+            runs = [
+                run_crawl(master, N_PAGES, shuffle, saturated=True)
+                for _ in range(reps)
+            ]
+            return max(runs, key=lambda r: r["pages_per_sec"])
+
+        lo = best_leg("local[4]", 8)
+        hi = best_leg("local[16]", 16)
         eff = (hi["pages_per_sec"] / lo["pages_per_sec"]) / 4.0
         keys = ("master", "wall_sec", "pages_per_sec", "urls_per_sec", "pages_fetched")
         scaling = {
-            "mode": "saturated frontier (all pages seeded, one full-site tier), task.cpus=2",
+            "mode": "saturated frontier (all pages seeded, one full-site tier), "
+                    f"task.cpus=2, best of {reps} runs per leg",
             "low": {k: lo[k] for k in keys},
             "high": {k: hi[k] for k in keys},
             "cores_ratio": 4.0,

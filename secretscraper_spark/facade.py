@@ -216,6 +216,9 @@ class CrawlerFacade:
             page_fetch_fn=fetch_fn,
             rules=loaded_rules_from(settings),
             link_rules=url_finder_rules_from(settings),
+            # real HTTP honors the politeness schedule on the wall clock;
+            # the deterministic pages-store replay keeps the virtual clock
+            paced_virtual=(fetch_mode == "join" or self.page_fetch_fn is not None),
         )
 
     def start(self) -> CrawlResult:

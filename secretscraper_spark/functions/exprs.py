@@ -64,6 +64,51 @@ def port_of(netloc: Column) -> Column:
     return F.when(F.size(parts) == 2, F.trim(parts.getItem(1))).otherwise(F.lit(""))
 
 
+def root_domain(host: Column) -> Column:
+    """P9 PSL-aware root domain as a pure Column expr, kernel-parity with
+    purekit.get_root_domain (tested identical over the PSL cases). The
+    suffix tables compile to Catalyst InSet literals — a hash probe inside
+    whole-stage codegen, no join and no shuffle at any scale (the
+    broadcast-join alternative would ship the same few KB per executor
+    but add a join node per report)."""
+    from .psl import tables
+
+    multi, wild, exc = tables()
+    by_len: dict[int, list[str]] = {}
+    for s in multi:
+        by_len.setdefault(s.count(".") + 1, []).append(s)
+
+    labels = F.split(F.lower(host), r"\.")
+    n = F.size(labels)
+
+    def lastk(k: int) -> Column:
+        return F.array_join(F.slice(labels, -k, k), ".")
+
+    def has_suffix(k: int) -> Column:
+        cond = F.lit(False)
+        if by_len.get(k):
+            cond = lastk(k).isin(by_len[k])
+        if k == 2 and wild:
+            wildcard = F.element_at(labels, -1).isin(list(wild))
+            if exc:
+                wildcard = wildcard & ~lastk(2).isin(list(exc))
+            cond = cond | wildcard
+        return (n >= k) & cond
+
+    k = (
+        F.when(has_suffix(4), F.lit(4))
+        .when(has_suffix(3), F.lit(3))
+        .when(has_suffix(2), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    kk = k + F.lit(1)
+    return (
+        F.when(n > k, F.array_join(F.slice(labels, -kk, kk), "."))
+        .when(n >= 2, lastk(2))
+        .otherwise(F.concat(host, F.lit(".")))
+    )
+
+
 def is_static_resource_expr(path: Column) -> Column:
     """F4 (reference util.py:44-50) as one rlike."""
     alts = "|".join(e.lstrip(".") for e in STATIC_EXTS)

@@ -81,23 +81,28 @@ def to_host_port(netloc: str) -> tuple[str, str]:
 
 
 # ---------------------------------------------------------------------------
-# P9 root domain — reference util.py:63-67 uses tldextract (full public
-# suffix list). tldextract is not available in this environment, so this is
-# a PSL-lite: a built-in set of common multi-label suffixes, else the last
-# label is the suffix. Matches tldextract for every host shape the synthetic
-# corpus and the reference tests produce (``*.test``, ``*.com`` ...).
+# P9 root domain — reference util.py:63-67 (tldextract over the full
+# public suffix list). Import-gated like hyperscan/bs4: tldextract when
+# the wheel exists (exact parity), else the vendored PSL snapshot
+# (functions/psl.py — longest-rule-wins incl. wildcards/exceptions;
+# load_psl_file() swaps in a full dat file).
 # ---------------------------------------------------------------------------
-_MULTI_SUFFIXES = {
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.cn", "net.cn", "org.cn",
-    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp", "com.br",
-    "com.tw", "co.in", "co.kr", "com.hk", "com.sg", "com.mx",
-}
+try:
+    import tldextract as _tldextract
+except ImportError:
+    _tldextract = None
+
+from . import psl as _psl
 
 
 def get_root_domain(host: str) -> str:
+    if _tldextract is not None:
+        d = _tldextract.extract(host)
+        return d.domain + "." + d.suffix
     labels = host.lower().split(".")
-    if len(labels) >= 3 and ".".join(labels[-2:]) in _MULTI_SUFFIXES:
-        return ".".join(labels[-3:])
+    k = _psl.suffix_label_count(labels)
+    if len(labels) > k:
+        return ".".join(labels[-(k + 1):])
     if len(labels) >= 2:
         return ".".join(labels[-2:])
     return host + "."  # mirrors tldextract's "domain + '.' + suffix" on bare hosts
@@ -316,6 +321,18 @@ _TAG_STRIP = re.compile(r"<[^>]+>")
 
 
 def extract_title(text: str) -> str:
+    # bs4 path (exact util.py:109-116 get_text walk) when the wheel
+    # exists; the tag-strip regex reproduces it on well-formed markup
+    try:
+        from bs4 import BeautifulSoup
+    except ImportError:
+        BeautifulSoup = None
+    if BeautifulSoup is not None:
+        bs = BeautifulSoup(text or "", "html.parser")
+        return "|".join(
+            t.get_text().replace("\n", " ").replace("\r", " ").strip()
+            for t in bs.find_all("title")
+        )
     titles = []
     for raw in _TITLE_RE.findall(text or ""):
         t = _TAG_STRIP.sub("", raw)
@@ -345,8 +362,15 @@ def _attr_value(m: re.Match) -> str:
     )
 
 
-def harvest_dom_hrefs(text: str) -> set[str]:
-    """The href set of urlparser.py:27-54 (a/link href ∪ script src *.js)."""
+try:  # import-gated like hyperscan: bs4 upgrades DOM parity where present
+    from bs4 import BeautifulSoup as _BeautifulSoup
+except ImportError:  # regex harvester stands in (well-formed-markup parity)
+    _BeautifulSoup = None
+
+
+def harvest_dom_hrefs_regex(text: str) -> set[str]:
+    """The href set of urlparser.py:27-54 (a/link href ∪ script src *.js),
+    via tag regexes — matches the bs4 tree walk on well-formed markup."""
     hrefs: set[str] = set()
     for tag in _A_LINK_TAG.finditer(text):
         m = _HREF_ATTR.search(tag.group(0))
@@ -359,6 +383,40 @@ def harvest_dom_hrefs(text: str) -> set[str]:
             if src.endswith(".js"):
                 hrefs.add(src)
     return hrefs
+
+
+def harvest_dom_hrefs_bs4(text: str) -> set[str]:
+    """Exact urlparser.py:22-54 tree walk (html.parser handles malformed
+    markup — unclosed tags, comments, CDATA — identically to the
+    reference). Raises if bs4 is absent; use harvest_dom_hrefs."""
+    soup = _BeautifulSoup(text, "html.parser")
+    hrefs: set[str] = set()
+    for link in soup.find_all("link"):
+        try:
+            hrefs.add(str(link["href"]))
+        except KeyError:
+            pass
+    for link in soup.find_all("a"):
+        try:
+            hrefs.add(str(link["href"]))
+        except KeyError:
+            pass
+    for link in soup.find_all("script"):
+        try:
+            src = str(link["src"])
+            if src.endswith(".js"):
+                hrefs.add(src)
+        except KeyError:
+            pass
+    return hrefs
+
+
+def harvest_dom_hrefs(text: str) -> set[str]:
+    """P1 href harvest — bs4 tree walk when the wheel exists (full
+    malformed-HTML parity), else the regex stand-in."""
+    if _BeautifulSoup is not None:
+        return harvest_dom_hrefs_bs4(text)
+    return harvest_dom_hrefs_regex(text)
 
 
 # ---------------------------------------------------------------------------

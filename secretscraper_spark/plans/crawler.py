@@ -51,6 +51,7 @@ from ..schemas import EDGES_SCHEMA, FRONTIER_SCHEMA, SECRETS_SCHEMA
 from . import bloom as bloommod
 from . import checkpoint as ckpt
 from . import cuckoo as cuckoomod
+from . import extraction
 from .politeness import assign_fetch_schedule, robots_gate, tier_makespan
 from .ranking import assign_global_seq
 
@@ -113,6 +114,9 @@ class SparkCrawler:
         seen_filter: str | None = None,
         rules: dict[str, str] | None = None,
         link_rules: dict[str, str] | None = None,
+        paced_virtual: bool = True,
+        fetch_ttl: float | None = None,
+        clock=None,
     ):
         """fetch_mode='join' (default): fetch = hash join vs the pages
         store — the pure, deterministic sandbox scan (SURVEY S2).
@@ -146,6 +150,21 @@ class SparkCrawler:
         assert fetch_mode in ("join", "paced")
         self.fetch_mode = fetch_mode
         self._page_fetch_fn = page_fetch_fn
+        # paced_virtual=False makes the paced executor sleep each slot into
+        # real wall-clock place (live HTTP politeness); True keeps the
+        # virtual clock (deterministic sandbox/tests/bench)
+        self.paced_virtual = paced_virtual
+        # S3 TTL fetch cache (reference crawler.py:388-403, 60 s): with
+        # fetch_ttl set, responses persist on this instance ACROSS run()
+        # calls — a recrawl serves fresh rows from cache and fetches only
+        # stale/missing ones. clock is injectable for deterministic tests.
+        import time as _time
+
+        self.fetch_ttl = fetch_ttl
+        self._clock = clock or _time.time
+        self.fetch_cache = (
+            self._empty_cache(spark) if fetch_ttl is not None else None
+        )
         # pre-project the fetch side once; url_hash join key for cheap shuffle
         self.pages = (
             pages.select(
@@ -215,6 +234,42 @@ class SparkCrawler:
 
     def _empty(self, schema) -> DataFrame:
         return self.spark.createDataFrame([], schema)
+
+    @staticmethod
+    def _empty_cache(spark: SparkSession) -> DataFrame:
+        from .fetch_cache import CACHE_DDL
+
+        return spark.createDataFrame([], CACHE_DDL)
+
+    def _do_fetch(self, to_process: DataFrame, tier_rows: int) -> DataFrame:
+        """One tier's fetch: frontier rows → frontier cols + page cols
+        (status, content_type, content_length, caption). *tier_rows* is an
+        upper bound on the row count, used for the broadcast decision."""
+        if self.fetch_mode == "paced":
+            # real-network vehicle: per-host paced applyInPandas executor
+            # calling page_fetch_fn under the politeness schedule
+            from .fetch_exec import paced_fetch_pages
+
+            paced = paced_fetch_pages(
+                to_process, self.cfg, self._page_fetch_fn, self.robots,
+                virtual=self.paced_virtual,
+            )
+            return (
+                paced.filter(F.col("fetched"))
+                .select("url_norm", "status", "content_type",
+                        "content_length", "caption")
+                .join(to_process, "url_norm")
+            )
+        # sandbox scan: hash join vs the pages store. The frontier tier
+        # is broadcast while it fits (deterministic plan, no pages
+        # shuffle); a 10^8-row tier at real scale exceeds any broadcast
+        # budget and takes the shuffle-hash path instead (AQE picks it).
+        keyed = to_process.withColumn("url_hash", F.xxhash64("url_norm"))
+        if tier_rows <= self.cfg.broadcast_frontier_rows:
+            keyed = F.broadcast(keyed)
+        return keyed.join(
+            self.pages, ["url_hash", "url_norm"], "inner"
+        ).drop("url_hash")
 
     # -- seen-filter strategy (build / anti-join / per-tier update) -----------
 
@@ -350,32 +405,20 @@ class SparkCrawler:
             makespan = tier_makespan(scheduled, cfg)
         mark("politeness")
 
-        # S2 fetch.
-        if self.fetch_mode == "paced":
-            # real-network vehicle: per-host paced applyInPandas executor
-            # calling page_fetch_fn under the politeness schedule
-            from .fetch_exec import paced_fetch_pages
-
-            paced = paced_fetch_pages(
-                to_process, cfg, self._page_fetch_fn, self.robots
-            )
-            fetched = (
-                paced.filter(F.col("fetched"))
-                .select("url_norm", "status", "content_type",
-                        "content_length", "caption")
-                .join(to_process, "url_norm")
-                .localCheckpoint()
-            )
+        # S2 fetch (optionally through the S3 TTL cache).
+        if self.fetch_cache is None:
+            fetched = self._do_fetch(to_process, n_processed).localCheckpoint()
         else:
-            # sandbox scan: hash join vs the pages store. The frontier tier
-            # is broadcast while it fits (deterministic plan, no pages
-            # shuffle); a 10^8-row tier at real scale exceeds any broadcast
-            # budget and takes the shuffle-hash path instead (AQE picks it).
-            keyed = to_process.withColumn("url_hash", F.xxhash64("url_norm"))
-            if n_processed <= cfg.broadcast_frontier_rows:
-                keyed = F.broadcast(keyed)
-            fetched = keyed.join(
-                self.pages, ["url_hash", "url_norm"], "inner"
+            from . import fetch_cache as fc
+
+            now = self._clock()
+            hits, misses = fc.split_by_ttl(
+                to_process, self.fetch_cache, now, self.fetch_ttl
+            )
+            fetched_new = self._do_fetch(misses, n_processed).localCheckpoint()
+            fetched = hits.unionByName(fetched_new).localCheckpoint()
+            self.fetch_cache = fc.upsert(
+                self.fetch_cache, fetched_new, now
             ).localCheckpoint()
         mark("fetch_join")
 
@@ -397,9 +440,7 @@ class SparkCrawler:
         # result-time consumers (counts, reports, CSV) read the handful of
         # materialized rows instead of re-scanning every caption per action.
         st["secrets"] = st["secrets"].unionByName(
-            fetched.select(
-                "url_norm", F.explode(self._secrets_udf("caption")).alias("s")
-            ).select("url_norm", "s.rule_name", "s.match")
+            extraction.secrets_of(fetched, self._secrets_udf)
         ).localCheckpoint()
 
         # P1+P2 link extraction, gated by F7 (crawler.py:343-344).
@@ -411,28 +452,13 @@ class SparkCrawler:
         # MEMORY_AND_DISK (spills, never OOMs), and at real scale each
         # tier's edges land in the sink incrementally anyway (checkpoint
         # rounds re-point lineage at parquet).
-        ext = fetched.filter(is_extend_expr(F.col("content_type")))
-        children = (
-            ext.select(
-                F.col("url_norm").alias("parent_norm"),
-                F.col("discovery_seq").alias("parent_seq"),
-                F.explode(self._links_udf("scheme", "netloc", "caption")).alias("c"),
-            )
-            .select("parent_norm", "parent_seq", "c.*")
-            .localCheckpoint()
-        )
+        children = extraction.children_of(fetched, self._links_udf).localCheckpoint()
         mark("extract_links")
 
         # D5 edges recorded regardless of enqueue (crawler.py:364-376) —
         # lazy unions over the per-tier checkpointed `children`; the single
         # dropDuplicates in _loop dedups the whole accumulation at the end
-        st["edges"] = st["edges"].unionByName(
-            children.select(
-                "parent_norm",
-                F.col("url_norm").alias("child_norm"),
-                F.when(is_js_expr(F.col("path")), "js").otherwise("url").alias("kind"),
-            )
-        )
+        st["edges"] = st["edges"].unionByName(extraction.edges_of(children))
 
         # D1 enqueue: depth gate F8 + filter chain + seen anti-join
         is_extending = cfg.max_depth <= 0 or depth + 1 <= cfg.max_depth

@@ -186,6 +186,41 @@ def update_sharded_cuckoo(
     )
 
 
+def delete_from_sharded_cuckoo(
+    shards: DataFrame, expired: DataFrame, key_col: str = "url_norm",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Remove *expired* keys from the sharded filter — the TTL-recrawl
+    path (reference crawler.py:403's 60 s cache expiry): deleted URLs
+    become definitely-unseen again and pass the prefilter to re-enqueue.
+    Cogroup per bucket, same raw-hash travel rule as update; buckets with
+    no expiries pass through untouched."""
+    hashed = expired.select(
+        F.xxhash64(key_col).alias("h"),
+        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).alias("bucket"),
+    )
+
+    def drop_keys(shard_pdf: pd.DataFrame, exp_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(shard_pdf):
+            return pd.DataFrame(
+                columns=["bucket", "table", "m", "failed"]
+            ).astype({"bucket": "int32", "m": "int32", "failed": "int32"})
+        bucket = int(shard_pdf["bucket"].iloc[0])
+        table, m = shard_pdf["table"].iloc[0], int(shard_pdf["m"].iloc[0])
+        failed = int(shard_pdf["failed"].iloc[0])
+        if len(exp_pdf):
+            shard = CuckooShard.from_bytes(table, m)
+            shard.delete_hashes(exp_pdf["h"].to_numpy(dtype=np.int64))
+            table = shard.to_bytes()
+        return pd.DataFrame({
+            "bucket": [bucket], "table": [table], "m": [m], "failed": [failed],
+        })
+
+    return shards.groupBy("bucket").cogroup(hashed.groupBy("bucket")).applyInPandas(
+        drop_keys, "bucket int, table binary, m int, failed int"
+    )
+
+
 def cuckoo_anti_join(
     candidates: DataFrame, seen: DataFrame, shards: DataFrame,
     key_col: str = "url_norm", n_buckets: int = 64,

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import purekit as pk
-from ..functions.exprs import host_of, status_allowed
+from ..functions.exprs import host_of, root_domain, status_allowed
 
 CSV_HEADER = ["URL", "Title", "Response Code", "Content Length", "Content Type", "Secrets"]
 
@@ -82,10 +82,8 @@ def per_domain_report(
     roots = sorted({_root(d) for d in start_domains})
 
     host = host_of(_netloc_of(F.col("url_norm")))
-    # root-domain Column expr: last two labels (PSL-lite, purekit parity)
-    labels = F.split(F.lower(host), r"\.")
-    n = F.size(labels)
-    root = F.when(n >= 2, F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))).otherwise(host)
+    # PSL-aware root domain (exprs.root_domain ≡ purekit.get_root_domain)
+    root = root_domain(host)
     dom = F.when(root.isin(roots), root).otherwise("Other")
     return (
         universe.select(dom.alias("domain"), "url_norm")

@@ -1,0 +1,61 @@
+"""Streaming-crawl bridge: a crawl tier through Structured Streaming.
+
+The batch crawler and a continuous-ingest deployment meet here: a fetch
+fleet appends fetched-page rows (frontier columns + page columns) to a
+directory/table, and the SAME extraction plan fragments the batch tier
+runs (plans/extraction.py) run as a stream — secrets and edges flow out
+incrementally instead of per-tier. ``trigger(availableNow=True)`` over
+one tier's rows is bit-equal to the batch tier (gated by
+tests/test_streaming.py::TestCrawlBridge), which is what makes the two
+worlds composable: a tier can be drained through the stream path and the
+frontier loop continues from its outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..config import loaded_rules, url_finder_rules
+from ..functions.extract import make_links_udf, make_secrets_udf
+from ..plans import extraction
+from ..schemas import FRONTIER_SCHEMA
+
+# one tier's fetched rows: frontier identity + the fetched page columns
+FETCHED_SCHEMA = T.StructType(
+    list(FRONTIER_SCHEMA.fields)
+    + [
+        T.StructField("status", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("caption", T.StringType()),
+    ]
+)
+
+
+def stream_fetched(
+    spark: SparkSession, input_dir: str, fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a tier's fetched-page rows."""
+    r = spark.readStream.schema(FETCHED_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.format(fmt).load(input_dir)
+
+
+def stream_tier_secrets(
+    fetched: DataFrame, rules: dict[str, str] | None = None
+) -> DataFrame:
+    """P3 over the stream — the batch tier's secrets fragment verbatim."""
+    udf = make_secrets_udf(loaded_rules() if rules is None else rules)
+    return extraction.secrets_of(fetched, udf)
+
+
+def stream_tier_edges(
+    fetched: DataFrame, link_rules: dict[str, str] | None = None
+) -> DataFrame:
+    """F7→P1∪P2→D5 over the stream — the batch tier's edge fragment
+    verbatim (per-page child explosion; stateless map)."""
+    udf = make_links_udf(url_finder_rules() if link_rules is None else link_rules)
+    return extraction.edges_of(extraction.children_of(fetched, udf))

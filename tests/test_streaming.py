@@ -115,3 +115,67 @@ def test_host_running_counts_stateful(spark, pages_dir):
         .collect()
     }
     assert final == expected and expected
+
+
+class TestCrawlBridge:
+    """availableNow stream over one crawl tier ≡ the batch tier's outputs
+    (the streaming-crawl composition gate)."""
+
+    def test_tier_stream_equals_batch(self, spark, tmp_path):
+        from secretscraper_spark.config import CrawlConfig
+        from secretscraper_spark.functions import purekit as pk
+        from secretscraper_spark.plans.crawler import SparkCrawler
+        from secretscraper_spark.streaming.crawl_bridge import (
+            stream_fetched,
+            stream_tier_edges,
+            stream_tier_secrets,
+        )
+
+        # a 4-page site where every page is a seed → exactly one tier
+        site = {
+            "http://s.test/": '<a href="/a.html">a</a> 10.0.0.1',
+            "http://s.test/a.html": '<a href="/b.html">b</a>',
+            "http://s.test/b.html": 'x rememberMe=1 <script src="/j.js"></script>',
+            "http://s.test/c.html": "quiet page",
+        }
+        pages = spark.createDataFrame(
+            [(u, "200", "text/html", len(c), c) for u, c in site.items()],
+            "url_norm string, status string, content_type string, "
+            "content_length long, caption string",
+        )
+        cfg = CrawlConfig(max_depth=1, max_page_num=0)
+        res = SparkCrawler(spark, pages, cfg).run(list(site))
+        batch_edges = {
+            (r.parent_norm, r.child_norm, r.kind) for r in res.edges.collect()
+        }
+        batch_secrets = {
+            (r.url_norm, r.rule_name, r.match) for r in res.secrets.collect()
+        }
+
+        # the same tier as a fetched-rows directory → stream path
+        rows = []
+        for seq, (u, c) in enumerate(site.items()):
+            t6 = pk.parse6(u)
+            rows.append((u, *t6, 0, None, seq, "200", "text/html", len(c), c))
+        tier_dir = str(tmp_path / "tier0")
+        spark.createDataFrame(
+            rows,
+            "url_norm string, scheme string, netloc string, path string, "
+            "params string, query string, fragment string, depth int, "
+            "parent_norm string, discovery_seq long, status string, "
+            "content_type string, content_length long, caption string",
+        ).write.parquet(tier_dir)
+
+        st = stream_fetched(spark, tier_dir)
+        run_to_memory(stream_tier_edges(st), "bridge_edges")
+        run_to_memory(stream_tier_secrets(st), "bridge_secrets")
+        stream_edges = {
+            (r.parent_norm, r.child_norm, r.kind)
+            for r in spark.sql("SELECT DISTINCT * FROM bridge_edges").collect()
+        }
+        stream_secrets_set = {
+            (r.url_norm, r.rule_name, r.match)
+            for r in spark.sql("SELECT DISTINCT * FROM bridge_secrets").collect()
+        }
+        assert stream_edges == batch_edges and batch_edges
+        assert stream_secrets_set == batch_secrets and batch_secrets

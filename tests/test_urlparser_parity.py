@@ -3,6 +3,8 @@ kernel, plus exact-semantics checks for the relative-resolution quirks."""
 
 from __future__ import annotations
 
+import pytest
+
 from secretscraper_spark.config import url_finder_rules
 from secretscraper_spark.functions.purekit import (
     LinkExtractor,
@@ -83,3 +85,36 @@ def test_dedup_on_six_tuple(html_text):
     kids = ex.extract(BASE, two)
     # '#' empty fragment: urlparse('/p/1#') → fragment '' == '/p/1' parse
     assert len({k for k in kids if k[2] == "/p/1"}) == 1
+
+
+class TestBs4Gate:
+    """bs4 upgrades DOM parity automatically where the wheel exists
+    (import-gated like hyperscan); these run only when bs4 is present."""
+
+    def test_bs4_harvest_matches_regex_on_wellformed(self, html_text):
+        pytest.importorskip("bs4")
+        from secretscraper_spark.functions.purekit import (
+            harvest_dom_hrefs_bs4,
+            harvest_dom_hrefs_regex,
+        )
+
+        assert harvest_dom_hrefs_bs4(html_text) == harvest_dom_hrefs_regex(
+            html_text
+        )
+
+    def test_bs4_handles_malformed(self):
+        pytest.importorskip("bs4")
+        from secretscraper_spark.functions.purekit import harvest_dom_hrefs_bs4
+
+        # unclosed tag + commented-out anchor: the bs4 walk must skip the
+        # comment and still find the real href (html.parser semantics)
+        text = '<a href="/real">x<!-- <a href="/fake">y</a> -->'
+        assert harvest_dom_hrefs_bs4(text) == {"/real"}
+
+    def test_dispatch_uses_regex_when_bs4_absent(self):
+        import secretscraper_spark.functions.purekit as pk2
+
+        if pk2._BeautifulSoup is None:
+            # this environment: dispatch must be the regex path
+            html = '<a href="/x">a</a>'
+            assert pk2.harvest_dom_hrefs(html) == {"/x"}
