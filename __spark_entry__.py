@@ -271,6 +271,32 @@ def q_domain_report(spark, sf_dir):
     )
 
 
+def q_root_domain(spark, sf_dir):
+    """P9 PSL-aware root domain (functions/exprs.root_domain over the
+    vendored public-suffix snapshot; reference util.py:63-67 tldextract).
+    Hosts are synthesized deterministically from customer keys so the
+    expression meets multi-label suffixes (co.uk, github.io), a wildcard
+    TLD (*.ck), and the !www.ck exception; the oracle derives the
+    expected registrable domain from the construction."""
+    from secretscraper_spark.functions.exprs import root_domain
+
+    cust = _t(spark, sf_dir, "customer")
+    sufs = ["com", "co.uk", "github.io", "com.ar", "ck", "www.ck", "test",
+            "blogspot.com"]
+    k = F.col("c_custkey")
+    suf = F.element_at(F.array(*[F.lit(s) for s in sufs]), (k % 8 + 1).cast("int"))
+    host = F.concat(
+        F.lit("a"), (k % 3).cast("string"), F.lit("."),
+        F.lit("b"), (k % 5).cast("string"), F.lit("."), suf,
+    )
+    return (
+        cust.select(root_domain(host).alias("root"))
+        .groupBy("root")
+        .agg(F.count("*").alias("n_hosts"))
+        .orderBy("root")
+    )
+
+
 def q_found_domains(spark, sf_dir):
     """K4/D7 distinct-domain report: countDistinct per group."""
     ev = _t(spark, sf_dir, "events")
@@ -571,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_first_discovery": q_first_discovery,
         "q_edges_group": q_edges_group,
         "q_domain_report": q_domain_report,
+        "q_root_domain": q_root_domain,
         "q_found_domains": q_found_domains,
         "q_validate_merge": q_validate_merge,
         "q_csv_row_union": q_csv_row_union,
@@ -771,6 +798,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total
             FROM orders GROUP BY domain
             ORDER BY CASE WHEN domain = 'Other' THEN 1 ELSE 0 END, domain
+        """,
+        "q_root_domain": """
+            WITH h AS (
+              SELECT (['com','co.uk','github.io','com.ar','ck','www.ck',
+                       'test','blogspot.com'])[(c_custkey % 8)::INT + 1] AS suf,
+                     'a' || (c_custkey % 3)::VARCHAR AS la,
+                     'b' || (c_custkey % 5)::VARCHAR AS lb
+              FROM customer)
+            SELECT root, CAST(count(*) AS BIGINT) AS n_hosts FROM (
+              -- expected registrable domain by construction:
+              -- *.ck wildcard -> the whole host is the root;
+              -- !www.ck exception -> www.ck itself; else label + suffix
+              SELECT CASE WHEN suf = 'ck' THEN la || '.' || lb || '.ck'
+                          WHEN suf = 'www.ck' THEN 'www.ck'
+                          ELSE lb || '.' || suf END AS root
+              FROM h)
+            GROUP BY root ORDER BY root
         """,
         "q_found_domains": """
             SELECT event_type, count(DISTINCT user_id) AS n_domains
