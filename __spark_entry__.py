@@ -474,7 +474,10 @@ def q_global_seq(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders")
     df = orders.select(F.col("o_orderkey").alias("k"))
-    return assign_global_seq(df, ["k"], start=0).orderBy("k")
+    # small_input_rows=0 pins the DISTRIBUTED two-phase plan so the oracle
+    # verifies the 10^10-frontier path (the engine's stats-adaptive default
+    # would pick the single-partition window at this row count)
+    return assign_global_seq(df, ["k"], start=0, small_input_rows=0).orderBy("k")
 
 
 def q_robots_gate(spark, sf_dir):

@@ -107,6 +107,103 @@ def make_links_udf(finder_rules: dict[str, str]) -> Callable:
     return links_udf
 
 
+_EXTRACT_STRUCT = T.StructType(
+    [
+        T.StructField("children", T.ArrayType(CHILD_STRUCT)),
+        T.StructField("secrets", T.ArrayType(SECRET_STRUCT)),
+        T.StructField("title", T.StringType()),
+    ]
+)
+
+
+def make_extract_udf(
+    finder_rules: dict[str, str],
+    secret_rules: dict[str, str],
+    engine: str = "re",
+) -> Callable:
+    """(scheme, netloc, caption, extendable) → struct(children, secrets,
+    title) — P1∪P2, P3, and P7 in ONE Arrow pass.
+
+    The caption column is the dominant Arrow-serialization cost of a crawl
+    tier (JVM→worker copy of every page body); running links, secrets, and
+    title as separate UDFs shipped it three times and capped executor feed
+    throughput at high parallelism. ``extendable`` carries the F7
+    content-type gate per row (links are skipped for non-extendable pages,
+    secrets and title always run — reference crawler.py:296 vs 343)."""
+
+    @F.pandas_udf(_EXTRACT_STRUCT)
+    def extract_udf(
+        it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]]
+    ) -> Iterator[pd.DataFrame]:
+        from .purekit import get_extractor
+
+        lx = LinkExtractor(finder_rules)
+        se = get_extractor(secret_rules, engine=engine, use_groups=True)
+        for schemes, netlocs, texts, extends in it:
+            kids_col, secrets_col, title_col = [], [], []
+            for scheme, netloc, text, ext in zip(
+                schemes, netlocs, texts, extends
+            ):
+                if text is None:
+                    kids_col.append([])
+                    secrets_col.append([])
+                    title_col.append("")
+                    continue
+                uniq = set(se.extract(text))
+                secrets_col.append(
+                    [{"rule_name": r, "match": m} for r, m in sorted(uniq)]
+                )
+                title_col.append(extract_title(text))
+                if not ext:
+                    kids_col.append([])
+                    continue
+                base6 = (scheme or "", netloc or "", "", "", "", "")
+                kids = lx.extract(base6, text)
+                kids_col.append(
+                    [
+                        {
+                            "url_norm": unparse6(k),
+                            "scheme": k[0], "netloc": k[1], "path": k[2],
+                            "params": k[3], "query": k[4], "fragment": k[5],
+                        }
+                        for k in sorted(kids)
+                    ]
+                )
+            yield pd.DataFrame(
+                {"children": kids_col, "secrets": secrets_col,
+                 "title": title_col}
+            )
+
+    return extract_udf
+
+
+def make_bs_elements_udf(filter_func: Callable) -> Callable:
+    """P5 — the reference's ``BSHandler`` surface as an Arrow UDF:
+    text → array<struct<rule_name,match>> where *filter_func* runs over
+    the parsed BeautifulSoup tree (handler.py:140-160). Requires bs4 on
+    the executors; the import raises at first task, matching the
+    import-gate behavior of the hyperscan engine."""
+
+    @F.pandas_udf(T.ArrayType(SECRET_STRUCT))
+    def bs_elements_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from .purekit import BSElementExtractor
+
+        ex = BSElementExtractor(filter_func)
+        for texts in it:
+            yield pd.Series(
+                [
+                    []
+                    if t is None
+                    else [
+                        {"rule_name": r, "match": m} for r, m in ex.extract(t)
+                    ]
+                    for t in texts
+                ]
+            )
+
+    return bs_elements_udf
+
+
 @F.pandas_udf(T.StringType())
 def title_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """text → title string (reference util.py:109-116)."""

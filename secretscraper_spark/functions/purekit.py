@@ -419,6 +419,28 @@ def harvest_dom_hrefs(text: str) -> set[str]:
     return harvest_dom_hrefs_regex(text)
 
 
+class BSElementExtractor:
+    """P5 — reference ``BSHandler`` (handler.py:140-160): a user callable
+    over the parsed BeautifulSoup tree; a non-None return emits one
+    ('HTML Element', result) row. The result is stringified here (the
+    reference keeps the raw BSResult list in its in-memory Secret; a
+    columnar engine needs a serializable cell). Import-gated: construction
+    raises ImportError where the bs4 wheel is absent, mirroring
+    HyperscanExtractor."""
+
+    def __init__(self, filter_func):
+        if _BeautifulSoup is None:
+            raise ImportError("bs4 is required for BSElementExtractor")
+        self.filter = filter_func
+
+    def extract(self, text: str) -> list[tuple[str, str]]:
+        soup = _BeautifulSoup(text, "html.parser")
+        result = self.filter(soup)
+        if result is None:
+            return []
+        return [("HTML Element", str(result))]
+
+
 # ---------------------------------------------------------------------------
 # P1+P2 link extraction — the union parser (reference urlparser.py:98-140
 # RegexURLParser.extract_urls = regex pass ∪ DOM pass).  Returns the set of

@@ -43,10 +43,8 @@ from ..functions.exprs import (
     filter_chain,
     host_of,
     is_dangerous_path,
-    is_extend_expr,
-    is_js_expr,
 )
-from ..functions.extract import make_links_udf, make_secrets_udf, title_udf
+from ..functions.extract import make_extract_udf
 from ..schemas import EDGES_SCHEMA, FRONTIER_SCHEMA, SECRETS_SCHEMA
 from . import bloom as bloommod
 from . import checkpoint as ckpt
@@ -81,19 +79,53 @@ def _accept_expr(cfg: CrawlConfig):
     )
 
 
-def seed_frontier(spark: SparkSession, seeds: list[str], cfg: CrawlConfig) -> DataFrame:
+def seed_frontier(
+    spark: SparkSession, seeds: list[str], cfg: CrawlConfig,
+    distributed_threshold: int = 10_000,
+) -> DataFrame:
     """S1 seed source: parse, filter, dedup (keep first), seq by insertion
-    order (reference facade.py:176-192 + crawler.py:180-187)."""
-    rows, seen_norm, seq = [], set(), 0
-    for url in dict.fromkeys(seeds):
-        t6 = pk.parse6(url)
-        norm = pk.unparse6(t6)
-        if norm in seen_norm:
-            continue
-        seen_norm.add(norm)
-        rows.append((norm, *t6, 0, None, seq))
-        seq += 1
-    df = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    order (reference facade.py:176-192 + crawler.py:180-187).
+
+    Above *distributed_threshold* seeds the parse/dedup/rank moves onto the
+    executors (the driver-side Python loop over a 10^6-seed list is pure
+    serial time and caps scaling efficiency); the two paths are
+    parity-tested identical, including the quirk that discovery_seq is
+    assigned over ALL unique norms before the scope filter runs (filtered
+    seeds leave gaps in the sequence)."""
+    if len(seeds) <= distributed_threshold:
+        rows, seen_norm, seq = [], set(), 0
+        for url in dict.fromkeys(seeds):
+            t6 = pk.parse6(url)
+            norm = pk.unparse6(t6)
+            if norm in seen_norm:
+                continue
+            seen_norm.add(norm)
+            rows.append((norm, *t6, 0, None, seq))
+            seq += 1
+        df = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        return df.filter(_accept_expr(cfg))
+
+    from ..functions.extract import make_parse_url_udf
+
+    part_cols = ["scheme", "netloc", "path", "params", "query", "fragment"]
+    base = spark.createDataFrame(
+        list(enumerate(seeds)), "ord long, url string"
+    )
+    parsed = base.select(
+        "ord", make_parse_url_udf()(F.col("url")).alias("p")
+    ).select("ord", "p.*")
+    # first occurrence per norm wins (insertion order = ord)
+    firsts = parsed.groupBy("url_norm").agg(
+        F.min("ord").alias("ord"),
+        *[F.min_by(c, "ord").alias(c) for c in part_cols],
+    )
+    ranked = assign_global_seq(firsts, ["ord"], seq_col="discovery_seq")
+    df = ranked.select(
+        "url_norm", *part_cols,
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("string").alias("parent_norm"),
+        "discovery_seq",
+    )
     return df.filter(_accept_expr(cfg))
 
 
@@ -174,11 +206,9 @@ class SparkCrawler:
         )
         # rules/link_rules: externally-loaded regex sets (settings.py YAML/
         # env merge); default to the shipped config (reference settings.yml)
-        self._secrets_udf = make_secrets_udf(
-            loaded_rules() if rules is None else rules
-        )
-        self._links_udf = make_links_udf(
-            url_finder_rules() if link_rules is None else link_rules
+        self._extract_udf = make_extract_udf(
+            url_finder_rules() if link_rules is None else link_rules,
+            loaded_rules() if rules is None else rules,
         )
         if self.fetch_mode == "paced" and self._page_fetch_fn is None:
             site = {
@@ -405,9 +435,13 @@ class SparkCrawler:
             makespan = tier_makespan(scheduled, cfg)
         mark("politeness")
 
-        # S2 fetch (optionally through the S3 TTL cache).
+        # S2 fetch (optionally through the S3 TTL cache). In the plain
+        # path `fetched` stays LAZY: the pages join fuses into the single
+        # extraction stage below, so a tier's captions are scanned exactly
+        # once and never stored; the TTL-cache path materializes them (the
+        # cache replays fetched bodies across rounds).
         if self.fetch_cache is None:
-            fetched = self._do_fetch(to_process, n_processed).localCheckpoint()
+            fetched = self._do_fetch(to_process, n_processed)
         else:
             from . import fetch_cache as fc
 
@@ -422,41 +456,30 @@ class SparkCrawler:
             ).localCheckpoint()
         mark("fetch_join")
 
+        # P1∪P2 + P3 + P7 in ONE Arrow pass (plans/extraction.py): each
+        # caption crosses the JVM→worker boundary exactly once per tier,
+        # and the per-tier checkpoint stores frontier identity + page
+        # metadata + the extraction arrays — never the captions. Nodes,
+        # secrets, edges, found, and the enqueue path all derive from this
+        # single materialization with pure-JVM projections/explodes.
+        combined = extraction.extract_combined(
+            fetched, self._extract_udf
+        ).localCheckpoint()
+        mark("extract")
+
         # P10 metadata projection + P7 title
-        st["nodes"] = st["nodes"].unionByName(
-            fetched.select(
-                "url_norm", "scheme", "netloc", "path", "params", "query",
-                "fragment", "depth",
-                F.col("status").cast("string").alias("status"),
-                title_udf("caption").alias("title"),
-                F.col("content_length").cast("long").alias("content_length"),
-                "content_type",
-            )
+        st["nodes"] = st["nodes"].unionByName(extraction.nodes_of(combined))
+
+        # P3 secrets — extracted from every fetched page (crawler.py:296)
+        st["secrets"] = st["secrets"].unionByName(
+            extraction.secrets_of(combined)
         )
 
-        # P3 secrets — extracted from every fetched page (crawler.py:296).
-        # Checkpointed per tier: the extracted rows are TINY (matches are
-        # rare), so this runs the secrets UDF exactly once per page ever —
-        # result-time consumers (counts, reports, CSV) read the handful of
-        # materialized rows instead of re-scanning every caption per action.
-        st["secrets"] = st["secrets"].unionByName(
-            extraction.secrets_of(fetched, self._secrets_udf)
-        ).localCheckpoint()
-
-        # P1+P2 link extraction, gated by F7 (crawler.py:343-344).
-        # `children` is checkpointed once per tier: the single links-UDF
-        # pass feeds enqueue, edges, AND found — without this, the lazy
-        # lineage re-ran the UDF once for the enqueue materialization and
-        # again per result-time action. The exploded output is
-        # O(out-degree × tier) rows; localCheckpoint stores it
-        # MEMORY_AND_DISK (spills, never OOMs), and at real scale each
-        # tier's edges land in the sink incrementally anyway (checkpoint
-        # rounds re-point lineage at parquet).
-        children = extraction.children_of(fetched, self._links_udf).localCheckpoint()
-        mark("extract_links")
+        # P1+P2 link extraction, gated by F7 (crawler.py:343-344)
+        children = extraction.children_of(combined)
 
         # D5 edges recorded regardless of enqueue (crawler.py:364-376) —
-        # lazy unions over the per-tier checkpointed `children`; the single
+        # lazy unions over the per-tier checkpointed `combined`; the single
         # dropDuplicates in _loop dedups the whole accumulation at the end
         st["edges"] = st["edges"].unionByName(extraction.edges_of(children))
 

@@ -1,11 +1,18 @@
 """Tier-extraction plan fragments shared VERBATIM by the batch crawler
 (plans/crawler.py) and the streaming bridge (streaming/crawl_bridge.py).
 
-The crawl's per-tier extraction (F7 gate → P1+P2 links → D5 edges;
-P3 secrets) is stateless per fetched page, so the identical DataFrame
-fragment runs in both execution modes — the same one-operator-two-modes
-pattern as S4 local scan (SURVEY §3.2). The bridge test gates
-availableNow-stream ≡ batch on these outputs.
+One Arrow pass per tier: the combined UDF (functions/extract.py
+``make_extract_udf``) turns each fetched page into
+``struct(children, secrets, title)`` in a single JVM→worker caption
+transfer — running links, secrets, and title as separate UDFs shipped
+every caption across the Arrow boundary three times and capped executor
+feed throughput at high parallelism. The checkpointed combined output
+carries the frontier identity + page metadata but NOT the caption, so
+the tier's large text column is never stored twice.
+
+All fragments are stateless per page, so the identical DataFrame code
+runs in both execution modes — the one-operator-two-modes pattern of
+SURVEY §3.2; the bridge test gates availableNow-stream ≡ batch on them.
 """
 
 from __future__ import annotations
@@ -14,24 +21,53 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.exprs import is_extend_expr, is_js_expr
 
+# frontier identity + fetched metadata that downstream consumers need;
+# caption deliberately absent (it lives only inside the UDF pass)
+_CARRY_COLS = [
+    "url_norm", "scheme", "netloc", "path", "params", "query", "fragment",
+    "depth", "discovery_seq", "status", "content_type", "content_length",
+]
 
-def secrets_of(fetched: DataFrame, secrets_udf) -> DataFrame:
-    """P3: every fetched page → (url_norm, rule_name, match)
-    (reference crawler.py:296, 311)."""
+
+def extract_combined(fetched: DataFrame, extract_udf) -> DataFrame:
+    """F7-gated P1∪P2 + P3 + P7 in one pass: fetched pages →
+    carry-columns + ``ex`` struct(children, secrets, title)."""
     return fetched.select(
-        "url_norm", F.explode(secrets_udf("caption")).alias("s")
+        *_CARRY_COLS,
+        extract_udf(
+            F.col("scheme"), F.col("netloc"), F.col("caption"),
+            is_extend_expr(F.col("content_type")),
+        ).alias("ex"),
+    )
+
+
+def nodes_of(combined: DataFrame) -> DataFrame:
+    """P10 metadata projection + P7 title (reference URLNode state)."""
+    return combined.select(
+        "url_norm", "scheme", "netloc", "path", "params", "query",
+        "fragment", "depth",
+        F.col("status").cast("string").alias("status"),
+        F.col("ex.title").alias("title"),
+        F.col("content_length").cast("long").alias("content_length"),
+        "content_type",
+    )
+
+
+def secrets_of(combined: DataFrame) -> DataFrame:
+    """P3: (url_norm, rule_name, match) rows (crawler.py:296, 311)."""
+    return combined.select(
+        "url_norm", F.explode("ex.secrets").alias("s")
     ).select("url_norm", "s.rule_name", "s.match")
 
 
-def children_of(fetched: DataFrame, links_udf) -> DataFrame:
-    """F7 + P1∪P2: extendable pages → exploded child rows
-    (parent_norm, parent_seq, url 6-tuple + url_norm)."""
-    ext = fetched.filter(is_extend_expr(F.col("content_type")))
+def children_of(combined: DataFrame) -> DataFrame:
+    """Exploded child rows (parent_norm, parent_seq, url 6-tuple +
+    url_norm); pure JVM explode over the checkpointed arrays."""
     return (
-        ext.select(
+        combined.select(
             F.col("url_norm").alias("parent_norm"),
             F.col("discovery_seq").alias("parent_seq"),
-            F.explode(links_udf("scheme", "netloc", "caption")).alias("c"),
+            F.explode("ex.children").alias("c"),
         )
         .select("parent_norm", "parent_seq", "c.*")
     )

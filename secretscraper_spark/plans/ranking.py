@@ -15,12 +15,16 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 
+SMALL_INPUT_ROWS = 200_000
+
+
 def assign_global_seq(
     df: DataFrame,
     order_cols: list[str],
     seq_col: str = "discovery_seq",
     start: int = 0,
     num_partitions: int | None = None,
+    small_input_rows: int = SMALL_INPUT_ROWS,
 ) -> DataFrame:
     """Add ``seq_col`` = dense global rank of rows ordered by *order_cols*
     (caller guarantees the key is unique per row), starting at *start*."""
@@ -32,6 +36,21 @@ def assign_global_seq(
     # cost of ranking; after this checkpoint the sample pass reads
     # already-materialized rows.
     df = df.localCheckpoint()
+    # Stats-adaptive plan choice (the count is free — the input is already
+    # materialized): below ``small_input_rows`` a single-partition window
+    # beats the two-phase rank's 4 extra jobs (sample, checkpoint, counts,
+    # Arrow tag) by seconds of pure scheduling overhead, and a one-task
+    # sort of ≤2·10^5 short rows is microseconds-per-row work. Large
+    # inputs — the 10^10-frontier regime — always take the distributed
+    # path below; this mirrors how AQE picks physical plans from runtime
+    # statistics.
+    if df.count() <= small_input_rows:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(
+            seq_col, (F.row_number().over(w) - 1 + F.lit(start)).cast("long")
+        )
     ranged = df.repartitionByRange(int(parts), *order_cols).sortWithinPartitions(*order_cols)
     # freeze the (sampled) range boundaries so the count pass and the tag
     # pass see identical partitioning

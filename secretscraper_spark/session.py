@@ -28,6 +28,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # default 10000-row Arrow batches are ~160 MB per in-flight batch
+        # on 16 KB text rows; with many concurrent Pandas-UDF tasks in one
+        # local JVM that's pure GC churn. 1024 keeps batches ~MB-sized with
+        # no measurable cost on narrow rows.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -49,6 +57,12 @@ def get_spark(
     # (~2 s) inside the measured job. Workers are reused afterwards
     # (spark.python.worker.reuse defaults to true), so this is a once-per-
     # executor cost — the same one a real cluster pays at executor start.
+    # The lower() column makes the same job warm the ICU collation tables
+    # INSIDE each executor JVM too — on multi-process masters
+    # (local-cluster / a real cluster) the driver-side constant-fold above
+    # only warms the driver.
+    from pyspark.sql import functions as _F
+
     n = spark.sparkContext.defaultParallelism
 
     def _noop(it):
@@ -56,7 +70,8 @@ def get_spark(
 
     (
         spark.range(0, n, 1, numPartitions=n)
-        .mapInPandas(_noop, "id long")
+        .withColumn("w", _F.lower(_F.concat(_F.lit("Wé"), _F.col("id"))))
+        .mapInPandas(_noop, "id long, w string")
         .write.format("noop").mode("overwrite").save()
     )
     return spark

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..config import loaded_rules, url_finder_rules
-from ..functions.extract import make_links_udf, make_secrets_udf
+from ..functions.extract import make_extract_udf
 from ..plans import extraction
 from ..schemas import FRONTIER_SCHEMA
 
@@ -44,18 +44,28 @@ def stream_fetched(
     return r.format(fmt).load(input_dir)
 
 
+def _combined(fetched, rules, link_rules):
+    udf = make_extract_udf(
+        url_finder_rules() if link_rules is None else link_rules,
+        loaded_rules() if rules is None else rules,
+    )
+    return extraction.extract_combined(fetched, udf)
+
+
 def stream_tier_secrets(
-    fetched: DataFrame, rules: dict[str, str] | None = None
+    fetched: DataFrame, rules: dict[str, str] | None = None,
+    link_rules: dict[str, str] | None = None,
 ) -> DataFrame:
     """P3 over the stream — the batch tier's secrets fragment verbatim."""
-    udf = make_secrets_udf(loaded_rules() if rules is None else rules)
-    return extraction.secrets_of(fetched, udf)
+    return extraction.secrets_of(_combined(fetched, rules, link_rules))
 
 
 def stream_tier_edges(
-    fetched: DataFrame, link_rules: dict[str, str] | None = None
+    fetched: DataFrame, rules: dict[str, str] | None = None,
+    link_rules: dict[str, str] | None = None,
 ) -> DataFrame:
     """F7→P1∪P2→D5 over the stream — the batch tier's edge fragment
     verbatim (per-page child explosion; stateless map)."""
-    udf = make_links_udf(url_finder_rules() if link_rules is None else link_rules)
-    return extraction.edges_of(extraction.children_of(fetched, udf))
+    return extraction.edges_of(
+        extraction.children_of(_combined(fetched, rules, link_rules))
+    )

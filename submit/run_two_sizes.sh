@@ -16,8 +16,9 @@ rm -f "$ZIP"
 zip -qr "$ZIP" secretscraper_spark
 
 run() { # run <master> <shuffle_partitions>
+  # task.cpus=1: at these partial-host parallelism levels the Python
+  # workers are the bottleneck (see BASELINE.md task-slot sizing note)
   spark-submit --master "$1" \
-    --conf spark.task.cpus=2 \
     --conf spark.sql.shuffle.partitions="$2" \
     --conf spark.sql.adaptive.enabled=true \
     --conf spark.driver.memory=24g \
@@ -27,8 +28,8 @@ run() { # run <master> <shuffle_partitions>
     2>/dev/null | tail -1
 }
 
-LO_JSON=$(run 'local[8]' 16)
-HI_JSON=$(run 'local[32]' 32)
+LO_JSON=$(run 'local[2]' 4)
+HI_JSON=$(run 'local[8]' 8)
 
 python - "$LO_JSON" "$HI_JSON" <<'EOF'
 import json, sys

@@ -118,3 +118,27 @@ class TestBs4Gate:
             # this environment: dispatch must be the regex path
             html = '<a href="/x">a</a>'
             assert pk2.harvest_dom_hrefs(html) == {"/x"}
+
+
+class TestBSElementExtractor:
+    """P5 — reference BSHandler surface (handler.py:140-160)."""
+
+    def test_import_gate_raises_without_bs4(self):
+        import secretscraper_spark.functions.purekit as pk2
+
+        if pk2._BeautifulSoup is not None:
+            pytest.skip("bs4 present")
+        with pytest.raises(ImportError):
+            pk2.BSElementExtractor(lambda soup: None)
+
+    def test_filter_func_semantics(self):
+        pytest.importorskip("bs4")
+        from secretscraper_spark.functions.purekit import BSElementExtractor
+
+        ex = BSElementExtractor(
+            lambda soup: [t.get_text() for t in soup.find_all("b")] or None
+        )
+        assert ex.extract("<b>x</b><b>y</b>") == [
+            ("HTML Element", "['x', 'y']")
+        ]
+        assert ex.extract("<i>none</i>") == []
