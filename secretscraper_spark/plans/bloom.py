@@ -133,7 +133,7 @@ def build_bucketed_bloom(
     k = _num_hashes(bits, capacity_per_bucket)
     hashed = seen.select(
         F.xxhash64(key_col).alias("h"),
-        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).alias("bucket"),
+        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
 
     def to_bitmap(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -167,7 +167,7 @@ def update_bucketed_bloom(
     default_k = _num_hashes(default_bits, capacity_per_bucket)
     hashed = new_seen.select(
         F.xxhash64(key_col).alias("h"),
-        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).alias("bucket"),
+        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
 
     def merge(shard_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -198,38 +198,48 @@ def bucketed_bloom_anti_join(
     key_col: str = "url_norm", n_buckets: int = 64,
 ) -> DataFrame:
     """Exact `candidates ∖ seen` via the sharded filter: candidates are
-    hash-partitioned by bucket, probed against their own shard inside
-    applyInPandas (the bitmap is group-constant, held once per task), and
-    only shard-positive rows pay the exact anti-join."""
-    cand = candidates.withColumn(
-        "__bucket", F.pmod(F.xxhash64(key_col), F.lit(n_buckets))
-    )
-    joined = cand.join(
-        blooms.withColumnRenamed("bucket", "__bucket"), "__bucket", "left"
-    )
+    hash-partitioned by bucket and probed against their own shard inside
+    a COGROUP — the bitmap travels once per bucket, NEVER attached to
+    candidate rows (a join-then-groupBy formulation copies the ~78 KB
+    bitmap into every candidate row and shuffles gigabytes; measured 5×
+    slower than the exact join at a 2·10^5-row tier before this fix).
+    Only shard-positive rows pay the exact anti-join; the tagged split is
+    checkpointed so its two consumers share one probe execution."""
     from pyspark.sql import types as T
 
-    def probe(pdf: pd.DataFrame) -> pd.DataFrame:
-        body = pdf.drop(columns=["bitmap", "bits", "k"])
-        if pdf["bitmap"].iloc[0] is None:  # no shard ⇒ bucket never seen
+    cand = candidates.withColumn(
+        "__bucket", F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+    ).withColumn("__h", F.xxhash64(key_col))
+
+    probe_schema = T.StructType(
+        [f for f in cand.schema.fields if f.name not in ("__h",)]
+        + [T.StructField("bloom_positive", T.BooleanType())]
+    )
+
+    def probe(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        body = cand_pdf.drop(columns=["__h"])
+        if not len(cand_pdf):
+            body["bloom_positive"] = pd.Series([], dtype=bool)
+            return body
+        if not len(shard_pdf):  # no shard ⇒ bucket never seen
             body["bloom_positive"] = False
             return body
-        bm = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8)
-        bits, k = int(pdf["bits"].iloc[0]), int(pdf["k"].iloc[0])
-        vals = pdf["__h"].to_numpy(dtype=np.int64)
+        bm = np.frombuffer(shard_pdf["bitmap"].iloc[0], dtype=np.uint8)
+        bits, k = int(shard_pdf["bits"].iloc[0]), int(shard_pdf["k"].iloc[0])
+        vals = cand_pdf["__h"].to_numpy(dtype=np.int64)
         hit = np.ones(len(vals), dtype=bool)
         for pos in _positions(vals, k, bits):
             hit &= (bm[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
         body["bloom_positive"] = hit
         return body
 
-    with_h = joined.withColumn("__h", F.xxhash64(key_col))
-    probe_schema = T.StructType(
-        [f for f in with_h.schema.fields if f.name not in ("bitmap", "bits", "k")]
-        + [T.StructField("bloom_positive", T.BooleanType())]
+    tagged = (
+        cand.groupBy("__bucket")
+        .cogroup(blooms.withColumnRenamed("bucket", "__bucket").groupBy("__bucket"))
+        .applyInPandas(probe, probe_schema)
+        .drop("__bucket")
+        .localCheckpoint()
     )
-    tagged = with_h.groupBy("__bucket").applyInPandas(probe, probe_schema)
-    tagged = tagged.drop("__h", "__bucket")
 
     negatives = tagged.filter(~F.col("bloom_positive")).drop("bloom_positive")
     positives = (

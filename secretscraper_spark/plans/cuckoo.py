@@ -129,7 +129,7 @@ def build_sharded_cuckoo(
     """(bucket, table, m) — one cuckoo shard per key-hash bucket."""
     hashed = seen.select(
         F.xxhash64(key_col).alias("h"),
-        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).alias("bucket"),
+        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -160,7 +160,7 @@ def update_sharded_cuckoo(
     failed an insert routes its whole bucket to the exact anti-join."""
     hashed = new_seen.select(
         F.xxhash64(key_col).alias("h"),
-        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).alias("bucket"),
+        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
 
     def merge(shard_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -197,7 +197,7 @@ def delete_from_sharded_cuckoo(
     no expiries pass through untouched."""
     hashed = expired.select(
         F.xxhash64(key_col).alias("h"),
-        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).alias("bucket"),
+        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
 
     def drop_keys(shard_pdf: pd.DataFrame, exp_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -226,39 +226,54 @@ def cuckoo_anti_join(
     key_col: str = "url_norm", n_buckets: int = 64,
 ) -> DataFrame:
     """Exact `candidates ∖ seen` routed through the sharded cuckoo filter
-    (same contract as bloom.bucketed_bloom_anti_join)."""
+    (same contract as bloom.bucketed_bloom_anti_join): cogroup per bucket
+    so the shard table travels once per bucket — never attached to
+    candidate rows (see bloom.py for the shuffle blow-up the
+    join-then-groupBy form causes) — and the tagged split is checkpointed
+    so both consumers share one probe execution."""
     cand = candidates.withColumn(
-        "__bucket", F.pmod(F.xxhash64(key_col), F.lit(n_buckets))
+        "__bucket", F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
     ).withColumn("__h", F.xxhash64(key_col))
-    joined = cand.join(
-        shards.withColumnRenamed("bucket", "__bucket")
-        .select("__bucket", "table", "m", "failed"),
-        "__bucket", "left",
-    )
 
     probe_schema = T.StructType(
-        [f for f in joined.schema.fields if f.name not in ("table", "m", "failed")]
+        [f for f in cand.schema.fields if f.name not in ("__h",)]
         + [T.StructField("maybe_seen", T.BooleanType())]
     )
 
-    def probe(pdf: pd.DataFrame) -> pd.DataFrame:
-        body = pdf.drop(columns=["table", "m", "failed"])
-        if pdf["table"].iloc[0] is None:
+    def probe(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        body = cand_pdf.drop(columns=["__h"])
+        if not len(cand_pdf):
+            body["maybe_seen"] = pd.Series([], dtype=bool)
+            return body
+        if not len(shard_pdf):
             body["maybe_seen"] = False
             return body
         # a shard with failed inserts is missing fingerprints — its
         # negatives are NOT trustworthy, so route the whole bucket to the
         # exact anti-join (practically unreachable: build sizes 2x, but the
         # exactness contract must not depend on sizing)
-        if int(pdf["failed"].iloc[0] or 0) > 0:
+        if int(shard_pdf["failed"].iloc[0] or 0) > 0:
             body["maybe_seen"] = True
             return body
-        shard = CuckooShard.from_bytes(pdf["table"].iloc[0], int(pdf["m"].iloc[0]))
-        body["maybe_seen"] = shard.contains_hashes(pdf["__h"].to_numpy(dtype=np.int64))
+        shard = CuckooShard.from_bytes(
+            shard_pdf["table"].iloc[0], int(shard_pdf["m"].iloc[0])
+        )
+        body["maybe_seen"] = shard.contains_hashes(
+            cand_pdf["__h"].to_numpy(dtype=np.int64)
+        )
         return body
 
-    tagged = joined.groupBy("__bucket").applyInPandas(probe, probe_schema)
-    tagged = tagged.drop("__h", "__bucket")
+    tagged = (
+        cand.groupBy("__bucket")
+        .cogroup(
+            shards.withColumnRenamed("bucket", "__bucket")
+            .select("__bucket", "table", "m", "failed")
+            .groupBy("__bucket")
+        )
+        .applyInPandas(probe, probe_schema)
+        .drop("__bucket")
+        .localCheckpoint()
+    )
     negatives = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     positives = (
         tagged.filter(F.col("maybe_seen"))

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 
-SMALL_INPUT_ROWS = 200_000
+SMALL_INPUT_ROWS = 1_000_000
 
 
 def assign_global_seq(

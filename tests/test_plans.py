@@ -363,3 +363,55 @@ class TestDistributedSeedFrontier:
         # the filtered-out seed leaves a gap in the sequence (parity quirk)
         seqs = sorted(r.discovery_seq for r in drv.collect())
         assert len(seqs) == max(seqs)  # one missing value below the max
+
+
+class TestShardedSeenExactnessAtScale:
+    """Regression for the cogroup bucket-key type bug: candidate buckets
+    were BIGINT (pmod of xxhash64) while shard buckets were INT, so the
+    two cogroup sides hash-partitioned DIFFERENTLY and shards failed to
+    pair with their candidates once real partitioning kicked in — massive
+    false negatives (re-enqueued seen URLs) at 10^5+ rows while every
+    small test passed via AQE coalescing everything into one partition.
+    This test pins AQE off and enough rows that partition placement
+    matters."""
+
+    def _frames(self, spark, n=60000):
+        from pyspark.sql import functions as F
+
+        seen = spark.range(n).select(
+            F.concat(F.lit("http://s.test/p"), F.col("id")).alias("url_norm")
+        ).localCheckpoint()
+        unseen = spark.range(n, n + 2000).select(
+            F.concat(F.lit("http://s.test/p"), F.col("id")).alias("url_norm")
+        )
+        cand = seen.union(unseen).localCheckpoint()
+        return seen, unseen, cand
+
+    def test_bloom_and_cuckoo_zero_false_negatives(self, spark):
+        from secretscraper_spark.plans import bloom as bl
+        from secretscraper_spark.plans import cuckoo as ck
+
+        old = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            seen, unseen, cand = self._frames(spark)
+            half = seen.limit(30000).localCheckpoint()
+            rest = seen.join(half, "url_norm", "left_anti").localCheckpoint()
+
+            blooms = bl.update_bucketed_bloom(
+                bl.build_bucketed_bloom(half, n_buckets=16).localCheckpoint(),
+                rest, n_buckets=16,
+            ).localCheckpoint()
+            out_b = bl.bucketed_bloom_anti_join(cand, seen, blooms, n_buckets=16)
+            assert out_b.count() == 2000
+            assert out_b.join(seen, "url_norm", "inner").count() == 0
+
+            shards = ck.update_sharded_cuckoo(
+                ck.build_sharded_cuckoo(half, n_buckets=16).localCheckpoint(),
+                rest, n_buckets=16,
+            ).localCheckpoint()
+            out_c = ck.cuckoo_anti_join(cand, seen, shards, n_buckets=16)
+            assert out_c.count() == 2000
+            assert out_c.join(seen, "url_norm", "inner").count() == 0
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", old)
