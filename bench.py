@@ -270,7 +270,7 @@ def main() -> None:
         keys = ("master", "wall_sec", "pages_per_sec", "urls_per_sec", "pages_fetched")
         scaling = {
             "mode": "saturated frontier (all pages seeded, one full-site tier), "
-                    f"task.cpus=2, best of {reps} runs per leg, "
+                    f"task.cpus=1, best of {reps} runs per leg, "
                     f"{SCALING_FILLER}B pages x {scaling_pages}",
             "low": {k: lo[k] for k in keys},
             "high": {k: hi[k] for k in keys},

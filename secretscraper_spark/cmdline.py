@@ -102,7 +102,8 @@ class ExternalEntry:
 @click.option(
     "-x",
     "--proxy",
-    help="Set proxy, e.g. http://127.0.0.1:8080, socks5://127.0.0.1:7890",
+    help="Set proxy, e.g. http://127.0.0.1:8080 "
+         "(socks5:// needs a SOCKS-capable page_fetch_fn)",
     type=click.STRING,
 )
 @click.option("-H", "--hide-regex", help="Hide regex search result", is_flag=True)

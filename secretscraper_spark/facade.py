@@ -200,12 +200,15 @@ class CrawlerFacade:
             from .schemas import PAGES_SCHEMA
 
             fetch_mode = "paced"
-            fetch_fn = self.page_fetch_fn or make_http_fetch_fn(
-                headers=self.headers,
-                timeout=float(settings.get("timeout", 5)),
-                follow_redirects=bool(settings.get("follow_redirects", True)),
-                proxy=settings.get("proxy") or None,
-            )
+            try:
+                fetch_fn = self.page_fetch_fn or make_http_fetch_fn(
+                    headers=self.headers,
+                    timeout=float(settings.get("timeout", 5)),
+                    follow_redirects=bool(settings.get("follow_redirects", True)),
+                    proxy=settings.get("proxy") or None,
+                )
+            except ValueError as e:  # e.g. socks proxy with the stdlib fetcher
+                raise FacadeException(str(e)) from e
             pages = self.spark.createDataFrame([], PAGES_SCHEMA)
 
         return SparkCrawler(
@@ -216,9 +219,11 @@ class CrawlerFacade:
             page_fetch_fn=fetch_fn,
             rules=loaded_rules_from(settings),
             link_rules=url_finder_rules_from(settings),
-            # real HTTP honors the politeness schedule on the wall clock;
-            # the deterministic pages-store replay keeps the virtual clock
-            paced_virtual=(fetch_mode == "join" or self.page_fetch_fn is not None),
+            checkpoint_dir=custom.get("checkpoint_dir"),
+            # any real fetcher — default HTTP or caller-supplied — honors
+            # the politeness schedule on the wall clock; only the
+            # deterministic pages-store replay keeps the virtual clock
+            paced_virtual=(fetch_mode == "join"),
         )
 
     def start(self) -> CrawlResult:

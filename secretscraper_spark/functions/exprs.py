@@ -74,9 +74,15 @@ def root_domain(host: Column) -> Column:
     from .psl import tables
 
     multi, wild, exc = tables()
-    by_len: dict[int, list[str]] = {}
+    multi_by_len: dict[int, list[str]] = {}
     for s in multi:
-        by_len.setdefault(s.count(".") + 1, []).append(s)
+        multi_by_len.setdefault(s.count(".") + 1, []).append(s)
+    wild_by_len: dict[int, list[str]] = {}  # keyed by BASE label count
+    for s in wild:
+        wild_by_len.setdefault(s.count(".") + 1, []).append(s)
+    exc_by_len: dict[int, list[str]] = {}
+    for s in exc:
+        exc_by_len.setdefault(s.count(".") + 1, []).append(s)
 
     labels = F.split(F.lower(host), r"\.")
     n = F.size(labels)
@@ -84,23 +90,28 @@ def root_domain(host: Column) -> Column:
     def lastk(k: int) -> Column:
         return F.array_join(F.slice(labels, -k, k), ".")
 
-    def has_suffix(k: int) -> Column:
-        cond = F.lit(False)
-        if by_len.get(k):
-            cond = lastk(k).isin(by_len[k])
-        if k == 2 and wild:
-            wildcard = F.element_at(labels, -1).isin(list(wild))
-            if exc:
-                wildcard = wildcard & ~lastk(2).isin(list(exc))
-            cond = cond | wildcard
-        return (n >= k) & cond
-
-    k = (
-        F.when(has_suffix(4), F.lit(4))
-        .when(has_suffix(3), F.lit(3))
-        .when(has_suffix(2), F.lit(2))
-        .otherwise(F.lit(1))
+    # publicsuffix.org algorithm, kernel-parity with psl.suffix_label_count:
+    # exception rules prevail (suffix = rule labels - 1), then the longest
+    # exact/wildcard rule, default 1. Wildcard "*.base" needs one label
+    # past its base, so a base of j-1 labels yields suffix length j.
+    k: Column | None = None
+    for m in sorted(exc_by_len, reverse=True):
+        cond = (n >= m) & lastk(m).isin(exc_by_len[m])
+        k = F.when(cond, F.lit(m - 1)) if k is None else k.when(cond, F.lit(m - 1))
+    max_rule = max(
+        list(multi_by_len) + [j + 1 for j in wild_by_len] + [1]
     )
+    for j in range(max_rule, 1, -1):
+        cond, has = F.lit(False), False
+        if multi_by_len.get(j):
+            cond, has = lastk(j).isin(multi_by_len[j]), True
+        if wild_by_len.get(j - 1):
+            wc = lastk(j - 1).isin(wild_by_len[j - 1])
+            cond, has = (cond | wc) if has else wc, True
+        if has:
+            cond = (n >= j) & cond
+            k = F.when(cond, F.lit(j)) if k is None else k.when(cond, F.lit(j))
+    k = F.lit(1) if k is None else k.otherwise(F.lit(1))
     kk = k + F.lit(1)
     return (
         F.when(n > k, F.array_join(F.slice(labels, -kk, kk), "."))

@@ -112,17 +112,34 @@ MULTI_SUFFIXES: frozenset[str] = frozenset({
     "dyndns.org", "no-ip.org", "duckdns.org",
 })
 
-# Wildcard rules (*.<tld>): every label directly under these TLDs is
-# itself a public suffix — minus the exception rules.
+# Wildcard rule BASES (the part after "*."): any single label directly
+# under a base is itself a public suffix — minus the exception rules.
+# Bases may be multi-label in a full PSL (*.kawasaki.jp, *.compute.
+# amazonaws.com); the vendored snapshot only carries the TLD-level ones.
 WILDCARD_TLDS: frozenset[str] = frozenset(
     {"bd", "ck", "er", "fj", "jm", "kh", "mm", "np", "pg"}
 )
+# Exception rules (``!rule``): the rule is NOT a public suffix — the
+# suffix is the rule minus its leftmost label (publicsuffix.org spec).
 WILDCARD_EXCEPTIONS: frozenset[str] = frozenset({"www.ck"})
+
+
+def _max_rule_labels(
+    multi: frozenset[str], wild: frozenset[str], exc: frozenset[str]
+) -> int:
+    return max(
+        [s.count(".") + 1 for s in multi]
+        + [s.count(".") + 2 for s in wild]  # base labels + the "*" label
+        + [s.count(".") + 1 for s in exc]
+        + [1]
+    )
+
 
 _tables: dict = {
     "multi": MULTI_SUFFIXES,
     "wild": WILDCARD_TLDS,
     "exc": WILDCARD_EXCEPTIONS,
+    "maxk": _max_rule_labels(MULTI_SUFFIXES, WILDCARD_TLDS, WILDCARD_EXCEPTIONS),
 }
 
 
@@ -133,8 +150,10 @@ def tables() -> tuple[frozenset[str], frozenset[str], frozenset[str]]:
 def load_psl_file(path: str) -> None:
     """Replace the snapshot tables with a full public_suffix_list.dat
     (publicsuffix.org format: comments ``//``, wildcards ``*.``,
-    exceptions ``!``). Single-label rules are dropped — the fallback
-    handles them."""
+    exceptions ``!``). Single-label exact rules are dropped — the default
+    1-label suffix already covers them. Nested wildcards
+    (``*.kawasaki.jp``) keep their full base so the suffix is computed
+    one label PAST the base, exactly as tldextract does."""
     multi, wild, exc = set(), set(), set()
     with open(path, encoding="utf8") as f:
         for line in f:
@@ -144,29 +163,37 @@ def load_psl_file(path: str) -> None:
             if line.startswith("!"):
                 exc.add(line[1:].lower())
             elif line.startswith("*."):
-                rest = line[2:].lower()
-                if "." in rest:
-                    multi.add(rest)  # *.x.y — treat base as multi rule too
-                else:
-                    wild.add(rest)
+                wild.add(line[2:].lower())
             elif "." in line:
                 multi.add(line.lower())
     _tables.update(
-        multi=frozenset(multi), wild=frozenset(wild), exc=frozenset(exc)
+        multi=frozenset(multi),
+        wild=frozenset(wild),
+        exc=frozenset(exc),
+        maxk=_max_rule_labels(multi, wild, exc),  # type: ignore[arg-type]
     )
 
 
 def suffix_label_count(labels: list[str]) -> int:
-    """Number of trailing labels forming the public suffix (longest rule
-    wins, publicsuffix.org algorithm over the loaded tables)."""
+    """Number of trailing labels forming the public suffix
+    (publicsuffix.org algorithm over the loaded tables: an exception rule
+    prevails over everything and yields its label count minus one;
+    otherwise the longest exact or wildcard match wins; default 1)."""
     multi, wild, exc = tables()
-    for k in (4, 3, 2):
-        if len(labels) >= k and ".".join(labels[-k:]) in multi:
-            return k
-    if (
-        len(labels) >= 2
-        and labels[-1] in wild
-        and ".".join(labels[-2:]) not in exc
-    ):
-        return 2
-    return 1
+    n = len(labels)
+    top = min(n, _tables["maxk"])
+    for k in range(top, 0, -1):
+        if ".".join(labels[-k:]) in exc:
+            return k - 1
+    best = 1
+    for k in range(top, 1, -1):
+        if ".".join(labels[-k:]) in multi:
+            best = k
+            break
+    # wildcard "*.base": matches when the host ends with base AND has a
+    # label left for the "*" — suffix = base labels + 1
+    for k in range(top, 1, -1):
+        if ".".join(labels[-(k - 1):]) in wild:
+            best = max(best, k)
+            break
+    return best

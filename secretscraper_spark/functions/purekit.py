@@ -322,13 +322,12 @@ _TAG_STRIP = re.compile(r"<[^>]+>")
 
 def extract_title(text: str) -> str:
     # bs4 path (exact util.py:109-116 get_text walk) when the wheel
-    # exists; the tag-strip regex reproduces it on well-formed markup
-    try:
-        from bs4 import BeautifulSoup
-    except ImportError:
-        BeautifulSoup = None
-    if BeautifulSoup is not None:
-        bs = BeautifulSoup(text or "", "html.parser")
+    # exists; the tag-strip regex reproduces it on well-formed markup.
+    # Uses the module-level _BeautifulSoup gate (below) — a failed import
+    # is NOT cached by Python, so a per-call try-import would re-run the
+    # import machinery for every fetched page in the fused extraction UDF.
+    if _BeautifulSoup is not None:
+        bs = _BeautifulSoup(text or "", "html.parser")
         return "|".join(
             t.get_text().replace("\n", " ").replace("\r", " ").strip()
             for t in bs.find_all("title")

@@ -11,8 +11,9 @@ collapse to the equivalent families below, with the same outcome for
 each: swallow and return None.
 
 Built on ``urllib.request`` (httpx is not installable here; the stdlib
-client is the public equivalent). Each paced-executor task builds its own
-opener — handlers are not thread-safe to share — and the reference's
+client is the public equivalent). Each fetching THREAD builds its own
+opener — handlers are not thread-safe to share, and the paced executor
+runs up to max_concurrent_per_domain threads per host slot — and the reference's
 connection-pool knobs (``max_connections`` C4) bound concurrency at the
 politeness layer (slots × hosts), which is where the paced executor
 enforces them.
@@ -25,6 +26,7 @@ BASELINE.json input_hint).
 
 from __future__ import annotations
 
+import threading
 import typing
 import urllib.error
 import urllib.parse
@@ -46,26 +48,45 @@ def make_http_fetch_fn(
     """Build a picklable fetch fn for the paced executor.
 
     The returned callable runs on executors inside applyInPandas workers;
-    it constructs its opener lazily per process and caches it.
+    it constructs its opener lazily per THREAD and caches it —
+    ``OpenerDirector.open`` is not documented thread-safe, and the paced
+    executor issues up to max_concurrent_per_domain fetches concurrently
+    within a host slot (plans/fetch_exec.py:_issue_host).
+
+    Raises ValueError for non-HTTP proxy schemes: urllib's ProxyHandler
+    silently treats e.g. ``socks5://`` as a plain HTTP proxy endpoint and
+    every fetch would fail into the status-Unknown arm — a SOCKS proxy
+    needs a SOCKS-capable ``page_fetch_fn`` instead.
     """
     headers = dict(headers or {})
+    if proxy:
+        scheme = (urllib.parse.urlparse(proxy).scheme or "http").lower()
+        if scheme not in ("http", "https"):
+            raise ValueError(
+                f"unsupported proxy scheme {scheme!r}: the built-in stdlib "
+                "fetcher speaks HTTP(S) proxies only; pass a SOCKS-capable "
+                "page_fetch_fn for socks:// proxies"
+            )
     state: dict[str, typing.Any] = {}
 
     def _opener() -> urllib.request.OpenerDirector:
-        op = state.get("opener")
+        # threading.local is created lazily (it does not pickle); dict
+        # setdefault is atomic under the GIL, so the worst race is one
+        # discarded redundant local.
+        loc = state.get("local")
+        if loc is None:
+            loc = state.setdefault("local", threading.local())
+        op = getattr(loc, "opener", None)
         if op is None:
             handlers: list[urllib.request.BaseHandler] = []
             if proxy:
-                scheme = urllib.parse.urlparse(proxy).scheme or "http"
                 handlers.append(
-                    urllib.request.ProxyHandler(
-                        {"http": proxy, "https": proxy, scheme: proxy}
-                    )
+                    urllib.request.ProxyHandler({"http": proxy, "https": proxy})
                 )
             if not follow_redirects:
                 handlers.append(_NoRedirect())
             op = urllib.request.build_opener(*handlers)
-            state["opener"] = op
+            loc.opener = op
         return op
 
     def _result(status: int, hdrs, body: bytes) -> dict:

@@ -15,9 +15,10 @@ the granularity the engine consumes:
   replaces the whole header map.
 - Environment variables override both, Dynaconf-style:
   ``SECRETSCRAPER_MAX_DEPTH=3`` sets ``max_depth``;
-  ``SECRETSCRAPER_HEADERS__Cookie=x`` sets the nested key. Values are
-  coerced like Dynaconf's toml parsing (bool/int/float/JSON, else raw
-  string).
+  ``SECRETSCRAPER_HEADERS__COOKIE=x`` sets the nested key
+  (case-insensitive at every level, ``_``→``-`` folded so
+  ``...__USER_AGENT`` reaches ``User-Agent``). Values are coerced like
+  Dynaconf's toml parsing (bool/int/float/JSON, else raw string).
 
 The merged settings dict feeds :func:`loaded_rules_from` (the
 ``loaded: true`` gate of ``util.read_rules_from_setting``,
@@ -93,11 +94,29 @@ def _coerce(raw: str) -> Any:
     return raw
 
 
+def _resolve_key(node: Mapping[str, Any], part: str) -> str:
+    """Match an env path segment against a dict's existing keys the way
+    Dynaconf does — case-insensitively — plus an ``_``→``-`` fold so keys
+    like ``User-Agent`` (unreachable verbatim: env names cannot contain
+    ``-``) can be set via ``SECRETSCRAPER_HEADERS__USER_AGENT``."""
+    if part in node:
+        return part
+    fold = {k.lower(): k for k in node}
+    low = part.lower()
+    if low in fold:
+        return fold[low]
+    dashed = low.replace("_", "-")
+    if dashed in fold:
+        return fold[dashed]
+    return part  # genuinely new key: keep the segment verbatim
+
+
 def apply_env_overrides(
     settings: dict[str, Any], env: Mapping[str, str] | None = None
 ) -> dict[str, Any]:
     """Overlay ``SECRETSCRAPER_*`` variables (case-insensitive key match
-    against existing settings; ``__`` descends into nested dicts)."""
+    against existing settings at EVERY level; ``__`` descends into nested
+    dicts, with ``_``→``-`` folding for header-style keys)."""
     env = os.environ if env is None else env
     lower_map = {k.lower(): k for k in settings}
     for name, raw in env.items():
@@ -110,9 +129,11 @@ def apply_env_overrides(
         else:
             node = settings.setdefault(key, {})
             for part in path[1:-1]:
-                node = node.setdefault(part, {})
+                if not isinstance(node, dict):
+                    break
+                node = node.setdefault(_resolve_key(node, part), {})
             if isinstance(node, dict):
-                node[path[-1]] = _coerce(raw)
+                node[_resolve_key(node, path[-1])] = _coerce(raw)
     return settings
 
 

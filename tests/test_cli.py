@@ -87,6 +87,19 @@ class TestSettingsLoading:
         s = cfgmod.load_settings(str(f), env={"SECRETSCRAPER_MAX_DEPTH": "7"})
         assert s["max_depth"] == 7
 
+    def test_env_nested_case_insensitive(self):
+        # Dynaconf matches nested keys case-insensitively; '_'→'-' folding
+        # makes 'User-Agent' reachable (env names cannot contain '-')
+        env = {
+            "SECRETSCRAPER_HEADERS__COOKIE": "k=v",
+            "SECRETSCRAPER_HEADERS__USER_AGENT": "UA-1",
+        }
+        s = cfgmod.load_settings(None, env=env)
+        assert s["headers"]["Cookie"] == "k=v"
+        assert s["headers"]["User-Agent"] == "UA-1"
+        assert "COOKIE" not in s["headers"]
+        assert "USER_AGENT" not in s["headers"]
+
     def test_crawl_config_projection(self):
         s = cfgmod.default_settings()
         s["max_depth"] = 2
@@ -123,6 +136,40 @@ class TestCrawlerFacadeOptions:
             cfgmod.default_settings(), custom, spark=spark,
             pages=tiny_pages(spark), print_func=lambda *_: None,
         )
+
+    def test_checkpoint_dir_wired(self, spark, tmp_path):
+        ck = tmp_path / "ck"
+        fa = CrawlerFacade(
+            cfgmod.default_settings(),
+            {"url": "http://t.test/", "checkpoint_dir": str(ck)},
+            spark=spark, pages=tiny_pages(spark), print_func=lambda *_: None,
+        )
+        assert fa.crawler.checkpoint_dir == str(ck)
+        fa.crawler.run(fa.start_urls)
+        assert ck.exists() and any(ck.iterdir())  # snapshots written
+
+    def test_socks_proxy_rejected(self, spark):
+        # the stdlib fetcher cannot speak SOCKS — fail loudly at facade
+        # build, never silently return an empty crawl
+        with pytest.raises(FacadeException, match="proxy"):
+            CrawlerFacade(
+                cfgmod.default_settings(),
+                {"url": "http://t.test/", "proxy": "socks5://127.0.0.1:7890"},
+                spark=spark, print_func=lambda *_: None,
+            )
+
+    def test_fetcher_clock_modes(self, spark):
+        # a real fetcher — default HTTP or caller-supplied — honors the
+        # politeness schedule on the wall clock; only the deterministic
+        # pages-store replay keeps the virtual clock
+        fa = CrawlerFacade(
+            cfgmod.default_settings(), {"url": "http://t.test/"},
+            spark=spark, page_fetch_fn=lambda u: None,
+            print_func=lambda *_: None,
+        )
+        assert fa.crawler.paced_virtual is False
+        join_fa = self.facade(spark, {"url": "http://t.test/"})
+        assert join_fa.crawler.paced_virtual is True
 
     def test_update_settings(self, spark):
         fa = self.facade(spark, {

@@ -101,7 +101,51 @@ class TestDatLoader:
             assert get_root_domain("ok.wild") == "ok.wild"    # exception
         finally:
             psl._tables.update(
-                multi=before[0], wild=before[1], exc=before[2]
+                multi=before[0], wild=before[1], exc=before[2],
+                maxk=psl._max_rule_labels(*before),
             )
         # snapshot restored
         assert get_root_domain("a.madeup.zz") == "madeup.zz"
+
+    def test_nested_wildcards_and_exceptions(self, tmp_path, spark):
+        """The real public_suffix_list.dat has nested wildcard rules
+        (*.kawasaki.jp, *.compute.amazonaws.com) and nested exceptions
+        (!city.kawasaki.jp): the suffix runs one label PAST a wildcard
+        base, and an exception yields its rule minus the leftmost label —
+        tldextract parity on exactly these shapes."""
+        dat = tmp_path / "psl.dat"
+        dat.write_text(
+            "jp\n"
+            "*.kawasaki.jp\n"
+            "!city.kawasaki.jp\n"
+            "com\n"
+            "amazonaws.com\n"
+            "*.compute.amazonaws.com\n"
+        )
+        cases = {
+            "foo.bar.kawasaki.jp": "foo.bar.kawasaki.jp",  # *.kawasaki.jp
+            "city.kawasaki.jp": "city.kawasaki.jp",        # exception rule
+            "sub.city.kawasaki.jp": "city.kawasaki.jp",
+            "vm.x.compute.amazonaws.com": "vm.x.compute.amazonaws.com",
+            "plain.example.com": "example.com",
+        }
+        before = psl.tables()
+        try:
+            psl.load_psl_file(str(dat))
+            for host, want in cases.items():
+                assert get_root_domain(host) == want, host
+            # Column-expr parity under the loaded tables
+            df = spark.createDataFrame([(h,) for h in cases], "host string")
+            got = {
+                r.host: r.root
+                for r in df.select(
+                    "host", root_domain(F.col("host")).alias("root")
+                ).collect()
+            }
+            for host, want in cases.items():
+                assert got[host] == want, host
+        finally:
+            psl._tables.update(
+                multi=before[0], wild=before[1], exc=before[2],
+                maxk=psl._max_rule_labels(*before),
+            )
