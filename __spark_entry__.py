@@ -401,10 +401,40 @@ def q_minhash_dedup(spark, sf_dir):
 
 
 def q_simhash_dedup(spark, sf_dir):
-    """SimHash near-dup pairs (non-SQL-expressible: rows-only check)."""
+    """SimHash near-dup pairs (FNV-1a + numpy kernel; non-SQL-expressible:
+    rows-only check — the SAME banding/pairing pipeline is value-gated via
+    q_simhash_portable)."""
     docs = _t_cpu(spark, sf_dir, "documents")
     sim = dedup.simhash64(docs, "doc_id", "text")
     return dedup.simhash_near_dups(sim, max_hamming=6).orderBy("doc_a", "doc_b")
+
+
+def q_minhash_portable(spark, sf_dir):
+    """The minhash-LSH pipeline of q_minhash_dedup with the dialect-portable
+    md5-prefix hash (operators/dedup.py:portable_hash64) in place of
+    xxhash64, so signatures, band hashes, bucket capping, and the pair
+    logic are ALL value-checked against the DuckDB oracle. Production keeps
+    xxhash64 (faster, same plan) — that variant is what bench.py times."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, "doc_id", "text", k=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=64, hash_mode="portable")
+    return dedup.lsh_candidate_pairs(
+        sig, num_hashes=64, bands=16, hash_mode="portable"
+    ).filter(F.col("est_jaccard") >= 0.5).orderBy("doc_a", "doc_b")
+
+
+def q_simhash_portable(spark, sf_dir):
+    """SimHash computed entirely in Catalyst (60-bit md5-prefix token
+    hashes, nested higher-order aggregates — zero Python) + the same
+    4-block pigeonhole banding as q_simhash_dedup at 15-bit blocks;
+    value-checked against the DuckDB oracle."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    sim = dedup.simhash_catalyst(docs, "doc_id", "text", bits=60)
+    return (
+        dedup.simhash_near_dups(sim, max_hamming=6, block_bits=15)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def q_lsh_ann(spark, sf_dir):
@@ -548,18 +578,23 @@ def q_shipping_priority(spark, sf_dir):
 
 def q_winnow_fingerprint(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (Schleimer et al.) per document —
-    pure Catalyst exprs (non-SQL-expressible oracle-side: DuckDB lacks
-    xxhash64; exact verification vs a python reference in
-    tests/test_operators.py::test_winnowing_fingerprints)."""
+    pure Catalyst exprs, run in the dialect-portable md5-prefix hash mode so
+    the DuckDB oracle value-checks the fingerprint VALUES (min + xor
+    digest), not just counts. The xxhash64 production mode is pinned
+    against a python reference in
+    tests/test_operators.py::test_winnowing_fingerprints."""
     from secretscraper_spark.operators.textstats import winnowing_fingerprints
 
     docs = _t_cpu(spark, sf_dir, "documents")
-    fp = winnowing_fingerprints(F.col("text"))
+    fp = winnowing_fingerprints(F.col("text"), hash_mode="portable")
     return (
         docs.select(
             "doc_id",
             F.size(fp).alias("n_fingerprints"),
-            F.size(F.array_distinct(fp)).alias("n_distinct"),
+            F.array_min(fp).alias("fp_min"),
+            F.aggregate(
+                fp, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
+            ).alias("fp_xor"),
         )
         .orderBy("doc_id")
     )
@@ -609,7 +644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": q_langid,
         "q_embedding_knn": q_embedding_knn,
         "q_minhash_dedup": q_minhash_dedup,
+        "q_minhash_portable": q_minhash_portable,
         "q_simhash_dedup": q_simhash_dedup,
+        "q_simhash_portable": q_simhash_portable,
         "q_lsh_ann": q_lsh_ann,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_embedding_neardup": q_embedding_neardup,
@@ -945,8 +982,143 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM r WHERE r.host = p.netloc AND p.path LIKE r.pfx || '%')
             ORDER BY orderkey
         """,
+        # The portable-hash twins below reproduce hash-dependent pipelines
+        # exactly: H(x) = first 15 md5 hex chars as bigint, identical in
+        # Spark (conv/substring/md5) and DuckDB ('0x'||substr cast).
+        "q_minhash_portable": _minhash_portable_oracle(),
+        "q_simhash_portable": _simhash_portable_oracle(),
+        "q_winnow_fingerprint": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(length(t) - 7, 1) + 1),
+                       i -> CAST(concat('0x',
+                              substr(md5(substr(t, CAST(i AS INT), 8)), 1, 15)
+                            ) AS BIGINT)) AS grams
+              FROM t),
+            w AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(0, greatest(len(grams) - 4, 0) + 1),
+                       j -> list_aggregate(
+                              list_slice(grams, CAST(j + 1 AS INT),
+                                         CAST(j + 4 AS INT)), 'min')) AS wins
+              FROM g),
+            d AS (SELECT doc_id, list_distinct(wins) AS fps FROM w)
+            SELECT doc_id,
+                   len(fps) AS n_fingerprints,
+                   list_aggregate(fps, 'min') AS fp_min,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+                               (a, x) -> xor(a, x)) AS fp_xor
+            FROM d ORDER BY doc_id
+        """,
         # q_minhash_dedup / q_simhash_dedup / q_lsh_ann / q_ivf_ann /
-        # q_image_verify: non-SQL-expressible (multi-stage hashing + banding,
-        # iterative k-means, binary image decode); rows-only driver check +
-        # exact pytest verification (tests/test_operators.py).
+        # q_image_verify: the production-hash / binary-codec variants stay
+        # rows-only here (xxhash64 / FNV-1a / image decode have no DuckDB
+        # equivalent); their pipeline logic is value-gated via the portable
+        # twins above plus exact pytest verification
+        # (tests/test_operators.py).
     }
+
+
+def _h_sql(expr: str) -> str:
+    """DuckDB side of operators/dedup.py:portable_hash64."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_portable_oracle() -> str:
+    """Mirror of q_minhash_portable: 64 seeded min-hashes per doc, 16
+    4-row band hashes, per-bucket cap 200, same-bucket pair join,
+    agreement-fraction estimate. Built programmatically — 64 aggregates."""
+    mins = ",\n                     ".join(
+        f"min({_h_sql(f'''shingle || chr(1) || '{i}' ''')}) AS mh{i}"
+        for i in range(64)
+    )
+    band_hashes = ",\n                       ".join(
+        _h_sql(
+            "concat_ws(chr(1), "
+            + ", ".join(f"mh{b * 4 + r}" for r in range(4))
+            + ")"
+        )
+        for b in range(16)
+    )
+    sig_arr = "[" + ", ".join(f"mh{i}" for i in range(64)) + "]"
+    return f"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i.i, i.i + 2), ' ') AS shingle
+              FROM t, LATERAL (
+                SELECT unnest(range(1, greatest(len(toks) - 3, 0) + 2)) AS i) i),
+            sig AS (
+              SELECT doc_id,
+                     {mins}
+              FROM sh GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, {sig_arr} AS sig_arr, b.band AS band,
+                     [{band_hashes}][b.band + 1] AS band_hash
+              FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS band) b),
+            capped AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY band, band_hash ORDER BY doc_id) AS rk
+                FROM banded)
+              WHERE rk <= 200),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.sig_arr AS sa, b.sig_arr AS sb
+              FROM capped a JOIN capped b USING (band, band_hash)
+              WHERE a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   round(len(list_filter(range(1, 65), i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) / 64.0,
+                         6) AS est_jaccard
+            FROM pairs
+            WHERE len(list_filter(range(1, 65), i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) / 64.0 >= 0.5
+            ORDER BY doc_a, doc_b
+        """
+
+
+def _simhash_portable_oracle() -> str:
+    """Mirror of q_simhash_portable: 60-bit simhash from portable token
+    hashes (per-bit ±1 vote sums), 4×15-bit block banding, hamming ≤ 6."""
+    tok_hash = _h_sql("tok")
+    return f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     list_transform(toks, tok -> {tok_hash}) AS th
+              FROM t),
+            s AS (
+              SELECT doc_id,
+                     CAST(COALESCE(list_sum(list_transform(range(0, 60), j ->
+                       CASE WHEN COALESCE(list_sum(list_transform(th, v ->
+                                    CASE WHEN (v >> j) & 1 = 1
+                                         THEN 1 ELSE -1 END)), 0) > 0
+                            THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)),
+                       0) AS BIGINT) AS simhash
+              FROM h),
+            banded AS (
+              SELECT doc_id, simhash, b.block AS block,
+                     (simhash >> (b.block * 15)) & 32767 AS block_val
+              FROM s, LATERAL (SELECT unnest(range(0, 4)) AS block) b),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS ha, b.simhash AS hb
+              FROM banded a JOIN banded b USING (block, block_val)
+              WHERE a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+            FROM pairs
+            WHERE bit_count(xor(ha, hb)) <= 6
+            ORDER BY doc_a, doc_b
+        """

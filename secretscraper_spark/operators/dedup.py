@@ -23,6 +23,21 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 
+def portable_hash64(col: F.Column | str, seed: int | None = None) -> F.Column:
+    """Dialect-portable 60-bit hash: the first 15 hex chars of md5 as a
+    bigint. Bit-identical in Spark (``conv(substring(md5(x),1,15),16,10)``)
+    and DuckDB (``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``), so
+    hash-dependent operators run under the DuckDB oracle gate. The
+    production default stays ``xxhash64`` (non-cryptographic, ~10× faster,
+    JVM codegen) — this mode exists so the SAME pipeline (banding, bucket
+    join, pair logic) is value-checked end-to-end by an independent engine.
+    ``seed`` is folded in by suffixing ``\\x01<seed>`` before hashing."""
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat(c.cast("string"), F.lit("\x01" + str(seed)))
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical texts (md5 key), one row per group size>1."""
     return (
@@ -34,13 +49,20 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Word k-gram shingles per doc: explode over a JVM-side transform."""
+    """Word k-gram shingles per doc: explode over a JVM-side transform.
+
+    The token array is let-bound (transform over a 1-element array) so the
+    regex split runs once per row — an expression referenced inside a HOF
+    lambda body is otherwise re-evaluated on every lambda iteration."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-    )
+
+    def _grams(tk):
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tk) - k, F.lit(0))),
+            lambda i: F.array_join(F.slice(tk, i + 1, k), " "),
+        )
+
+    grams = F.element_at(F.transform(F.array(toks), _grams), 1)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(grams)).alias("shingle"),
@@ -48,33 +70,45 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
 
 
 def minhash_signatures(
-    sh: DataFrame, num_hashes: int = 64
+    sh: DataFrame, num_hashes: int = 64, hash_mode: str = "xxhash64"
 ) -> DataFrame:
     """doc_id → minhash signature columns mh0..mh{H-1}; pure JVM aggregate
-    with map-side combine (one shuffle on doc_id)."""
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    with map-side combine (one shuffle on doc_id). ``hash_mode='portable'``
+    swaps xxhash64 for :func:`portable_hash64` so the whole pipeline is
+    checkable against the DuckDB oracle (same plan shape, slower hash)."""
+    if hash_mode == "portable":
+        aggs = [
+            F.min(portable_hash64("shingle", seed=i)).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
     sig: DataFrame, num_hashes: int = 64, bands: int = 16,
-    max_bucket: int = 200,
+    max_bucket: int = 200, hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Band the signatures, self-join buckets, emit candidate (a<b) pairs
     with the fraction of agreeing minhashes as the jaccard estimate."""
     rows = num_hashes // bands
     mh_cols = [F.col(f"mh{i}") for i in range(num_hashes)]
+
+    def band_hash(b: int) -> F.Column:
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        if hash_mode == "portable":
+            return portable_hash64(F.concat_ws("\x01", *cols))
+        return F.xxhash64(*cols)
+
     banded = sig.select(
         "doc_id",
         F.array(*mh_cols).alias("sig"),
         F.posexplode(
-            F.array(*[
-                F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
-                for b in range(bands)
-            ])
+            F.array(*[band_hash(b) for b in range(bands)])
         ).alias("band", "band_hash"),
     )
     # cap pathological buckets (boilerplate skew guard)
@@ -201,11 +235,71 @@ def _fnv1a64(s: str) -> int:
     return h
 
 
-def simhash_near_dups(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_catalyst(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60
+) -> DataFrame:
+    """SimHash computed ENTIRELY in Catalyst expressions (no Python at
+    all): token hashes via :func:`portable_hash64`, per-bit ±1 vote sums
+    via nested higher-order aggregates, bits set where the vote is
+    positive. 60 bits (the md5-prefix hash width) instead of the numpy
+    kernel's 64 — the banding/pigeonhole math is identical with 4×15-bit
+    blocks. Dialect-portable: the DuckDB oracle computes the same value
+    with list_transform/list_sum, so this variant runs under the value
+    gate; :func:`simhash64` (FNV-1a + numpy, Arrow-batched) remains the
+    wider production kernel, pytest-pinned against brute force."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    th = F.transform(toks, lambda t: portable_hash64(t))
+
+    # LET-BINDING (transform over a 1-element array): naming `th` inside
+    # the per-bit lambda would re-hash every token for each of the 60 bits
+    # — Catalyst re-evaluates expressions referenced in lambda bodies on
+    # every iteration (no CSE across HOF lambdas). Binding th as a lambda
+    # variable hashes each token once per row.
+    def _simhash(bound):
+        # vote(j) = sum over tokens of +1/-1 for bit j; bit set iff > 0
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                F.aggregate(
+                    bound,
+                    F.lit(0).cast("long"),
+                    # call_function: the shiftright/shiftleft PySpark
+                    # wrappers take int shift amounts only, but j is a
+                    # lambda Column
+                    lambda a, h: a
+                    + F.when(
+                        F.call_function("shiftright", h, j).bitwiseAND(
+                            F.lit(1)
+                        )
+                        == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1)),
+                )
+                > 0,
+                F.call_function("shiftleft", F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    sh = F.element_at(F.transform(F.array(th), _simhash), 1)
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"), sh.alias("simhash")
+    )
+
+
+def simhash_near_dups(
+    sim: DataFrame, max_hamming: int = 3, block_bits: int = 16
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ k via 4-block banding
-    (pigeonhole: ≤3 differing bits → at least one 16-bit block equal)."""
+    (pigeonhole: ≤3 differing bits → at least one block equal).
+    ``block_bits=16`` covers the 64-bit numpy kernel; pass 15 for the
+    60-bit Catalyst variant."""
+    mask = (1 << block_bits) - 1
     blocks = F.array(*[
-        F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+        F.shiftrightunsigned(F.col("simhash"), i * block_bits).bitwiseAND(F.lit(mask))
         for i in range(4)
     ])
     banded = sim.select(

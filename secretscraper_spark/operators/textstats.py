@@ -92,23 +92,42 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
 
 
-def winnowing_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+def winnowing_fingerprints(
+    text: Column, k: int = 8, w: int = 4, hash_mode: str = "xxhash64"
+) -> Column:
     """Winnowing fingerprint set (Schleimer et al., SIGMOD'03): hash every
     character k-gram, keep the minimum of each sliding window of w hashes,
-    distinct. Entirely JVM-side — substring k-grams + xxhash64 stand in for
-    the Rabin-Karp rolling hash (identical output semantics: one hash per
-    gram position), sequence/transform/slice/array_min do the windowing.
+    distinct. Entirely JVM-side — substring k-grams + a 64-bit hash stand in
+    for the Rabin-Karp rolling hash (identical output semantics: one hash
+    per gram position), sequence/transform/slice/array_min do the windowing.
     Guarantees any shared substring of length ≥ k+w-1 yields a shared
     fingerprint — the rolling-hash doc-fingerprinting scheme for plagiarism
-    / near-dup detection at corpus scale."""
+    / near-dup detection at corpus scale. ``hash_mode='portable'`` swaps
+    xxhash64 for the md5-prefix hash the DuckDB oracle can reproduce
+    (operators/dedup.py:portable_hash64) so the fingerprint VALUES are
+    value-gated, not just the counts."""
+    from .dedup import portable_hash64
+
+    hash_fn = portable_hash64 if hash_mode == "portable" else F.xxhash64
     t = F.lower(F.regexp_replace(text, r"\s+", " "))
     n = F.length(t)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.xxhash64(F.substring(t, i, k)),
+        lambda i: hash_fn(F.substring(t, i, k)),
     )
-    windows = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(grams) - w, F.lit(0))),
-        lambda j: F.array_min(F.slice(grams, j + 1, w)),
+
+    # LET-BINDING (transform over a 1-element array): an expression named
+    # inside a lambda body is RE-EVALUATED on every lambda iteration —
+    # Catalyst does no common-subexpression elimination across HOF lambdas.
+    # Referencing `grams` directly in the window lambda re-hashes all ~n
+    # grams for each of ~n windows: O(n²) hashing, ~1 s/doc measured.
+    # Binding it as a lambda variable evaluates it once per row.
+    def _windows(g: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(g) - w, F.lit(0))),
+            lambda j: F.array_min(F.slice(g, j + 1, w)),
+        )
+
+    return F.array_distinct(
+        F.element_at(F.transform(F.array(grams), _windows), 1)
     )
-    return F.array_distinct(windows)

@@ -344,3 +344,102 @@ def test_winnowing_fingerprints(spark):
     assert set(got[0]) & set(got[2])
     # unrelated docs share nothing
     assert not (set(got[0]) & set(got[1]))
+
+
+def _py_h60(s: str) -> int:
+    """Python reference of dedup.portable_hash64 (md5-prefix 60-bit)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf8")).hexdigest()[:15], 16)
+
+
+def test_portable_hash64_matches_python(spark):
+    vals = ["hello", "a b c", "", "Wé üñí", "0"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r.h for r in df.select(dedup.portable_hash64("s").alias("h")).collect()]
+    assert got == [_py_h60(v) for v in vals]
+    seeded = [
+        r.h
+        for r in df.select(dedup.portable_hash64("s", seed=7).alias("h")).collect()
+    ]
+    assert seeded == [_py_h60(v + "\x01" + "7") for v in vals]
+
+
+def _py_shingles(text: str, k: int = 3) -> list[str]:
+    import re
+
+    toks = re.split(r"\s+", text.lower())
+    grams = [" ".join(toks[i:i + k]) for i in range(max(len(toks) - k, 0) + 1)]
+    out, seen = [], set()
+    for g in grams:
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def test_minhash_portable_matches_python(docs):
+    sh = dedup.shingles(docs, "doc_id", "text", k=3)
+    sig = {
+        r.doc_id: (r.mh0, r.mh1, r.mh2, r.mh3)
+        for r in dedup.minhash_signatures(sh, num_hashes=4, hash_mode="portable").collect()
+    }
+    for doc_id, text in DOCS:
+        grams = _py_shingles(text)
+        want = tuple(
+            min(_py_h60(g + "\x01" + str(i)) for g in grams) for i in range(4)
+        )
+        assert sig[doc_id] == want, doc_id
+
+
+def _py_simhash60(text: str) -> int:
+    toks = [t for t in __import__("re").split(r"\s+", text.lower()) if t]
+    hs = [_py_h60(t) for t in toks]
+    sh = 0
+    for j in range(60):
+        v = sum(1 if (h >> j) & 1 else -1 for h in hs)
+        if v > 0:
+            sh |= 1 << j
+    return sh
+
+
+def test_simhash_catalyst_matches_python(docs):
+    sim = dedup.simhash_catalyst(docs, "doc_id", "text", bits=60)
+    got = {r.doc_id: r.simhash for r in sim.collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _py_simhash60(text), doc_id
+    # identical docs collide; the 15-bit-block banding finds them
+    assert got[0] == got[1]
+    pairs = dedup.simhash_near_dups(sim, max_hamming=10, block_bits=15).collect()
+    assert (0, 1) in {(r.doc_a, r.doc_b) for r in pairs}
+
+
+def test_winnowing_portable_mode_matches_python(spark):
+    """Portable-hash winnowing ≡ the same python reference with the
+    md5-prefix hash (the xxhash64 mode is pinned in
+    test_winnowing_fingerprints)."""
+    from secretscraper_spark.operators.textstats import winnowing_fingerprints
+
+    k, w = 8, 4
+    texts = [(0, "the quick brown fox jumps over the lazy dog"), (1, "tiny")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.fp)
+        for r in df.select(
+            "doc_id",
+            winnowing_fingerprints(F.col("text"), hash_mode="portable").alias("fp"),
+        ).collect()
+    }
+    import re
+
+    for doc_id, text in texts:
+        t = re.sub(r"\s+", " ", text.lower())
+        grams = [t] if len(t) < k else [t[i:i + k] for i in range(len(t) - k + 1)]
+        hs = [_py_h60(g) for g in grams]
+        wins = [min(hs[j:j + w]) for j in range(max(len(hs) - w, 0) + 1)]
+        out, seen = [], set()
+        for v in wins:
+            if v not in seen:
+                seen.add(v)
+                out.append(v)
+        assert got[doc_id] == out, doc_id
