@@ -479,6 +479,34 @@ def q_ivf_ann(spark, sf_dir):
     ).select("vec_id", F.round(F.col("cosine"), 3).alias("cosine_r3"))
 
 
+def q_lsh_ann_full(spark, sf_dir):
+    """RP-LSH in the exhaustive-probe degenerate setting (every bucket
+    probed): the result is provably the brute-force top-10, so the
+    brute-force SQL oracle value-checks the whole bucketing + exact
+    re-rank machinery — a bucketing bug that drops or duplicates vectors
+    fails the gate. The approximate setting stays benchmarked in q_lsh_ann
+    with recall asserted in tests/test_operators.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    planes = similarity.make_planes(len(qvec), n_planes=8, seed=42)
+    return similarity.rp_lsh_topk(
+        emb, [float(x) for x in qvec], planes, k=10, probe_hamming=8
+    ).select("vec_id", F.round(F.col("cosine"), 3).alias("cosine_r3"))
+
+
+def q_ivf_ann_full(spark, sf_dir):
+    """IVF ANN probing ALL cells (n_probe = n_centroids): provably the
+    brute-force top-10, so the SQL oracle value-checks cell assignment +
+    exact re-rank (a vector lost to a bad assignment fails the gate). The
+    pruned 3-cell setting stays in q_ivf_ann."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cents = similarity.ivf_centroids(emb, n_centroids=8, iters=1)
+    return similarity.ivf_topk(
+        emb, [float(x) for x in qvec], cents, k=10, n_probe=len(cents)
+    ).select("vec_id", F.round(F.col("cosine"), 3).alias("cosine_r3"))
+
+
 def q_politeness_schedule(spark, sf_dir):
     """C1/C2 per-host politeness schedule (rate_limiter.py:55-80 re-expressed
     as data): slot = rank-within-host / max_concurrent, virtual_start =
@@ -648,9 +676,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_dedup": q_simhash_dedup,
         "q_simhash_portable": q_simhash_portable,
         "q_lsh_ann": q_lsh_ann,
+        "q_lsh_ann_full": q_lsh_ann_full,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_embedding_neardup": q_embedding_neardup,
         "q_ivf_ann": q_ivf_ann,
+        "q_ivf_ann_full": q_ivf_ann_full,
         "q_politeness_schedule": q_politeness_schedule,
         "q_global_seq": q_global_seq,
         "q_robots_gate": q_robots_gate,
@@ -666,6 +696,20 @@ _EN_STOP = r"\b(the|and|of|to|a)\b"
 _ES_STOP = r"\b(el|la|de|que|y)\b"
 _FR_STOP = r"\b(le|la|et|les|des)\b"
 _DE_STOP = r"\b(der|die|und|das|ein)\b"
+
+
+# brute-force cosine top-10 — shared by q_embedding_knn and the
+# exhaustive-probe ANN twins (full-probe LSH/IVF ≡ brute force)
+_KNN_ORACLE = """
+    -- cast to DOUBLE[] so both engines accumulate in float64
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 3) AS cosine_r3
+    FROM embeddings e, q
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+    LIMIT 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -893,16 +937,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, {lang_case} AS lang_pred, count(*) AS n
             FROM documents GROUP BY lang, lang_pred ORDER BY lang, lang_pred
         """,
-        "q_embedding_knn": """
-            -- cast to DOUBLE[] so both engines accumulate in float64
-            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-                       FROM embeddings WHERE vec_id = 0)
-            SELECT e.vec_id,
-                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 3) AS cosine_r3
-            FROM embeddings e, q
-            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
-            LIMIT 10
-        """,
+        "q_embedding_knn": _KNN_ORACLE,
         "q_shipping_priority": """
             SELECT o_orderkey AS orderkey,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -986,6 +1021,10 @@ def oracle_sql() -> dict[str, str]:
         # exactly: H(x) = first 15 md5 hex chars as bigint, identical in
         # Spark (conv/substring/md5) and DuckDB ('0x'||substr cast).
         "q_minhash_portable": _minhash_portable_oracle(),
+        # exhaustive-probe ANN ≡ brute force by construction: same oracle
+        # as q_embedding_knn (see q_lsh_ann_full/q_ivf_ann_full docstrings)
+        "q_lsh_ann_full": _KNN_ORACLE,
+        "q_ivf_ann_full": _KNN_ORACLE,
         "q_simhash_portable": _simhash_portable_oracle(),
         "q_winnow_fingerprint": r"""
             WITH t AS (

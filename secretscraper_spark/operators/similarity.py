@@ -183,9 +183,15 @@ def rp_lsh_topk(
         if float(plane @ q) >= 0:
             qsig |= 1 << i
     n = len(planes)
-    probes = [qsig]
-    if probe_hamming >= 1:
-        probes += [qsig ^ (1 << i) for i in range(n)]
     bucketed = rp_lsh_buckets(df, planes, id_col, vec_col)
-    cand = bucketed.filter(F.col("bucket").isin(probes))
+    if probe_hamming >= n:
+        # exhaustive probe: every bucket — provably identical to brute
+        # force, used by the oracle-gated q_lsh_ann_full entry to
+        # value-check the bucketing + re-rank machinery
+        cand = bucketed
+    else:
+        probes = [qsig]
+        if probe_hamming >= 1:
+            probes += [qsig ^ (1 << i) for i in range(n)]
+        cand = bucketed.filter(F.col("bucket").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
