@@ -467,6 +467,38 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_phash_neardup(spark, sf_dir):
+    """Perceptual-hash hamming near-dup pairs — the image-payload dedup
+    operator (operators/multimodal.py:phash_near_dups → dedup.simhash_near_
+    dups: 4-block banding on an int64 hash, bucket join, bit_count(xor)
+    verify; the same scale-shaped plan as SimHash, never all-pairs). The
+    driver's testdata has no image store, so a 60-bit sign sketch of the
+    embedding vector stands in for the phash at oracle time (identical
+    int64-hamming semantics); pytest runs the same operator over real
+    phash64 values on the image+caption store
+    (tests/test_operators.py:test_phash_near_dups_matches_bruteforce)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sketch = F.aggregate(
+        F.sequence(F.lit(0), F.lit(59)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.element_at(F.col("embedding"), (j + F.lit(1)).cast("int")) > 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    sim = emb.select(F.col("vec_id").alias("doc_id"), sketch.alias("simhash"))
+    return (
+        dedup.simhash_near_dups(sim, max_hamming=25, block_bits=15)
+        .select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def q_ivf_ann(spark, sf_dir):
     """IVF ANN top-10: k-means-lite coarse quantizer, nearest-3-cell probe,
     exact re-rank (non-SQL-expressible: rows-only check; recall vs brute
@@ -679,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_ann_full": q_lsh_ann_full,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_embedding_neardup": q_embedding_neardup,
+        "q_phash_neardup": q_phash_neardup,
         "q_ivf_ann": q_ivf_ann,
         "q_ivf_ann_full": q_ivf_ann_full,
         "q_politeness_schedule": q_politeness_schedule,
@@ -1026,6 +1059,32 @@ def oracle_sql() -> dict[str, str]:
         "q_lsh_ann_full": _KNN_ORACLE,
         "q_ivf_ann_full": _KNN_ORACLE,
         "q_simhash_portable": _simhash_portable_oracle(),
+        # image-payload near-dup (phash hamming): the embedding sign sketch
+        # stands in for the phash (see q_phash_neardup docstring); banding,
+        # bucket join, and bit_count verify mirror dedup.simhash_near_dups
+        "q_phash_neardup": """
+            WITH s AS (
+              SELECT vec_id,
+                     CAST(COALESCE(list_sum(list_transform(range(0, 60), j ->
+                       CASE WHEN embedding[CAST(j + 1 AS INT)] > 0
+                            THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0)
+                       AS BIGINT) AS sketch
+              FROM embeddings),
+            banded AS (
+              SELECT vec_id, sketch, b.block AS block,
+                     (sketch >> (b.block * 15)) & 32767 AS block_val
+              FROM s, LATERAL (SELECT unnest(range(0, 4)) AS block) b),
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     a.sketch AS ha, b.sketch AS hb
+              FROM banded a JOIN banded b USING (block, block_val)
+              WHERE a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b,
+                   CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+            FROM pairs
+            WHERE bit_count(xor(ha, hb)) <= 25
+            ORDER BY vec_a, vec_b
+        """,
         "q_winnow_fingerprint": r"""
             WITH t AS (
               SELECT doc_id,

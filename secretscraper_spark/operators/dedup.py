@@ -291,12 +291,22 @@ def simhash_catalyst(
 
 
 def simhash_near_dups(
-    sim: DataFrame, max_hamming: int = 3, block_bits: int = 16
+    sim: DataFrame, max_hamming: int = 3, block_bits: int = 16,
+    max_block_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ k via 4-block banding
     (pigeonhole: ≤3 differing bits → at least one block equal).
     ``block_bits=16`` covers the 64-bit numpy kernel; pass 15 for the
-    60-bit Catalyst variant."""
+    60-bit Catalyst variant.
+
+    ``max_block_df`` is the hot-block skew guard for the 100 TB regime: a
+    degenerate hash value shared by millions of rows (blank images → one
+    phash, empty documents → simhash 0) turns its ``(block, block_val)``
+    bucket into an O(n²) self-join hot key. When set, blocks whose document
+    frequency exceeds the cap are dropped BEFORE the join (same contract as
+    ``lsh_candidate_pairs(max_bucket=...)`` / ``exact_jaccard_pairs
+    (max_df=...)``: a pair only survives via some non-degenerate block;
+    exact when None, the default)."""
     mask = (1 << block_bits) - 1
     blocks = F.array(*[
         F.shiftrightunsigned(F.col("simhash"), i * block_bits).bitwiseAND(F.lit(mask))
@@ -305,6 +315,14 @@ def simhash_near_dups(
     banded = sim.select(
         "doc_id", "simhash", F.posexplode(blocks).alias("block", "block_val")
     )
+    if max_block_df is not None:
+        ok = (
+            banded.groupBy("block", "block_val")
+            .agg(F.count(F.lit(1)).alias("block_df"))
+            .filter(F.col("block_df") <= max_block_df)
+            .select("block", "block_val")
+        )
+        banded = banded.join(ok, ["block", "block_val"])
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, ["block", "block_val"])

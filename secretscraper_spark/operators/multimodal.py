@@ -131,6 +131,36 @@ def resize_images(pages: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return pages.select("image_id", "bytes", "fmt").mapInPandas(compute, RESIZED_SCHEMA)
 
 
+def phash_near_dups(
+    pages: DataFrame, max_hamming: int = 3, max_block_df: int | None = None,
+    id_col: str = "image_id", phash_col: str = "phash",
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash hamming distance ≤ k —
+    the image-payload twin of text SimHash dedup, over the input table's
+    ``phash:int64`` column (BASELINE.json input_hint; computed at ingest by
+    imagecodec.phash64, recomputable via image_features).
+
+    Zero decode, zero Python: the 64-bit phash is banded into 4×16-bit
+    blocks (pigeonhole: hamming ≤ 3 ⇒ ≥1 block equal), candidates bucket-
+    join on ``(block, block_val)``, and ``bit_count(xor)`` verifies — the
+    same scale-shaped plan as dedup.simhash_near_dups (never all-pairs).
+    At 100 TB pass ``max_block_df`` to cap degenerate buckets (a corpus's
+    blank/placeholder images all share one phash — that bucket is an O(n²)
+    hot key and those images are exact-dup territory anyway)."""
+    sim = pages.select(
+        F.col(id_col).alias("doc_id"), F.col(phash_col).alias("simhash")
+    )
+    from .dedup import simhash_near_dups
+
+    return simhash_near_dups(
+        sim, max_hamming=max_hamming, block_bits=16, max_block_df=max_block_df
+    ).select(
+        F.col("doc_a").alias("image_a"),
+        F.col("doc_b").alias("image_b"),
+        "hamming",
+    )
+
+
 def frame_sample_stub(video_bytes: bytes, every_n: int = 30):
     """Video frame sampling is NOT implementable in this container (no
     decoder libraries). The Spark plumbing pattern is image_features();

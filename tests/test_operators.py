@@ -141,6 +141,64 @@ def test_verify_pixels_invariant(spark):
     assert jpgs and all(40.0 <= r.psnr_db < 60.0 for r in jpgs)
 
 
+def _block_image(seed: int, w: int = 32, h: int = 32) -> np.ndarray:
+    """Image whose 8×8 block means sit ≥27 away from the global mean (half
+    the blocks in [0,100], half in [155,255]) so small pixel noise cannot
+    flip a phash bit — structured like real photos, unlike uniform noise."""
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 101, size=(8, 8))
+    high = rng.random((8, 8)) < 0.5
+    blocks = np.where(high, vals + 155, vals)
+    px = np.repeat(np.repeat(blocks, h // 8, axis=0), w // 8, axis=1)
+    return np.stack([px] * 3, axis=2).astype(np.uint8)
+
+
+def test_phash_near_dups_matches_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    imgs: dict[str, np.ndarray] = {}
+    for i in range(8):
+        imgs[f"img_{i}"] = _block_image(i)
+    # planted near-dups: tiny pixel noise on two of the bases
+    for i in (0, 3):
+        base = imgs[f"img_{i}"].astype(np.int16)
+        noisy = np.clip(base + rng.integers(-2, 3, size=base.shape), 0, 255)
+        imgs[f"img_{i}_noisy"] = noisy.astype(np.uint8)
+    hashes = {k: imagecodec.phash64(v) for k, v in imgs.items()}
+    ids = sorted(hashes)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    assert ("img_0", "img_0_noisy") in expected
+    assert ("img_3", "img_3_noisy") in expected
+
+    pages = spark.createDataFrame(
+        [(k, v) for k, v in hashes.items()], "image_id string, phash long"
+    )
+    got = {
+        (r.image_a, r.image_b)
+        for r in multimodal.phash_near_dups(pages, max_hamming=3).collect()
+    }
+    assert got == expected
+
+    # hot-block skew guard: 20 placeholder images sharing ONE phash form a
+    # degenerate bucket; max_block_df drops it, the real pairs survive
+    blanks = [(f"blank_{i}", hashes["img_5"] ^ 0) for i in range(20)]
+    all_pages = pages.union(
+        spark.createDataFrame(blanks, "image_id string, phash long")
+    )
+    capped = {
+        (r.image_a, r.image_b)
+        for r in multimodal.phash_near_dups(
+            all_pages, max_hamming=3, max_block_df=5
+        ).collect()
+    }
+    assert not any(a.startswith("blank") and b.startswith("blank") for a, b in capped)
+    assert expected - capped == set()  # pairs not touching the hot value survive
+
+
 def test_image_features(spark):
     from secretscraper_spark.sources.sitegen import generate_pages_pandas
 
