@@ -456,6 +456,31 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.exact_jaccard_pairs(sh, min_jaccard=0.5).orderBy("doc_a", "doc_b")
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Pairs → dedup groups → canonical selection: the last step of a real
+    dedup pipeline. Exact word-3-shingle Jaccard pairs (the oracle-checked
+    inverted-index plan of q_ngram_jaccard) feed distributed connected
+    components (operators/dedup.py:connected_components, min-label
+    propagation); singleton docs rejoin as their own component, and the
+    minimum doc id in each component is the canonical copy to keep. The
+    oracle recomputes components with a recursive CTE (exact transitive
+    closure — tractable at gate scale only)."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, "doc_id", "text", k=3)
+    pairs = dedup.exact_jaccard_pairs(sh, min_jaccard=0.5)
+    cc = dedup.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("component_id"))
+        .orderBy("doc_id")
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact; oracle-checked). The 100 TB
     path LSH-prefilters candidates — see q_lsh_ann / operators.similarity."""
@@ -710,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_ann": q_lsh_ann,
         "q_lsh_ann_full": q_lsh_ann_full,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_dedup_groups": q_dedup_groups,
         "q_embedding_neardup": q_embedding_neardup,
         "q_phash_neardup": q_phash_neardup,
         "q_ivf_ann": q_ivf_ann,
@@ -1008,6 +1034,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        # pairs → components → canonical: same shingle/Jaccard pair CTEs as
+        # q_ngram_jaccard, then exact transitive closure via recursive CTE
+        # (the gate-scale oracle for the distributed min-label propagation)
+        "q_dedup_groups": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i.i, i.i + 2), ' ') AS shingle
+              FROM t, LATERAL (
+                SELECT unnest(range(1, greatest(len(toks) - 3, 0) + 2)) AS i) i),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM pairs),
+            reach AS (
+              SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
+            comp AS (
+              SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u)
+            SELECT d.doc_id,
+                   COALESCE(c.component_id, d.doc_id) AS component_id,
+                   d.doc_id = COALESCE(c.component_id, d.doc_id) AS is_canonical
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "q_embedding_neardup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

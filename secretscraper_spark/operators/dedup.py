@@ -227,6 +227,65 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame, col_a: str = "doc_a", col_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list → ``(doc_id,
+    component_id)`` where component_id is the minimum id reachable — the
+    pairs→groups→canonical step every dedup pipeline needs after LSH/
+    SimHash/Jaccard pair generation (keep ``doc_id == component_id`` as the
+    canonical copy, drop the rest).
+
+    Min-label propagation (the MapReduce CC family of Rastogi et al.,
+    "Finding Connected Components in Map-Reduce in Logarithmic Rounds"):
+    every round each node adopts ``min(own, neighbors')`` label; converges
+    in graph-diameter rounds. Near-dup graphs are dense low-diameter
+    clusters (banding emits most intra-cluster pairs directly), so a
+    handful of rounds suffice; a pathological 10^9-link chain would need
+    the star-contraction variant instead. Each round is one shuffle join +
+    one partial-agg groupBy (map-side combine on the min), with the label
+    frame localCheckpointed so lineage doesn't stack across rounds. The
+    per-round driver work is one O(1) convergence probe — no collect of
+    data. Only ids present in ``pairs`` appear; union singletons back at
+    the call site (see __spark_entry__.q_dedup_groups)."""
+    edges = (
+        pairs.select(F.col(col_a).alias("u"), F.col(col_b).alias("v"))
+        .union(pairs.select(F.col(col_b).alias("u"), F.col(col_a).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select("u").distinct()
+        .select(F.col("u").alias("id"), F.col("u").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.id"))
+            .select(F.col("e.u").alias("id"), F.col("l.label").alias("label"))
+        )
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("id").agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
 def _fnv1a64(s: str) -> int:
     h = 0xCBF29CE484222325
     for byte in s.encode("utf-8"):

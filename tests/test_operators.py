@@ -66,6 +66,51 @@ def test_simhash_near_dups(docs):
     assert (0, 1) in keys
 
 
+def test_connected_components_known_graph(spark):
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, isolated pair (10,11), pair given in both orders
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    cc = {r.doc_id: r.component_id
+          for r in dedup.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_matches_union_find(spark):
+    rng = np.random.default_rng(3)
+    edges = {tuple(sorted(p)) for p in rng.integers(0, 60, size=(50, 2))
+             if p[0] != p[1]}
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    expected = {n: find(n) for n in nodes}
+    # union-find roots are component minima only after path compression to
+    # the true min — recompute each node's component min explicitly
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[find(n)] for n in nodes}
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in sorted(edges)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component_id
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == expected
+
+
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.default_rng(7)
     vecs = rng.standard_normal((50, 16)).astype(np.float32)
