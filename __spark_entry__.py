@@ -24,7 +24,7 @@ from secretscraper_spark.functions.exprs import (
     is_static_resource_expr,
     status_allowed,
 )
-from secretscraper_spark.operators import dedup, similarity
+from secretscraper_spark.operators import dedup, sampling, similarity
 from secretscraper_spark.operators.textstats import (
     fingerprint,
     lang_id,
@@ -456,6 +456,53 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.exact_jaccard_pairs(sh, min_jaccard=0.5).orderBy("doc_a", "doc_b")
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (operators/sampling.py:
+    assign_split): hash-bucket thresholds on the doc id — join-free,
+    shuffle-free, stable under re-partitioning (the reproducibility
+    property randomSplit lacks). Portable-hash mode so the DuckDB oracle
+    reproduces every assignment; production uses xxhash64 (same plan)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.assign_split(
+            docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+            mode="portable",
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling (sampling.stratified_sample):
+    keep 50 % of 'en' and 25 % of 'de' docs, all others intact — a pure
+    hash-threshold filter, so the identical sample comes back on any rerun
+    or partition layout. Value-gated via the portable hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_sample(
+            docs, "lang", {"en": 0.5, "de": 0.25}, key_col="doc_id",
+            mode="portable",
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def q_group_cap(spark, sf_dir):
+    """Per-source quota (sampling.cap_per_group): keep at most 10 docs per
+    source, chosen by hash-of-key rank (deterministic, order-independent) —
+    the curation guard against one boilerplate-heavy domain dominating a
+    corpus. One shuffle on the group key; oracle mirrors the window."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.cap_per_group(docs, "source", 10, key_col="doc_id",
+                               mode="portable")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_groups(spark, sf_dir):
     """Pairs → dedup groups → canonical selection: the last step of a real
     dedup pipeline. Exact word-3-shingle Jaccard pairs (the oracle-checked
@@ -735,6 +782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_ann": q_lsh_ann,
         "q_lsh_ann_full": q_lsh_ann_full,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_split_assign": q_split_assign,
+        "q_stratified_sample": q_stratified_sample,
+        "q_group_cap": q_group_cap,
         "q_dedup_groups": q_dedup_groups,
         "q_embedding_neardup": q_embedding_neardup,
         "q_phash_neardup": q_phash_neardup,
@@ -1034,6 +1084,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        # sampling/split ops: bucket = portable_hash(key) % 1e6, identical
+        # arithmetic both engines (fractions chosen binary-exact so the
+        # threshold multiply agrees bit-for-bit)
+        "q_split_assign": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     {_h_sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS b
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN b < 800000 THEN 'train'
+                        WHEN b < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
+        """,
+        "q_stratified_sample": f"""
+            WITH b AS (
+              SELECT doc_id, lang,
+                     {_h_sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS b
+              FROM documents)
+            SELECT doc_id, lang FROM b
+            WHERE b < CAST((CASE lang WHEN 'en' THEN 0.5
+                                      WHEN 'de' THEN 0.25
+                                      ELSE 1.0 END) * 1000000 AS BIGINT)
+            ORDER BY doc_id
+        """,
+        "q_group_cap": f"""
+            WITH b AS (
+              SELECT doc_id, source,
+                     {_h_sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS b
+              FROM documents),
+            r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY b, doc_id) AS rk
+              FROM b)
+            SELECT doc_id, source FROM r WHERE rk <= 10 ORDER BY doc_id
         """,
         # pairs → components → canonical: same shingle/Jaccard pair CTEs as
         # q_ngram_jaccard, then exact transitive closure via recursive CTE

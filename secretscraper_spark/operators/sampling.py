@@ -1,0 +1,113 @@
+"""Deterministic sampling / splitting operators for training-data curation.
+
+Every op here is JOIN-FREE and SHUFFLE-FREE on the data path (pure column
+expressions over a stable key), which is what makes them usable at 100 TB:
+a split assignment or sample decision must be (a) reproducible run-to-run
+and machine-to-machine, (b) stable under re-partitioning, (c) independent
+of row order. Spark's ``df.sample``/``randomSplit`` are none of these
+(seeded per-partition RNG → resampling changes when the partition layout
+does), so pipelines key decisions off a content hash instead:
+
+- assign_split: train/val/test split via hash-bucket thresholds on a key
+  column — one ``when`` chain, no shuffle, deterministic forever.
+- stratified_sample: per-stratum fraction via the same bucket trick —
+  e.g. downsample 'en' to 10 % while keeping all 'fr'.
+- cap_per_group: per-source quota (keep at most n docs per domain/site),
+  the boilerplate-source guard of corpus curation; one window (shuffle on
+  the group key) with rank-by-hash so the kept subset is deterministic,
+  not first-arrival.
+
+``mode='fast'`` keys buckets on ``xxhash64`` (JVM codegen). The DuckDB
+oracle gate can't reproduce xxhash64, so ``mode='portable'`` switches to
+the md5-prefix hash (operators/dedup.py:portable_hash64) — same plan,
+dialect-portable, value-checked end-to-end in __spark_entry__.q_split_
+assign / q_stratified_sample / q_group_cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import portable_hash64
+
+N_BUCKETS = 1_000_000
+
+
+def _bucket(key_col: str, mode: str, seed: int | None = None) -> F.Column:
+    """Stable bucket in [0, N_BUCKETS) from a key column. Non-negative
+    modulo via pmod so Spark and the SQL oracle agree on negatives."""
+    if mode == "portable":
+        h = portable_hash64(key_col, seed=seed)
+    elif mode == "fast":
+        c = F.col(key_col).cast("string")
+        if seed is not None:
+            c = F.concat(c, F.lit("\x01" + str(seed)))
+        h = F.xxhash64(c)
+    else:  # pragma: no cover - guarded upstream
+        raise ValueError(f"mode {mode!r}")
+    return F.pmod(h, F.lit(N_BUCKETS))
+
+
+def assign_split(
+    df: DataFrame, key_col: str, weights: dict[str, float],
+    mode: str = "fast", seed: int | None = None, out_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic split column ('train'/'val'/'test'/...) from
+    cumulative weight thresholds over the key's hash bucket. Weights must
+    sum to 1 (±1e-6). Splits are disjoint, exhaustive, and stable under
+    any re-partitioning or re-run — the property randomSplit lacks."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"weights sum to {total}, expected 1.0")
+    b = _bucket(key_col, mode, seed)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = b < int(round(cum * N_BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict[str, float],
+    key_col: str, mode: str = "fast", seed: int | None = None,
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows: a row survives
+    iff its key's bucket falls below ``fraction × N_BUCKETS`` for its
+    stratum (strata not listed get ``default_fraction``). Pure filter —
+    no shuffle, no sampling state; rerunning or re-partitioning yields the
+    IDENTICAL sample, and a row's fate never depends on other rows."""
+    b = _bucket(key_col, mode, seed)
+    frac = None
+    for name, f_ in fractions.items():
+        cond = F.col(strata_col) == name
+        lit = F.lit(float(f_))
+        frac = F.when(cond, lit) if frac is None else frac.when(cond, lit)
+    frac = F.lit(float(default_fraction)) if frac is None else frac.otherwise(
+        F.lit(float(default_fraction))
+    )
+    return df.filter(b < (frac * N_BUCKETS).cast("long"))
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, n: int, key_col: str,
+    mode: str = "fast", seed: int | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group (per-source quota), choosing the
+    kept subset by hash-of-key rank so the result is deterministic and
+    order-independent (ties broken by the key itself). One shuffle on the
+    group key; hot groups cost one sort-within-partition, never a driver
+    round-trip. The standard guard against a single boilerplate-heavy
+    domain dominating a training corpus."""
+    b = _bucket(key_col, mode, seed)
+    w = Window.partitionBy(group_col).orderBy(b.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )

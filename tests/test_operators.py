@@ -66,6 +66,61 @@ def test_simhash_near_dups(docs):
     assert (0, 1) in keys
 
 
+def test_assign_split_properties(spark):
+    from secretscraper_spark.operators import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = sampling.assign_split(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {r.split: r.cnt for r in
+              out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert set(counts) == {"train", "val", "test"}          # exhaustive
+    assert sum(counts.values()) == 2000                      # disjoint
+    assert 0.75 <= counts["train"] / 2000 <= 0.85            # ≈ weights
+    # deterministic & partition-independent: same assignment after shuffle
+    again = sampling.assign_split(
+        df.repartition(13), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in again.collect()}
+    assert a == b
+    # a different seed reshuffles membership
+    seeded = sampling.assign_split(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=1
+    )
+    c = {r.doc_id: r.split for r in seeded.collect()}
+    assert c != a
+    with pytest.raises(ValueError):
+        sampling.assign_split(df, "doc_id", {"train": 0.5, "val": 0.1})
+
+
+def test_stratified_sample_and_group_cap(spark):
+    from secretscraper_spark.operators import sampling
+
+    rows = [(i, ["en", "fr"][i % 2], f"src{i % 5}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    kept = sampling.stratified_sample(
+        df, "lang", {"en": 0.25}, key_col="doc_id"
+    )
+    by_lang = {r.lang: r.cnt for r in
+               kept.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert by_lang["fr"] == 500                       # unlisted stratum intact
+    assert 75 <= by_lang["en"] <= 175                 # ≈ 25% of 500
+    # survivors are a subset chosen by key hash: rerun identical
+    k2 = sampling.stratified_sample(
+        df.repartition(7), "lang", {"en": 0.25}, key_col="doc_id"
+    )
+    assert {r.doc_id for r in kept.collect()} == {r.doc_id for r in k2.collect()}
+
+    capped = sampling.cap_per_group(df, "source", 30, key_col="doc_id")
+    per_src = {r.source: r.cnt for r in
+               capped.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert all(v == 30 for v in per_src.values())     # every group at quota
+    c2 = sampling.cap_per_group(df.repartition(11), "source", 30, key_col="doc_id")
+    assert {r.doc_id for r in capped.collect()} == {r.doc_id for r in c2.collect()}
+
+
 def test_connected_components_known_graph(spark):
     pairs = spark.createDataFrame(
         # chain 1-2-3-4, isolated pair (10,11), pair given in both orders
