@@ -503,6 +503,22 @@ def q_group_cap(spark, sf_dir):
     )
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py:contamination_pairs):
+    every held-out 'benchmark' doc (doc_id % 50 == 0 stands in for an eval
+    set) paired with each corpus doc sharing ≥2 distinct word 3-gram
+    shingles. The benchmark side is broadcast, so the corpus never
+    shuffles — one map-side inverted-index join + partial-agg count."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return (
+        dedup.contamination_pairs(corpus, bench, k=3, min_overlap=2)
+        .withColumn("n_shared", F.col("n_shared").cast("long"))
+        .orderBy("doc_id", "bench_id")
+    )
+
+
 def q_dedup_groups(spark, sf_dir):
     """Pairs → dedup groups → canonical selection: the last step of a real
     dedup pipeline. Exact word-3-shingle Jaccard pairs (the oracle-checked
@@ -785,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_assign": q_split_assign,
         "q_stratified_sample": q_stratified_sample,
         "q_group_cap": q_group_cap,
+        "q_contamination": q_contamination,
         "q_dedup_groups": q_dedup_groups,
         "q_embedding_neardup": q_embedding_neardup,
         "q_phash_neardup": q_phash_neardup,
@@ -1121,6 +1138,24 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY b, doc_id) AS rk
               FROM b)
             SELECT doc_id, source FROM r WHERE rk <= 10 ORDER BY doc_id
+        """,
+        "q_contamination": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i.i, i.i + 2), ' ') AS shingle
+              FROM t, LATERAL (
+                SELECT unnest(range(1, greatest(len(toks) - 3, 0) + 2)) AS i) i),
+            corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+            bench AS (SELECT doc_id AS bench_id, shingle FROM sh
+                      WHERE doc_id % 50 = 0)
+            SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+            FROM corpus c JOIN bench b USING (shingle)
+            GROUP BY c.doc_id, b.bench_id
+            HAVING count(*) >= 2
+            ORDER BY doc_id, bench_id
         """,
         # pairs → components → canonical: same shingle/Jaccard pair CTEs as
         # q_ngram_jaccard, then exact transitive closure via recursive CTE

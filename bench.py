@@ -372,6 +372,19 @@ def multi_jvm_stage_probe(k: int) -> float:
 def main() -> None:
     from secretscraper_spark.session import get_spark
 
+    # Global time budget: on a degraded host (BASELINE.md: 3-10x stall
+    # windows) an unbounded bench could outlive the driver's patience and
+    # record NOTHING — worse than recording a modest number. Once elapsed
+    # time crosses the budget, optional sampling (adaptive extras, later
+    # initial pairs, stage-probe repeats) is skipped; the core evidence
+    # (headline queries, crawl, >=2 scaling pairs, 1 stage pair) always
+    # runs.
+    t_start = time.time()
+    budget = int(os.environ.get("SPARK_GRAFT_TIME_BUDGET", "2400"))
+
+    def over_budget() -> bool:
+        return time.time() - t_start > budget
+
     queries: dict[str, float] = {}
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 16))
     try:
@@ -431,10 +444,12 @@ def main() -> None:
             cal_hi = host_calibration(8)
             hi_runs.append({**leg("local[8]", 8), "host_cal": cal_hi})
 
-        for _ in range(reps):
+        for i in range(reps):
+            if i >= 2 and over_budget():
+                break
             sample_pair()
         extra = 0
-        while extra < max_extra:
+        while extra < max_extra and not over_budget():
             lo_b = max(r["pages_per_sec"] for r in lo_runs)
             hi_b = max(r["pages_per_sec"] for r in hi_runs)
             if hi_b / lo_b / 4.0 >= 0.85:
@@ -444,7 +459,7 @@ def main() -> None:
         lo = max(lo_runs, key=lambda r: r["pages_per_sec"])
         hi = max(hi_runs, key=lambda r: r["pages_per_sec"])
         eff = (hi["pages_per_sec"] / lo["pages_per_sec"]) / 4.0
-        stage = stage_scaling_probe()
+        stage = stage_scaling_probe(reps=1 if over_budget() else 2)
         # N vs 4N independent executor-JVMs (interleaved, best-of-2).
         # OPT-IN (SPARK_GRAFT_MJ=1): on this sandbox VM the probe's
         # per-process rate degrades with k in a way the pure-kernel and

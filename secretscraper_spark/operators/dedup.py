@@ -227,6 +227,46 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def contamination_pairs(
+    docs: DataFrame, bench: DataFrame, k: int = 3, min_overlap: int = 1,
+    id_col: str = "doc_id", text_col: str = "text",
+    bench_id_col: str = "doc_id", bench_text_col: str = "text",
+    max_df: int | None = None, broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥ ``min_overlap``
+    distinct word k-gram shingles with an evaluation/benchmark set —
+    the standard leak check run before training on a scraped corpus
+    (drop or flag every (doc, bench item) hit).
+
+    Plan shape at 100 TB: the corpus side streams through an inverted-
+    index hash join on the shingle; the benchmark side is an evaluation
+    set (10^3-10^6 rows), broadcast by default so NO shuffle of the
+    corpus ever happens — the whole check is one map-side join plus a
+    partial-agg count. ``max_df`` drops benchmark shingles appearing in
+    more than that many benchmark items first (stopword-ish grams that
+    would match everything and hide real leaks in noise)."""
+    d = shingles(docs, id_col, text_col, k)
+    b = shingles(bench, bench_id_col, bench_text_col, k).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    if max_df is not None:
+        ok = (
+            b.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        b = b.join(ok, "shingle")
+    if broadcast_bench:
+        b = F.broadcast(b)
+    return (
+        d.join(b, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
 def connected_components(
     pairs: DataFrame, col_a: str = "doc_a", col_b: str = "doc_b",
     max_iter: int = 20,

@@ -66,6 +66,41 @@ def test_simhash_near_dups(docs):
     assert (0, 1) in keys
 
 
+def test_contamination_pairs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),       # leaks bench 100
+            (2, "zeta eta theta iota kappa"),            # clean
+            (3, "common words here alpha beta gamma"),   # 1 shared shingle
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon extra")],
+        "doc_id long, text string",
+    )
+    hits = {(r.doc_id, r.bench_id): r.n_shared
+            for r in dedup.contamination_pairs(corpus, bench, k=3,
+                                               min_overlap=2).collect()}
+    # doc 1 shares shingles 'alpha beta gamma', 'beta gamma delta',
+    # 'gamma delta epsilon' (3); doc 3 only 'alpha beta gamma' (1 < 2)
+    assert hits == {(1, 100): 3}
+    all_hits = {(r.doc_id, r.bench_id): r.n_shared
+                for r in dedup.contamination_pairs(corpus, bench, k=3,
+                                                   min_overlap=1).collect()}
+    assert all_hits == {(1, 100): 3, (3, 100): 1}
+    # max_df drops benchmark shingles common across bench items
+    bench2 = bench.union(spark.createDataFrame(
+        [(101, "alpha beta gamma unrelated tail words")],
+        "doc_id long, text string",
+    ))
+    capped = {(r.doc_id, r.bench_id): r.n_shared
+              for r in dedup.contamination_pairs(
+                  corpus, bench2, k=3, min_overlap=1, max_df=1).collect()}
+    # 'alpha beta gamma' appears in both bench items -> dropped by max_df=1
+    assert capped == {(1, 100): 2}
+
+
 def test_assign_split_properties(spark):
     from secretscraper_spark.operators import sampling
 
