@@ -503,6 +503,18 @@ def q_group_cap(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Intra-document repetition quality features (textstats.
+    repetition_features): distinct-word fraction, top-word mass, repeated-
+    occurrence fraction — the Gopher-style filters that catch boilerplate
+    and keyword-stuffed documents. One explode + two partial-agg
+    aggregations; oracle mirrors the arithmetic exactly."""
+    from secretscraper_spark.operators.textstats import repetition_features
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return repetition_features(docs).orderBy("doc_id")
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination (operators/dedup.py:contamination_pairs):
     every held-out 'benchmark' doc (doc_id % 50 == 0 stands in for an eval
@@ -801,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_assign": q_split_assign,
         "q_stratified_sample": q_stratified_sample,
         "q_group_cap": q_group_cap,
+        "q_repetition": q_repetition,
         "q_contamination": q_contamination,
         "q_dedup_groups": q_dedup_groups,
         "q_embedding_neardup": q_embedding_neardup,
@@ -1138,6 +1151,26 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY b, doc_id) AS rk
               FROM b)
             SELECT doc_id, source FROM r WHERE rk <= 10 ORDER BY doc_id
+        """,
+        "q_repetition": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+            c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+            a AS (
+              SELECT doc_id, sum(cnt) AS n_words, count(*) AS n_distinct,
+                     max(cnt) AS top,
+                     sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_occ
+              FROM c GROUP BY 1)
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(n_distinct * 1.0 / n_words, 6) AS distinct_word_frac,
+                   round(top * 1.0 / n_words, 6) AS top_word_frac,
+                   round(dup_occ * 1.0 / n_words, 6) AS dup_word_frac
+            FROM a ORDER BY doc_id
         """,
         "q_contamination": r"""
             WITH t AS (

@@ -131,3 +131,38 @@ def winnowing_fingerprints(
     return F.array_distinct(
         F.element_at(F.transform(F.array(grams), _windows), 1)
     )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition features (the Gopher/RefinedWeb-style
+    quality rules): fraction of distinct words, most-common-word mass, and
+    the fraction of word occurrences belonging to repeated words. Heavily
+    repetitive documents (boilerplate, keyword stuffing, templated spam)
+    score low distinct_word_frac / high dup_word_frac and get filtered
+    before training.
+
+    Plan: one explode + two hash aggregations, both with map-side partial
+    combine — per-word state never leaves the executor until the final
+    per-doc rollup, so the op scales with corpus size, not vocabulary.
+    Docs whose text has no words yield no row (both engines agree)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    words = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("word"))
+    counts = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias("dup_occ"),
+    )
+    n = F.col("n_words").cast("double")
+    return agg.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(F.col("n_distinct") / n, 6).alias("distinct_word_frac"),
+        F.round(F.col("top") / n, 6).alias("top_word_frac"),
+        F.round(F.col("dup_occ") / n, 6).alias("dup_word_frac"),
+    )

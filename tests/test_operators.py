@@ -66,6 +66,28 @@ def test_simhash_near_dups(docs):
     assert (0, 1) in keys
 
 
+def test_repetition_features(spark):
+    from secretscraper_spark.operators.textstats import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),                  # 4 words, 1 distinct, all dup
+            (2, "one two three four"),       # no repetition
+            (3, "x y x z"),                  # x twice
+            (4, "   "),                      # no words -> no row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1].n_words, rows[1].distinct_word_frac,
+            rows[1].top_word_frac, rows[1].dup_word_frac) == (4, 0.25, 1.0, 1.0)
+    assert (rows[2].distinct_word_frac, rows[2].top_word_frac,
+            rows[2].dup_word_frac) == (1.0, 0.25, 0.0)
+    assert (rows[3].n_words, rows[3].distinct_word_frac,
+            rows[3].top_word_frac, rows[3].dup_word_frac) == (4, 0.75, 0.5, 0.5)
+
+
 def test_contamination_pairs(spark):
     corpus = spark.createDataFrame(
         [
