@@ -576,7 +576,11 @@ def q_phash_neardup(spark, sf_dir):
     embedding vector stands in for the phash at oracle time (identical
     int64-hamming semantics); pytest runs the same operator over real
     phash64 values on the image+caption store
-    (tests/test_operators.py:test_phash_near_dups_matches_bruteforce)."""
+    (tests/test_operators.py:test_phash_near_dups_matches_bruteforce).
+    max_hamming=25 > 3 means LSH candidate semantics (pairs within the
+    threshold among banding candidates — see simhash_near_dups' contract);
+    the oracle applies the same banding, so the gate checks the
+    implementation, not banding recall."""
     emb = _t(spark, sf_dir, "embeddings")
     sketch = F.aggregate(
         F.sequence(F.lit(0), F.lit(59)),

@@ -300,6 +300,7 @@ def connected_components(
         .select(F.col("u").alias("id"), F.col("u").alias("label"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iter):
         msgs = (
             edges.alias("e")
@@ -321,6 +322,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a silently-unconverged result is indistinguishable from a correct
+        # one (labels just stop short of the true minimum) — refuse it
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter; raise max_iter or use a "
+            "star-contraction variant for chain-shaped graphs)"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component_id")
     )
@@ -397,6 +406,12 @@ def simhash_near_dups(
     (pigeonhole: ≤3 differing bits → at least one block equal).
     ``block_bits=16`` covers the 64-bit numpy kernel; pass 15 for the
     60-bit Catalyst variant.
+
+    Completeness contract: EXACT for ``max_hamming ≤ 3`` (the pigeonhole
+    guarantee). For larger thresholds this is classic LSH semantics —
+    "pairs within hamming ≤ k AMONG banding candidates" — a pair differing
+    in ≥1 bit in every block is never generated; recall is input-dependent.
+    Callers needing guaranteed recall at k > 3 must band into k+1 blocks.
 
     ``max_block_df`` is the hot-block skew guard for the 100 TB regime: a
     degenerate hash value shared by millions of rows (blank images → one

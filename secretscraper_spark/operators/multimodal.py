@@ -144,6 +144,8 @@ def phash_near_dups(
     blocks (pigeonhole: hamming ≤ 3 ⇒ ≥1 block equal), candidates bucket-
     join on ``(block, block_val)``, and ``bit_count(xor)`` verifies — the
     same scale-shaped plan as dedup.simhash_near_dups (never all-pairs).
+    Completeness is exact for the default ``max_hamming ≤ 3``; larger
+    thresholds inherit LSH candidate semantics (see simhash_near_dups).
     At 100 TB pass ``max_block_df`` to cap degenerate buckets (a corpus's
     blank/placeholder images all share one phash — that bucket is an O(n²)
     hot key and those images are exact-dup territory anyway)."""

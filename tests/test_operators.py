@@ -187,6 +187,13 @@ def test_connected_components_known_graph(spark):
     cc = {r.doc_id: r.component_id
           for r in dedup.connected_components(pairs).collect()}
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    # refusing a silently-unconverged result: a 9-hop chain cannot finish
+    # in 3 min-propagation rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=3)
 
 
 def test_connected_components_matches_union_find(spark):
@@ -206,7 +213,6 @@ def test_connected_components_matches_union_find(spark):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     nodes = {n for e in edges for n in e}
-    expected = {n: find(n) for n in nodes}
     # union-find roots are component minima only after path compression to
     # the true min — recompute each node's component min explicitly
     comp_min: dict[int, int] = {}
@@ -322,11 +328,14 @@ def test_phash_near_dups_matches_bruteforce(spark):
         imgs[f"img_{i}_noisy"] = noisy.astype(np.uint8)
     hashes = {k: imagecodec.phash64(v) for k, v in imgs.items()}
     ids = sorted(hashes)
+    # mask to 64 bits: phashes are signed int64 and bin() of a negative
+    # xor counts the bits of the absolute value, not the two's-complement
+    # pattern Spark's bit_count sees
     expected = {
         (a, b)
         for i, a in enumerate(ids)
         for b in ids[i + 1:]
-        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+        if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3
     }
     assert ("img_0", "img_0_noisy") in expected
     assert ("img_3", "img_3_noisy") in expected
