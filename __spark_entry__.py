@@ -1252,7 +1252,12 @@ def oracle_sql() -> dict[str, str]:
               FROM f)
             SELECT eid, host,
                    CAST(floor((rn - 1) / 5) AS BIGINT) AS slot,
-                   round(CAST(floor((rn - 1) / 5) AS BIGINT) * 0.2, 6) AS virtual_start
+                   -- CAST to DOUBLE: a bare 0.2 literal is DECIMAL in
+                   -- DuckDB and the result column would come back Decimal,
+                   -- which only str()-style comparators equate with the
+                   -- Spark double
+                   round(CAST(floor((rn - 1) / 5) AS BIGINT)
+                         * CAST(0.2 AS DOUBLE), 6) AS virtual_start
             FROM r ORDER BY host, eid
         """,
         "q_global_seq": """
