@@ -40,7 +40,14 @@ def run_to_memory(stream_df, name, output_mode="append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination(timeout) returns False WITHOUT raising when the
+    # query is still running — reading the memory table then sees partial
+    # results and the assertion failure masquerades as a correctness bug
+    # (observed: the stateful test exceeding 120 s under a fully loaded
+    # suite at local[8]). Wait generously, then fail loudly.
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(f"stream {name!r} did not finish in 600 s")
     return name
 
 
