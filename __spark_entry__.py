@@ -515,6 +515,42 @@ def q_repetition(spark, sf_dir):
     return repetition_features(docs).orderBy("doc_id")
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet/Gopher-style statistical-LM quality score (textstats.
+    bigram_lm_scores): add-k smoothed bigram LM self-trained on the corpus,
+    each document scored by mean bigram log-probability + perplexity — the
+    standard perplexity pre-training filter. Bigrams are built JVM-side
+    (array HOF, no shuffle); the model is two partial-agg counts; scoring
+    joins carry per-doc DISTINCT bigram counts, not token positions."""
+    from secretscraper_spark.operators.textstats import bigram_lm_scores
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, k=0.5).orderBy("doc_id")
+
+
+def q_redact(spark, sf_dir):
+    """Training-corpus PII/secret redaction (textstats.redact_text): every
+    match of each named rule replaced by its [NAME] placeholder before
+    corpus release — destructive twin of the P3 extraction pass, same
+    chained-regex scan cost, pure JVM Column exprs. Portable rule subset
+    here (digit runs + s-words, the q_secret_extract pattern family); the
+    shipped Java-regex rules run through the identical code path and are
+    parity-tested in tests/test_handler_parity.py."""
+    from secretscraper_spark.operators.textstats import redact_text
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    pats = {"num": r"[0-9]+", "sword": r"\b(s[a-z]+)\b"}
+    t = F.col("text")
+    hits = F.size(
+        F.regexp_extract_all(t, F.lit(pats["num"]), F.lit(0))
+    ) + F.size(F.regexp_extract_all(t, F.lit(pats["sword"]), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        F.md5(redact_text(t, pats)).alias("redacted_md5"),
+        hits.cast("long").alias("n_hits"),
+    ).orderBy("doc_id")
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination (operators/dedup.py:contamination_pairs):
     every held-out 'benchmark' doc (doc_id % 50 == 0 stands in for an eval
@@ -818,6 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_group_cap": q_group_cap,
         "q_repetition": q_repetition,
+        "q_lm_perplexity": q_lm_perplexity,
+        "q_redact": q_redact,
         "q_contamination": q_contamination,
         "q_dedup_groups": q_dedup_groups,
         "q_embedding_neardup": q_embedding_neardup,
@@ -1175,6 +1213,47 @@ def oracle_sql() -> dict[str, str]:
                    round(top * 1.0 / n_words, 6) AS top_word_frac,
                    round(dup_occ * 1.0 / n_words, 6) AS dup_word_frac
             FROM a ORDER BY doc_id
+        """,
+        "q_redact": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(
+                        regexp_replace(text, '[0-9]+', '[NUM]', 'g'),
+                        '\b(s[a-z]+)\b', '[SWORD]', 'g')) AS redacted_md5,
+                   CAST(len(regexp_extract_all(text, '[0-9]+'))
+                        + len(regexp_extract_all(text, '\b(s[a-z]+)\b'))
+                        AS BIGINT) AS n_hits
+            FROM documents ORDER BY doc_id
+        """,
+        "q_lm_perplexity": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                 '[ \t\n\r\f]+'), x -> x <> '') AS arr
+              FROM documents),
+            words AS (SELECT unnest(arr) AS w FROM toks),
+            uni AS (SELECT w, count(*) AS c1 FROM words GROUP BY w),
+            v AS (SELECT count(*) AS v FROM uni),
+            bigs AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(arr)),
+                            i -> arr[i] || ' ' || arr[i + 1])) AS big
+              FROM toks WHERE len(arr) >= 2),
+            doc_bigs AS (
+              SELECT doc_id, big, count(*) AS cnt FROM bigs GROUP BY 1, 2),
+            model AS (SELECT big, count(*) AS c2 FROM bigs GROUP BY big),
+            scored AS (
+              SELECT d.doc_id, d.cnt,
+                     ln((coalesce(m.c2, 0) + 0.5)
+                        / (coalesce(u.c1, 0) + 0.5 * v.v)) AS logp
+              FROM doc_bigs d
+              LEFT JOIN model m USING (big)
+              LEFT JOIN uni u ON u.w = split_part(d.big, ' ', 1)
+              CROSS JOIN v)
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                   round(sum(cnt * logp) / sum(cnt), 6) AS avg_logprob,
+                   round(exp(-round(sum(cnt * logp) / sum(cnt), 6)), 6) AS ppl
+            FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
         "q_contamination": r"""
             WITH t AS (

@@ -340,12 +340,44 @@ def multi_jvm_stage_probe(k: int) -> float:
     files = sorted(glob.glob(f"{path}/part-*"))
     groups = [files[i::k] for i in range(k)]
     sync_dir = tempfile.mkdtemp(prefix="spark_graft_mj_")
+
+    # SPARK_GRAFT_MJ_PIN=1: pin each child (JVM + its forked Python
+    # workers) to a disjoint 1/k share of the host's cores via taskset —
+    # the CPU topology a real cluster gives each executor (its own
+    # container/cgroup allocation). Pinning also right-sizes every JVM
+    # thread pool: Runtime.availableProcessors honors sched_getaffinity,
+    # so GC/JIT/netty pools stop being sized for all HOST_CPUS cores in
+    # EVERY child (k unpinned children spawn k*~23 GC threads on this
+    # 32-core VM — the leading suspect for the unexplained per-process
+    # degradation at k=8, see BASELINE.md "multi-JVM probe").
+    pin = os.environ.get("SPARK_GRAFT_MJ_PIN", "0") == "1"
+    host_cpus = os.cpu_count() or 32
+    per = max(1, host_cpus // k)
+
+    def cmd(i: int, g: list[str]) -> list[str]:
+        base = [sys.executable, os.path.abspath(__file__), "--mjleg",
+                json.dumps({"files": g, "sync_dir": sync_dir, "idx": i})]
+        if pin:
+            lo_c, hi_c = i * per, i * per + per - 1
+            base = ["taskset", "-c", f"{lo_c}-{hi_c}"] + base
+        return base
+
+    # SPARK_GRAFT_MJ_APC=1: the pool-sizing half of the pinning experiment
+    # WITHOUT OS pinning — each child JVM believes it has 1/k of the cores
+    # (JAVA_TOOL_OPTIONS is read by the JVM unconditionally, so this works
+    # through the py4j launcher), but threads still float freely. If APC
+    # alone recovers flat per-process rates, the attribution is thread-pool
+    # oversubscription; if only full pinning does, it is scheduler
+    # migration/contention.
+    child_env = {**os.environ, "SPARK_GRAFT_SCALING": "0"}
+    if os.environ.get("SPARK_GRAFT_MJ_APC", "0") == "1":
+        child_env["JAVA_TOOL_OPTIONS"] = f"-XX:ActiveProcessorCount={per}"
+
     procs = [
         subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--mjleg",
-             json.dumps({"files": g, "sync_dir": sync_dir, "idx": i})],
+            cmd(i, g),
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-            env={**os.environ, "SPARK_GRAFT_SCALING": "0"},
+            env=child_env,
         )
         for i, g in enumerate(groups)
     ]
@@ -541,5 +573,10 @@ if __name__ == "__main__":
         print(json.dumps(run_crawl(**json.loads(sys.argv[2]))))
     elif len(sys.argv) >= 3 and sys.argv[1] == "--mjleg":
         run_mj_child(json.loads(sys.argv[2]))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--mjprobe":
+        # standalone diagnostic: total pps of k independent executor-JVMs
+        # (honors SPARK_GRAFT_MJ_PIN / SPARK_GRAFT_MJ_APC)
+        k = int(sys.argv[2])
+        print(json.dumps({"k": k, "pps": multi_jvm_stage_probe(k)}))
     else:
         main()

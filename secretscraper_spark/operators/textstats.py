@@ -133,6 +133,125 @@ def winnowing_fingerprints(
     )
 
 
+def redact_text(text: Column, patterns: dict[str, str]) -> Column:
+    """Training-corpus scrubbing: replace every match of each named pattern
+    with its ``[NAME]`` placeholder — the standard PII/secret-redaction
+    pass run before corpus release (reference semantics: the same rule set
+    its Handler extracts with, `handler.py:41-61`, applied destructively).
+
+    Rules apply in sorted-name order (deterministic composition; a later
+    rule sees earlier rules' placeholders). Pure chained `regexp_replace`
+    Column exprs — JVM-side, codegen, no UDF — so the pass costs the same
+    scan the extraction pass does. Callers wanting the shipped secret rules
+    pass `{name: rule.pattern for ...}` from `config.loaded_rules()`."""
+    out = text
+    for name in sorted(patterns):
+        out = F.regexp_replace(out, patterns[name], f"[{name.upper()}]")
+    return out
+
+
+# Explicit whitespace class (not \s): Java regex \s includes \x0B, RE2's
+# does not — same dialect-portability rule as BPE_TOKEN_PATTERN.
+WS_SPLIT_PATTERN = "[ \t\n\r\f]+"
+
+
+def _word_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), WS_SPLIT_PATTERN), lambda x: x != ""
+    )
+    return df.select(F.col(id_col).alias("doc_id"), toks.alias("arr"))
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    model_df: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet/Gopher-style statistical-LM quality score: train an add-k
+    smoothed bigram language model on *model_df* (default: the corpus
+    itself) and score every document by its mean bigram log-probability
+    (`avg_logprob`) and perplexity (`ppl`). Low-probability documents are
+    gibberish / OCR noise / non-language boilerplate — the standard
+    perplexity pre-training filter.
+
+    P(w2|w1) = (C(w1 w2) + k) / (C(w1) + k*V), V = model vocabulary size.
+
+    Plan shape (scales to 100 TB): bigram construction is a JVM-side HOF
+    over the token array (no shuffle); the model is two hash aggregations
+    with map-side combine; scoring pre-aggregates each doc's bigrams to
+    (doc_id, bigram, cnt) so the model joins carry distinct bigrams per
+    doc, not every token position; the final rollup is one hash agg. The
+    model tables arrive at the join as aggregates (vocabulary-sized, not
+    corpus-sized) — broadcastable for natural-language vocabularies, a
+    plain shuffle hash join beyond that. V is a driver-side scalar of one
+    count over the unigram aggregate (same cost class as IVF's centroid
+    collect).
+
+    Docs with <2 tokens have no bigrams and yield no row (both engines
+    agree). Floats are rounded to 6 before exp so the oracle's libm and
+    summation order cannot diverge the gate."""
+    docs = _word_arrays(df, id_col, text_col)
+    model_docs = (
+        docs if model_df is None else _word_arrays(model_df, id_col, text_col)
+    )
+
+    words = model_docs.select(F.explode("arr").alias("w"))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.count()
+
+    def bigram_col(arr: Column) -> Column:
+        # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an
+        # empty list — single-token docs must short-circuit to []
+        return F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.concat(
+                    F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    big_model = (
+        model_docs.select(F.explode(bigram_col(F.col("arr"))).alias("big"))
+        .groupBy("big")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+
+    doc_bigs = (
+        docs.select("doc_id", F.explode(bigram_col(F.col("arr"))).alias("big"))
+        .groupBy("doc_id", "big")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("w1", F.split(F.col("big"), " ").getItem(0))
+    )
+
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(float(k)))
+        / (
+            F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+            + F.lit(float(k)) * F.lit(float(vocab))
+        )
+    )
+    scored = (
+        doc_bigs.join(big_model, "big", "left")
+        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .select("doc_id", "cnt", logp.alias("logp"))
+    )
+    avg = F.round(
+        F.sum(F.col("cnt") * F.col("logp")) / F.sum("cnt").cast("double"), 6
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            avg.alias("avg_logprob"),
+        )
+        .withColumn("ppl", F.round(F.exp(-F.col("avg_logprob")), 6))
+    )
+
+
 def repetition_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -88,6 +88,80 @@ def test_repetition_features(spark):
             rows[3].top_word_frac, rows[3].dup_word_frac) == (4, 0.75, 0.5, 0.5)
 
 
+def test_bigram_lm_scores(spark):
+    import math
+    from collections import Counter
+
+    from secretscraper_spark.operators.textstats import bigram_lm_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the cat"),
+        (3, "zq zq zq"),            # repetitive gibberish
+        (4, "single"),              # <2 tokens -> no row
+        (5, "  "),                  # no tokens -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # independent python reference (add-k bigram LM, self-trained)
+    k = 0.5
+    toks = {i: t.lower().split() for i, t in rows}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    bigs = Counter(
+        (ws[i], ws[i + 1]) for ws in toks.values() for i in range(len(ws) - 1)
+    )
+    v = len(uni)
+
+    def ref(ws):
+        lps = [
+            math.log((bigs[(a, b)] + k) / (uni[a] + k * v))
+            for a, b in zip(ws, ws[1:])
+        ]
+        return round(sum(lps) / len(lps), 6)
+
+    got = {r.doc_id: r for r in bigram_lm_scores(df, k=k).collect()}
+    assert set(got) == {1, 2, 3}
+    for i in (1, 2, 3):
+        assert got[i].n_bigrams == len(toks[i]) - 1
+        assert got[i].avg_logprob == pytest.approx(ref(toks[i]), abs=1e-6)
+        # ppl is round-6 of exp(-rounded avg): tolerance is the rounding
+        # granularity, not float ulp
+        assert got[i].ppl == pytest.approx(
+            math.exp(-got[i].avg_logprob), abs=1e-6
+        )
+    # scoring against an external model corpus: unseen bigrams get the
+    # smoothed floor, so a disjoint-vocabulary doc scores strictly worse
+    model = spark.createDataFrame(rows[:2], "doc_id long, text string")
+    ext = {r.doc_id: r for r in bigram_lm_scores(df, k=k, model_df=model).collect()}
+    assert ext[3].avg_logprob < ext[1].avg_logprob
+
+
+def test_redact_text(spark):
+    from secretscraper_spark.config import loaded_rules
+    from secretscraper_spark.operators.textstats import redact_text
+
+    df = spark.createDataFrame(
+        [(1, "call 555 then see secret 7 stuff"), (2, "no digits here")],
+        "doc_id long, text string",
+    )
+    pats = {"num": r"[0-9]+", "sword": r"\b(s[a-z]+)\b"}
+    got = {r.doc_id: r.red
+           for r in df.select("doc_id",
+                              redact_text(F.col("text"), pats).alias("red")
+                              ).collect()}
+    assert got[1] == "call [NUM] then [SWORD] [SWORD] [NUM] [SWORD]"
+    assert got[2] == "no digits here"
+
+    # the shipped secret rules run through the same path: a 32-char quoted
+    # token (the 'Suspicious API Key' rule's shape) gets masked
+    key = "1234567890abcdefghijklmnopqrstuv"
+    txt = f'x = "{key}"; y = 2'
+    row = spark.createDataFrame([(1, txt)], "doc_id long, text string").select(
+        redact_text(F.col("text"), loaded_rules()).alias("red")
+    ).first()
+    assert key not in row.red and "[SUSPICIOUS API KEY]" in row.red
+
+
 def test_contamination_pairs(spark):
     corpus = spark.createDataFrame(
         [
