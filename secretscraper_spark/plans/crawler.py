@@ -51,7 +51,7 @@ from . import checkpoint as ckpt
 from . import cuckoo as cuckoomod
 from . import extraction
 from .politeness import assign_fetch_schedule, robots_gate, tier_makespan
-from .ranking import assign_global_seq
+from .ranking import assign_global_seq, assign_global_seq_with_count
 
 NODES_DDL = (
     "url_norm string, scheme string, netloc string, path string, "
@@ -69,6 +69,7 @@ class CrawlResult:
     found: DataFrame          # distinct children ever extracted
     total_page: int = 0
     tiers: list[dict] = field(default_factory=list)  # per-round metrics/lineage
+    overhead: dict = field(default_factory=dict)     # non-tier wall costs (sec)
 
 
 def _accept_expr(cfg: CrawlConfig):
@@ -105,13 +106,26 @@ def seed_frontier(
         df = spark.createDataFrame(rows, FRONTIER_SCHEMA)
         return df.filter(_accept_expr(cfg))
 
-    from ..functions.extract import make_parse_url_udf
-
-    part_cols = ["scheme", "netloc", "path", "params", "query", "fragment"]
     base = spark.createDataFrame(
         list(enumerate(seeds)), "ord long, url string"
     )
-    parsed = base.select(
+    return seed_frontier_from_urls(spark, base, cfg)
+
+
+def seed_frontier_from_urls(
+    spark: SparkSession, urls: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    """S1 seed source over a TABLE of urls — the 10^10 form: the north
+    rule's frontier is an Iceberg/parquet table, which can never transit
+    the driver as a Python list. *urls* carries (ord long, url string);
+    ord is the insertion order the reference's seed-list semantics key on
+    (facade.py:176-192). Semantics are identical to seed_frontier(list):
+    first occurrence per normalized url wins, discovery_seq is assigned
+    over ALL unique norms before the scope filter runs."""
+    from ..functions.extract import make_parse_url_udf
+
+    part_cols = ["scheme", "netloc", "path", "params", "query", "fragment"]
+    parsed = urls.select(
         "ord", make_parse_url_udf()(F.col("url")).alias("p")
     ).select("ord", "p.*")
     # first occurrence per norm wins (insertion order = ord)
@@ -224,7 +238,24 @@ class SparkCrawler:
     # -- public API -----------------------------------------------------------
 
     def run(self, seeds: list[str]) -> CrawlResult:
-        frontier = seed_frontier(self.spark, seeds, self.cfg).localCheckpoint()
+        """Crawl from a driver-side seed list (the reference facade's
+        surface, `facade.py:176-192`)."""
+        return self._run_seeded(
+            lambda: seed_frontier(self.spark, seeds, self.cfg)
+        )
+
+    def run_from_urls(self, urls: DataFrame) -> CrawlResult:
+        """Crawl from a TABLE of seed urls (ord long, url string) — the
+        production entry for Iceberg/parquet-backed frontiers, where the
+        seed set (north rule: 10^10 rows) can never transit the driver as
+        a list. Seed semantics are identical to run() — parity-tested."""
+        return self._run_seeded(
+            lambda: seed_frontier_from_urls(self.spark, urls, self.cfg)
+        )
+
+    def _run_seeded(self, build_frontier) -> CrawlResult:
+        t_seed = time.perf_counter()
+        frontier = build_frontier().localCheckpoint()
         seen = frontier.select("url_norm", "depth", "discovery_seq").localCheckpoint()
         st = {
             "frontier": frontier,
@@ -237,6 +268,7 @@ class SparkCrawler:
             "next_seq": frontier.count(),
             "tiers": [],
         }
+        st["overhead"] = {"seed_sec": round(time.perf_counter() - t_seed, 3)}
         return self._loop(st)
 
     def resume(self, from_round: int | None = None) -> CrawlResult:
@@ -361,7 +393,10 @@ class SparkCrawler:
 
     def _loop(self, st: dict) -> CrawlResult:
         cfg = self.cfg
+        t_sb = time.perf_counter()
         seen_state = self._seen_build(st["seen"])
+        overhead = st.get("overhead", {})
+        overhead["seen_build_sec"] = round(time.perf_counter() - t_sb, 3)
         while True:
             if cfg.max_depth > 0 and st["depth"] > cfg.max_depth:
                 break
@@ -388,6 +423,7 @@ class SparkCrawler:
             ).distinct(),
             total_page=st["total_page"],
             tiers=st["tiers"],
+            overhead=overhead,
         )
 
     def _tier(self, st: dict, seen_state) -> object:
@@ -416,13 +452,18 @@ class SparkCrawler:
             ~is_dangerous_path(F.col("path"), cfg.dangerous_paths)
         )
 
-        # O2 budget top-k in BFS order (crawler.py:190-191, 270-271)
+        # O2 budget top-k in BFS order (crawler.py:190-191, 270-271).
+        # Only the budget cut is worth pinning with a checkpoint; without a
+        # budget, to_process is cheap narrow filters over the ALREADY
+        # checkpoint-backed frontier — re-evaluating them on each downstream
+        # read beats re-materializing the whole tier (one less full-tier
+        # copy per round).
         if cfg.max_page_num > 0:
             remaining = cfg.max_page_num - st["total_page"]
             to_process = candidates.orderBy("discovery_seq").limit(remaining)
+            to_process = to_process.localCheckpoint()
         else:
             to_process = candidates
-        to_process = to_process.localCheckpoint()
         n_processed = to_process.count()
         st["total_page"] += n_processed
         mark("budget_checkpoint")
@@ -495,14 +536,16 @@ class SparkCrawler:
                      F.min("parent_norm").alias("parent_norm"))
             )
             new_nodes = self._seen_anti_join(eligible, st["seen"], seen_state)
-            new_frontier = assign_global_seq(
+            # ranking materializes + counts its input anyway; reuse that
+            # count as n_new (rank preserves rows) — one job less per tier
+            ranked, n_new = assign_global_seq_with_count(
                 new_nodes, ["min_parent_seq", "url_norm"], start=st["next_seq"]
-            ).select(
+            )
+            new_frontier = ranked.select(
                 "url_norm", "scheme", "netloc", "path", "params", "query",
                 "fragment", F.lit(depth + 1).alias("depth"),
                 "parent_norm", "discovery_seq",
             ).localCheckpoint()
-            n_new = new_frontier.count()
             mark("enqueue_rank")
             st["next_seq"] += n_new
             st["seen"] = st["seen"].unionByName(

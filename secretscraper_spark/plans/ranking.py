@@ -28,6 +28,24 @@ def assign_global_seq(
 ) -> DataFrame:
     """Add ``seq_col`` = dense global rank of rows ordered by *order_cols*
     (caller guarantees the key is unique per row), starting at *start*."""
+    return assign_global_seq_with_count(
+        df, order_cols, seq_col=seq_col, start=start,
+        num_partitions=num_partitions, small_input_rows=small_input_rows,
+    )[0]
+
+
+def assign_global_seq_with_count(
+    df: DataFrame,
+    order_cols: list[str],
+    seq_col: str = "discovery_seq",
+    start: int = 0,
+    num_partitions: int | None = None,
+    small_input_rows: int = SMALL_INPUT_ROWS,
+) -> tuple[DataFrame, int]:
+    """assign_global_seq, also returning the (already-materialized) input
+    row count. Ranking must count its input anyway (plan choice + range
+    offsets); callers that need |df| — every crawl tier does, for
+    next_seq/metrics — save one full count job per tier by reusing it."""
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     # Materialize the input first: repartitionByRange runs a boundary-
     # sampling job that RE-EXECUTES the full upstream plan before the
@@ -44,13 +62,14 @@ def assign_global_seq(
     # inputs — the 10^10-frontier regime — always take the distributed
     # path below; this mirrors how AQE picks physical plans from runtime
     # statistics.
-    if df.count() <= small_input_rows:
+    n_rows = df.count()
+    if n_rows <= small_input_rows:
         from pyspark.sql.window import Window
 
         w = Window.orderBy(*order_cols)
         return df.withColumn(
             seq_col, (F.row_number().over(w) - 1 + F.lit(start)).cast("long")
-        )
+        ), n_rows
     ranged = df.repartitionByRange(int(parts), *order_cols).sortWithinPartitions(*order_cols)
     # freeze the (sampled) range boundaries so the count pass and the tag
     # pass see identical partitioning
@@ -91,4 +110,4 @@ def assign_global_seq(
     return (
         ranged.withColumn("__pid", F.spark_partition_id())
         .mapInPandas(tag, out_schema)
-    )
+    ), n_rows

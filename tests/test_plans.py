@@ -156,6 +156,33 @@ class TestValidate:
         }
 
 
+class TestTableBackedSeeding:
+    def test_run_from_urls_matches_run(self, spark):
+        """run_from_urls (table-backed frontier, the 10^10 entry) must be
+        bit-for-bit identical to run (seed-list surface) — same seen set
+        with depth+seq, edges, secrets, total_page. Seed list includes a
+        duplicate (dedup-first-wins on both paths) and an off-site url
+        (fetch-miss seed) to exercise more than the happy path."""
+        pdf = generate_pages_pandas(200, 4)
+        pages = spark.createDataFrame(pdf.drop(columns=["bytes"]))
+        cfg = CrawlConfig(max_depth=2, max_page_num=0)
+        seeds = seeds_for(4) + [seeds_for(4)[0], "http://elsewhere.example/x"]
+
+        a = SparkCrawler(spark, pages, cfg).run(seeds)
+        urls = spark.createDataFrame(
+            list(enumerate(seeds)), "ord long, url string"
+        )
+        b = SparkCrawler(spark, pages, cfg).run_from_urls(urls)
+
+        key = lambda r: (r.url_norm, r.depth, r.discovery_seq)
+        assert sorted(map(key, a.seen.collect())) == sorted(map(key, b.seen.collect()))
+        ek = lambda r: (r.parent_norm, r.child_norm, r.kind)
+        assert sorted(map(ek, a.edges.collect())) == sorted(map(ek, b.edges.collect()))
+        sk = lambda r: (r.url_norm, r.rule_name, r.match)
+        assert sorted(map(sk, a.secrets.collect())) == sorted(map(sk, b.secrets.collect()))
+        assert a.total_page == b.total_page
+
+
 class TestCheckpointResume:
     def test_resume_matches_uninterrupted(self, spark, tmp_path):
         pdf = generate_pages_pandas(200, 4)
