@@ -253,6 +253,21 @@ class SparkCrawler:
             lambda: seed_frontier_from_urls(self.spark, urls, self.cfg)
         )
 
+    def run_from_frontier(self, frontier: DataFrame) -> CrawlResult:
+        """Enter the crawl loop from a PREBUILT depth-0 frontier table
+        carrying the full FRONTIER_SCHEMA columns — the Iceberg-snapshot
+        shape (resume() enters the loop from exactly this table read back
+        from a round snapshot). The CALLER guarantees url_norm is
+        normalized + unique and discovery_seq is dense from 0 — the
+        contract every frontier table the crawler itself writes satisfies.
+        For raw url lists/tables use run()/run_from_urls(), which
+        normalize + dedup + rank first. Skipping those jobs is the point:
+        a prepared 10^10-row frontier pays zero per-run seed cost beyond
+        one materialization. Parity-tested against run()."""
+        return self._run_seeded(
+            lambda: frontier.filter(_accept_expr(self.cfg))
+        )
+
     def _run_seeded(self, build_frontier) -> CrawlResult:
         t_seed = time.perf_counter()
         frontier = build_frontier().localCheckpoint()

@@ -75,17 +75,31 @@ def main() -> None:
         ).localCheckpoint()
         pages.count()  # materialize outside the timed window
 
-    seeds = [url_for(i, args.n_hosts) for i in range(0, args.n_pages, args.seed_stride)]
     cfg = CrawlConfig(
         max_depth=args.max_depth, max_page_num=args.max_pages,
         white_list=args.white_list, black_list=args.black_list,
     )
 
     t0 = time.perf_counter()
-    res = SparkCrawler(
+    crawler = SparkCrawler(
         spark, pages, cfg, checkpoint_dir=args.checkpoint_dir,
         use_bloom=args.use_bloom, seen_filter=args.seen_filter,
-    ).run(seeds)
+    )
+    if args.seed_stride == 1:
+        # saturated (full-site) seeding = the 10^10-frontier stand-in: seed
+        # from the pages TABLE (run_from_urls) — a frontier that size is an
+        # Iceberg table, never a driver-side list
+        from pyspark.sql import functions as F
+        urls = pages.select(
+            F.regexp_extract("url_norm", r"/p/(\d+)$", 1)
+             .cast("long").alias("ord"),
+            F.col("url_norm").alias("url"),
+        )
+        res = crawler.run_from_urls(urls)
+    else:
+        seeds = [url_for(i, args.n_hosts)
+                 for i in range(0, args.n_pages, args.seed_stride)]
+        res = crawler.run(seeds)
     n_seen = res.seen.count()
     n_secrets = res.secrets.count()
     wall = time.perf_counter() - t0

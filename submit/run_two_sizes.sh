@@ -15,10 +15,14 @@ ZIP=/tmp/secretscraper_spark.zip
 rm -f "$ZIP"
 zip -qr "$ZIP" secretscraper_spark
 
-run() { # run <master> <shuffle_partitions>
+run() { # run <master> <shuffle_partitions> <cpuset>
   # task.cpus=1: at these partial-host parallelism levels the Python
-  # workers are the bottleneck (see BASELINE.md task-slot sizing note)
-  spark-submit --master "$1" \
+  # workers are the bottleneck (see BASELINE.md task-slot sizing note).
+  # taskset pins the whole job (JVM, Python workers, GC) to exactly its
+  # nominal core count — a real executor is a CPU-capped container, and
+  # unpinned local[2] borrows extra host cores for auxiliary threads,
+  # structurally deflating the N->4N ratio (see bench.py).
+  taskset -c "$3" spark-submit --master "$1" \
     --conf spark.sql.shuffle.partitions="$2" \
     --conf spark.sql.adaptive.enabled=true \
     --conf spark.driver.memory=24g \
@@ -28,8 +32,8 @@ run() { # run <master> <shuffle_partitions>
     2>/dev/null | tail -1
 }
 
-LO_JSON=$(run 'local[2]' 4)
-HI_JSON=$(run 'local[8]' 8)
+LO_JSON=$(run 'local[2]' 4 0-1)
+HI_JSON=$(run 'local[8]' 8 0-7)
 
 python - "$LO_JSON" "$HI_JSON" <<'EOF'
 import json, sys

@@ -183,6 +183,44 @@ class TestTableBackedSeeding:
         assert a.total_page == b.total_page
 
 
+    def test_run_from_frontier_matches_run(self, spark):
+        """run_from_frontier (prebuilt Iceberg-snapshot-shaped frontier)
+        must equal run() when handed the equivalent depth-0 frontier —
+        here built with pure-JVM projections from the pages store, the
+        saturated-bench seeding path."""
+        from pyspark.sql import functions as F
+        from secretscraper_spark.sources.sitegen import url_for
+
+        pdf = generate_pages_pandas(200, 4)
+        pages = spark.createDataFrame(pdf.drop(columns=["bytes"]))
+        cfg = CrawlConfig(max_depth=1, max_page_num=0)
+        seeds = [url_for(i, 4) for i in range(200)]
+        a = SparkCrawler(spark, pages, cfg).run(seeds)
+
+        frontier = pages.select(
+            F.col("url_norm"),
+            F.lit("http").alias("scheme"),
+            F.regexp_extract("url_norm", r"^http://([^/]+)", 1).alias("netloc"),
+            F.regexp_extract("url_norm", r"^http://[^/]+(/.*)$", 1).alias("path"),
+            F.lit("").alias("params"),
+            F.lit("").alias("query"),
+            F.lit("").alias("fragment"),
+            F.lit(0).cast("int").alias("depth"),
+            F.lit(None).cast("string").alias("parent_norm"),
+            F.regexp_extract("url_norm", r"/p/(\d+)$", 1)
+             .cast("long").alias("discovery_seq"),
+        )
+        b = SparkCrawler(spark, pages, cfg).run_from_frontier(frontier)
+
+        key = lambda r: (r.url_norm, r.depth, r.discovery_seq)
+        assert sorted(map(key, a.seen.collect())) == sorted(map(key, b.seen.collect()))
+        ek = lambda r: (r.parent_norm, r.child_norm, r.kind)
+        assert sorted(map(ek, a.edges.collect())) == sorted(map(ek, b.edges.collect()))
+        sk = lambda r: (r.url_norm, r.rule_name, r.match)
+        assert sorted(map(sk, a.secrets.collect())) == sorted(map(sk, b.secrets.collect()))
+        assert a.total_page == b.total_page
+
+
 class TestCheckpointResume:
     def test_resume_matches_uninterrupted(self, spark, tmp_path):
         pdf = generate_pages_pandas(200, 4)
