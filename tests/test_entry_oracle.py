@@ -11,7 +11,11 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+# sf0.001 keeps the suite fast; set SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.01
+# for a full dress rehearsal at the driver gate's actual scale factor
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
