@@ -528,6 +528,38 @@ def q_lm_perplexity(spark, sf_dir):
     return bigram_lm_scores(docs, k=0.5).orderBy("doc_id")
 
 
+def q_line_dedup(spark, sf_dir):
+    """RefinedWeb/CCNet-style line-level boilerplate removal
+    (operators/dedup.py:dedup_lines): lines appearing verbatim in >=2
+    distinct docs are stripped from every doc. The synthetic corpus has no
+    newlines, so deterministic 6-word 'lines' are derived first (pure JVM
+    HOFs, let-bound against the Catalyst no-CSE-in-lambda pitfall); the
+    operator itself is generic over any line separator. Plan: posexplode →
+    two-phase distinct-doc count → anti join → sort_array reassembly."""
+    from secretscraper_spark.operators.dedup import dedup_lines
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    text2 = F.element_at(
+        F.transform(
+            F.array(arr),
+            lambda a: F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(a) / F.lit(6.0)).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(F.slice(a, i * 6 + 1, 6), " "),
+                ),
+                "\n",
+            ),
+        ),
+        1,
+    )
+    docs2 = docs.select("doc_id", text2.alias("text"))
+    return dedup_lines(docs2, min_df=2).orderBy("doc_id")
+
+
 def q_redact(spark, sf_dir):
     """Training-corpus PII/secret redaction (textstats.redact_text): every
     match of each named rule replaced by its [NAME] placeholder before
@@ -856,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_lm_perplexity": q_lm_perplexity,
         "q_redact": q_redact,
+        "q_line_dedup": q_line_dedup,
         "q_contamination": q_contamination,
         "q_dedup_groups": q_dedup_groups,
         "q_embedding_neardup": q_embedding_neardup,
@@ -1213,6 +1246,41 @@ def oracle_sql() -> dict[str, str]:
                    round(top * 1.0 / n_words, 6) AS top_word_frac,
                    round(dup_occ * 1.0 / n_words, 6) AS dup_word_frac
             FROM a ORDER BY doc_id
+        """,
+        "q_line_dedup": r"""
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+            docs2 AS (
+              SELECT doc_id,
+                     array_to_string(list_transform(
+                        range(1, cast(ceil(len(arr) / 6.0) AS int) + 1),
+                        i -> array_to_string(
+                               list_slice(arr, (i - 1) * 6 + 1, (i - 1) * 6 + 6),
+                               ' ')), chr(10)) AS text
+              FROM base),
+            split2 AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
+            lines AS (
+              SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos,
+                     unnest(ls) AS line
+              FROM split2),
+            bp AS (
+              SELECT line FROM lines
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+            kept AS (
+              SELECT * FROM lines WHERE line NOT IN (SELECT line FROM bp)),
+            agg AS (
+              SELECT doc_id,
+                     array_to_string(list(line ORDER BY pos), chr(10)) AS kept_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            totals AS (
+              SELECT doc_id, len(string_split(text, chr(10))) AS n_lines
+              FROM docs2)
+            SELECT t.doc_id, coalesce(a.kept_text, '') AS text,
+                   CAST(t.n_lines AS BIGINT) AS n_lines,
+                   CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM totals t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
         """,
         "q_redact": r"""
             SELECT doc_id,

@@ -48,6 +48,61 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """RefinedWeb/CCNet-style line-level boilerplate removal: a line whose
+    EXACT text appears in >= *min_df* distinct documents (nav bars, cookie
+    banners, template headers) is removed from EVERY document. Returns one
+    row per input doc: (doc_id, text, n_lines, n_removed) — docs whose
+    every line is boilerplate keep an empty text.
+
+    Plan shape (100 TB): posexplode lines (no shuffle) → line document-
+    frequency via two-phase count-distinct (map-side partial agg; the
+    boilerplate side is tiny — only lines crossing min_df survive) →
+    left_anti join routes kept lines → order-preserving reassembly with
+    sort_array(collect_list(struct(pos, line))) — one hash agg, no window.
+    *sep* must be a single literal character (used as both split regex and
+    join separator)."""
+    did = F.col(id_col)
+    lines = df.select(
+        did.alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    boilerplate = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("line")
+    )
+    kept = lines.join(boilerplate, "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        did.alias("doc_id"),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("text"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long").alias("n_removed"),
+    )
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Word k-gram shingles per doc: explode over a JVM-side transform.
 

@@ -136,6 +136,30 @@ def test_bigram_lm_scores(spark):
     assert ext[3].avg_logprob < ext[1].avg_logprob
 
 
+def test_dedup_lines(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\nFOOTER"),
+            (2, "COOKIE BANNER\nreal content two\nFOOTER"),
+            (3, "unique doc\nwith no shared lines"),
+            (4, "COOKIE BANNER\nFOOTER"),          # all lines boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup.dedup_lines(df, min_df=2).collect()}
+    assert got[1].text == "real content one" and got[1].n_removed == 2
+    assert got[2].text == "real content two" and (got[2].n_lines, got[2].n_removed) == (3, 2)
+    assert got[3].text == "unique doc\nwith no shared lines" and got[3].n_removed == 0
+    assert got[4].text == "" and (got[4].n_lines, got[4].n_removed) == (2, 2)
+    # duplicate lines WITHIN one doc don't count toward min_df (distinct docs)
+    solo = spark.createDataFrame(
+        [(1, "same\nsame\nother"), (2, "different\nstuff")],
+        "doc_id long, text string",
+    )
+    got2 = {r.doc_id: r.text for r in dedup.dedup_lines(solo, min_df=2).collect()}
+    assert got2[1] == "same\nsame\nother"
+
+
 def test_redact_text(spark):
     from secretscraper_spark.config import loaded_rules
     from secretscraper_spark.operators.textstats import redact_text
