@@ -489,6 +489,23 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_epoch_mix(spark, sf_dir):
+    """Epoch-style pretraining mixture (sampling.epoch_mix): src0 is
+    upsampled 2.5 epochs (2 full copies + a deterministic hash-half), src1
+    kept at 0.25, src2 dropped, everything else 1 epoch — the LLaMA-style
+    source-repetition mix. Zero shuffle (CASE + explode); value-gated via
+    the portable hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.epoch_mix(
+            docs, "source", {"src0": 2.5, "src1": 0.25, "src2": 0.0},
+            key_col="doc_id", mode="portable",
+        )
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")
+    )
+
+
 def q_group_cap(spark, sf_dir):
     """Per-source quota (sampling.cap_per_group): keep at most 10 docs per
     source, chosen by hash-of-key rank (deterministic, order-independent) —
@@ -884,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_split_assign": q_split_assign,
         "q_stratified_sample": q_stratified_sample,
+        "q_epoch_mix": q_epoch_mix,
         "q_group_cap": q_group_cap,
         "q_repetition": q_repetition,
         "q_lm_perplexity": q_lm_perplexity,
@@ -1214,6 +1232,28 @@ def oracle_sql() -> dict[str, str]:
                                       WHEN 'de' THEN 0.25
                                       ELSE 1.0 END) * 1000000 AS BIGINT)
             ORDER BY doc_id
+        """,
+        "q_epoch_mix": f"""
+            WITH b AS (
+              SELECT doc_id, source,
+                     {_h_sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS b
+              FROM documents),
+            w AS (
+              SELECT doc_id, source, b,
+                     CASE source WHEN 'src0' THEN 2.5
+                                 WHEN 'src1' THEN 0.25
+                                 WHEN 'src2' THEN 0.0
+                                 ELSE 1.0 END AS w
+              FROM b),
+            n AS (
+              SELECT doc_id, source,
+                     CAST(floor(w) AS INT)
+                     + (CASE WHEN b < CAST((w - floor(w)) * 1000000 AS BIGINT)
+                             THEN 1 ELSE 0 END) AS n
+              FROM w)
+            SELECT doc_id, source,
+                   CAST(unnest(range(1, n + 1)) AS INT) AS copy
+            FROM n ORDER BY doc_id, copy
         """,
         "q_group_cap": f"""
             WITH b AS (

@@ -94,6 +94,40 @@ def stratified_sample(
     return df.filter(b < (frac * N_BUCKETS).cast("long"))
 
 
+def epoch_mix(
+    df: DataFrame, strata_col: str, weights: dict[str, float],
+    key_col: str, mode: str = "fast", seed: int | None = None,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Epoch-style source mixing with weights ≥ 0 INCLUDING > 1
+    (upsampling): weight w emits floor(w) full copies of every row plus
+    one extra copy for the deterministic hash-fraction (w − floor(w)) of
+    keys — how pretraining mixtures repeat high-quality sources ~w epochs
+    (books × 2.5, web × 0.8, …). Adds ``copy`` (1-based repeat index) so a
+    downstream global shuffle can interleave repeats. Zero shuffle: a CASE
+    projection + explode; like every sampler here, rerunning or
+    re-partitioning yields the identical mixture."""
+    b = _bucket(key_col, mode, seed)
+    wexpr = None
+    for name, w_ in weights.items():
+        cond = F.col(strata_col) == name
+        lit = F.lit(float(w_))
+        wexpr = F.when(cond, lit) if wexpr is None else wexpr.when(cond, lit)
+    wexpr = (
+        F.lit(float(default_weight)) if wexpr is None
+        else wexpr.otherwise(F.lit(float(default_weight)))
+    )
+    n = F.floor(wexpr).cast("int") + (
+        b < ((wexpr - F.floor(wexpr)) * N_BUCKETS).cast("long")
+    ).cast("int")
+    # sequence(1, 0) yields a DESCENDING [1, 0] — zero-copy rows must
+    # short-circuit to an empty array (explode then drops them)
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("copy", F.explode(copies))
+
+
 def cap_per_group(
     df: DataFrame, group_col: str, n: int, key_col: str,
     mode: str = "fast", seed: int | None = None,

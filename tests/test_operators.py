@@ -136,6 +136,41 @@ def test_bigram_lm_scores(spark):
     assert ext[3].avg_logprob < ext[1].avg_logprob
 
 
+def test_epoch_mix(spark):
+    from secretscraper_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "books" if i % 2 == 0 else "web") for i in range(200)],
+        "doc_id long, source string",
+    )
+    out = sampling.epoch_mix(
+        df, "source", {"books": 2.5, "web": 0.0}, key_col="doc_id"
+    ).collect()
+    per = {}
+    for r in out:
+        assert r.source == "books"          # web weight 0 -> dropped
+        per.setdefault(r.doc_id, []).append(r.copy)
+    # every books row appears floor(2.5)=2 or 3 times, copies 1..n dense
+    assert set(per) == {i for i in range(200) if i % 2 == 0}
+    counts = {len(v) for v in per.values()}
+    assert counts <= {2, 3} and counts == {2, 3}  # both arms hit at n=100
+    for v in per.values():
+        assert sorted(v) == list(range(1, len(v) + 1))
+    # ~half the keys get the extra epoch (hash-fraction 0.5); generous band
+    n3 = sum(1 for v in per.values() if len(v) == 3)
+    assert 25 <= n3 <= 75
+    # deterministic under rerun
+    again = sampling.epoch_mix(
+        df, "source", {"books": 2.5, "web": 0.0}, key_col="doc_id"
+    ).collect()
+    assert sorted((r.doc_id, r.copy) for r in again) == sorted(
+        (r.doc_id, r.copy) for r in out
+    )
+    # weight 1.0 (default) = identity with copy=1
+    ident = sampling.epoch_mix(df, "source", {}, key_col="doc_id").collect()
+    assert len(ident) == 200 and all(r.copy == 1 for r in ident)
+
+
 def test_dedup_lines(spark):
     df = spark.createDataFrame(
         [
