@@ -869,6 +869,83 @@ def q_image_resize(spark, sf_dir):
     )
 
 
+def q_text_normalize(spark, sf_dir):
+    """Corpus text normalization (textstats.normalize_text): strip C0/DEL
+    control characters, collapse whitespace runs, trim — the canonical
+    pre-tokenization cleaning pass. Control bytes are injected
+    deterministically first (the synthetic corpus is already clean) so the
+    strip+collapse semantics are value-gated on the output STRINGS. Pure
+    chained regexp_replace — one scan, no UDF, no shuffle."""
+    from secretscraper_spark.operators.textstats import normalize_text
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    dirty = F.concat(F.col("text"), F.lit("\x07  tail\x00"))
+    norm = normalize_text(dirty)
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+def q_vocab(spark, sf_dir):
+    """Corpus vocabulary with term + document frequency (textstats.
+    vocab_table): the tokenizer-training / df-filtering primitive. Two-phase
+    aggregate (per-doc counts → per-word rollup) so document frequency
+    needs no count_distinct Expand and every stage partially aggregates;
+    min_df=3 keeps the output vocabulary-sized."""
+    from secretscraper_spark.operators.textstats import vocab_table
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return vocab_table(docs, min_df=3).orderBy("word")
+
+
+def q_tfidf(spark, sf_dir):
+    """Top-2 TF-IDF terms per document (textstats.tfidf_top_terms) with
+    sklearn-style smoothed idf — the keyword-sketch operator for corpus
+    clustering / domain tagging. Ranking uses the ROUNDED score with a
+    lexicographic term tiebreak so both engines order ties identically;
+    one shuffle (the per-doc window) beyond the vocab aggregates."""
+    from secretscraper_spark.operators.textstats import tfidf_top_terms
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return (
+        tfidf_top_terms(docs, k=2)
+        .withColumn("rk", F.col("rk").cast("int"))
+        .orderBy("doc_id", "rk")
+    )
+
+
+def q_image_filter(spark, sf_dir):
+    """Image+caption curation gate (multimodal.filter_images): the LAION/
+    DataComp-style pre-training filter — resolution, aspect-ratio,
+    bytes-per-pixel (blank/placeholder) and caption gates as pure Column
+    exprs over the input-hint table shape, zero decode / zero Python.
+    Driver testdata has no image table, so (w, h) are synthesized from the
+    portable hash and the text stands in for the payload bytes — every
+    gate, ratio, and reject_reason string is value-checked."""
+    from secretscraper_spark.operators.dedup import portable_hash64
+    from secretscraper_spark.operators.multimodal import filter_images
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    imgs = docs.select(
+        F.col("doc_id").alias("image_id"),
+        (F.lit(16) + portable_hash64(F.col("doc_id"), seed=1) % 1200)
+        .cast("int").alias("w"),
+        (F.lit(16) + portable_hash64(F.col("doc_id"), seed=2) % 1200)
+        .cast("int").alias("h"),
+        F.col("text").alias("bytes"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(""))
+        .otherwise(F.col("text")).alias("caption"),
+    )
+    return (
+        filter_images(imgs)
+        .select("image_id", "n_pixels", "aspect", "bytes_per_pixel",
+                "keep", "reject_reason")
+        .orderBy("image_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -920,6 +997,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_image_resize": q_image_resize,
         "q_shipping_priority": q_shipping_priority,
+        "q_text_normalize": q_text_normalize,
+        "q_vocab": q_vocab,
+        "q_tfidf": q_tfidf,
+        "q_image_filter": q_image_filter,
     }
 
 
@@ -1529,6 +1610,92 @@ def oracle_sql() -> dict[str, str]:
                    list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
                                (a, x) -> xor(a, x)) AS fp_xor
             FROM d ORDER BY doc_id
+        """,
+        # Dialect notes for the three text-corpus entries below: the
+        # whitespace/control classes are explicit (no \s — Java vs RE2
+        # disagree on \x0B), DuckDB regexp_replace needs the 'g' flag
+        # (Spark's is global by default), and strlen() is DuckDB's
+        # byte-length (Spark octet_length).
+        "q_text_normalize": r"""
+            WITH d AS (
+              SELECT doc_id, text || chr(7) || '  tail' || chr(0) AS dirty
+              FROM documents),
+            n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(dirty,
+                         '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                       '[ \t\n\r\f]+', ' ', 'g')) AS norm_text
+              FROM d)
+            SELECT doc_id, norm_text,
+                   CAST(length(norm_text) AS INTEGER) AS n_chars_norm
+            FROM n ORDER BY doc_id
+        """,
+        "q_vocab": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text),
+                                               '[ \t\n\r\f]+')) AS word
+              FROM documents),
+            pd AS (
+              SELECT doc_id, word, count(*) AS cnt
+              FROM w WHERE word <> '' GROUP BY doc_id, word)
+            SELECT word, CAST(sum(cnt) AS BIGINT) AS tf,
+                   CAST(count(*) AS BIGINT) AS df
+            FROM pd GROUP BY word HAVING count(*) >= 3 ORDER BY word
+        """,
+        "q_tfidf": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text),
+                                               '[ \t\n\r\f]+')) AS term
+              FROM documents),
+            pd AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM w WHERE term <> '' GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM pd GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (
+              SELECT doc_id, term, tf,
+                     round(tf * (ln((n.n + 1) / CAST(df + 1 AS DOUBLE)) + 1),
+                           6) AS score
+              FROM pd JOIN dfreq USING (term), n),
+            r AS (
+              SELECT *, row_number() OVER (
+                          PARTITION BY doc_id
+                          ORDER BY score DESC, term) AS rk
+              FROM s)
+            SELECT doc_id, term, tf, score, CAST(rk AS INTEGER) AS rk
+            FROM r WHERE rk <= 2 ORDER BY doc_id, rk
+        """,
+        "q_image_filter": f"""
+            WITH img AS (
+              SELECT doc_id AS image_id,
+                     CAST(16 + ({_h_sql("CAST(doc_id AS VARCHAR) || chr(1) || '1'")} % 1200) AS DOUBLE) AS wd,
+                     CAST(16 + ({_h_sql("CAST(doc_id AS VARCHAR) || chr(1) || '2'")} % 1200) AS DOUBLE) AS hd,
+                     strlen(text) AS nbytes,
+                     CASE WHEN doc_id % 7 = 0 THEN '' ELSE text END AS caption
+              FROM documents),
+            f AS (
+              SELECT image_id,
+                     CAST(wd * hd AS BIGINT) AS n_pixels,
+                     round(greatest(wd / hd, hd / wd), 6) AS aspect,
+                     round(nbytes / (wd * hd), 6) AS bytes_per_pixel,
+                     (wd * hd < 4096) AS f_small,
+                     (greatest(wd / hd, hd / wd) > CAST(4.0 AS DOUBLE)) AS f_aspect,
+                     (nbytes / (wd * hd) < CAST(0.05 AS DOUBLE)) AS f_lowbpp,
+                     (caption IS NULL OR length(trim(caption)) < 5) AS f_caption
+              FROM img)
+            SELECT image_id, n_pixels, aspect, bytes_per_pixel,
+                   NOT (f_small OR f_aspect OR f_lowbpp OR f_caption) AS keep,
+                   CASE WHEN (f_small OR f_aspect OR f_lowbpp OR f_caption) THEN
+                     concat_ws('+',
+                       CASE WHEN f_small THEN 'small' END,
+                       CASE WHEN f_aspect THEN 'aspect' END,
+                       CASE WHEN f_lowbpp THEN 'low_bpp' END,
+                       CASE WHEN f_caption THEN 'caption' END)
+                   END AS reject_reason
+            FROM f ORDER BY image_id
         """,
         # q_minhash_dedup / q_simhash_dedup / q_lsh_ann / q_ivf_ann /
         # q_image_verify: the production-hash / binary-codec variants stay

@@ -163,6 +163,60 @@ def phash_near_dups(
     )
 
 
+def filter_images(
+    pages: DataFrame,
+    min_pixels: int = 4096,
+    max_aspect: float = 4.0,
+    min_bytes_per_pixel: float = 0.05,
+    min_caption_chars: int = 5,
+    w_col: str = "w",
+    h_col: str = "h",
+    bytes_col: str = "bytes",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Image+caption curation gate (the LAION/DataComp-style pre-training
+    filter) over the input-hint table shape ``(image_id, bytes, w, h, fmt,
+    caption, phash)``: flag rows that are too small to train on
+    (``w*h < min_pixels``), extreme-aspect banners/strips
+    (``max(w/h, h/w) > max_aspect``), suspiciously few encoded bytes per
+    pixel (blank / solid-color placeholders compress to almost nothing),
+    or caption-less. ``keep`` is the conjunction; ``reject_reason`` names
+    every failed gate (deterministic '+'-joined order) for curation stats.
+
+    Pure Column exprs over the metadata + ``octet_length`` of the payload —
+    zero decode, zero Python, zero shuffle: at 100 TB this is a scan whose
+    filters push into the Iceberg/parquet reader. Works on any column
+    layout via the *_col parameters (the bytes column may be binary or
+    string; octet_length counts payload bytes either way)."""
+    w = F.col(w_col).cast("double")
+    h = F.col(h_col).cast("double")
+    pixels = w * h
+    aspect = F.greatest(w / h, h / w)
+    bpp = F.octet_length(F.col(bytes_col)).cast("double") / pixels
+    f_small = pixels < F.lit(float(min_pixels))
+    f_aspect = aspect > F.lit(float(max_aspect))
+    f_lowbpp = bpp < F.lit(float(min_bytes_per_pixel))
+    f_caption = (
+        F.length(F.trim(F.col(caption_col))) < F.lit(int(min_caption_chars))
+    ) | F.col(caption_col).isNull()
+    reason = F.concat_ws(
+        "+",
+        F.when(f_small, F.lit("small")),
+        F.when(f_aspect, F.lit("aspect")),
+        F.when(f_lowbpp, F.lit("low_bpp")),
+        F.when(f_caption, F.lit("caption")),
+    )
+    return pages.withColumns(
+        {
+            "n_pixels": pixels.cast("long"),
+            "aspect": F.round(aspect, 6),
+            "bytes_per_pixel": F.round(bpp, 6),
+            "keep": ~(f_small | f_aspect | f_lowbpp | f_caption),
+            "reject_reason": F.when(reason != "", reason),
+        }
+    )
+
+
 def frame_sample_stub(video_bytes: bytes, every_n: int = 30):
     """Video frame sampling is NOT implementable in this container (no
     decoder libraries). The Spark plumbing pattern is image_features();

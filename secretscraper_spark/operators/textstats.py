@@ -162,6 +162,103 @@ def _word_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("doc_id"), toks.alias("arr"))
 
 
+# Control characters stripped by normalize_text: C0 controls except
+# \t \n \r, plus DEL. Explicit \xNN escapes — identical in Java regex
+# (Spark) and RE2 (DuckDB oracle); \x0B and \x0C are included here (they
+# are "controls" for cleaning purposes) while the whitespace-collapse
+# class keeps its dialect-portable explicit form.
+CONTROL_CHAR_PATTERN = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def normalize_text(text: Column) -> Column:
+    """Corpus-cleaning normalization pass: strip C0/DEL control characters,
+    collapse whitespace runs to single spaces, trim — the standard
+    pre-tokenization canonicalization every web-scraped corpus needs before
+    dedup/quality scoring (mojibake bytes and stray controls otherwise make
+    identical documents hash apart). Pure chained ``regexp_replace`` /
+    ``trim`` Column exprs — JVM codegen, no UDF, costs one scan. Dialect-
+    portable patterns so the DuckDB oracle reproduces the exact strings."""
+    cleaned = F.regexp_replace(text, CONTROL_CHAR_PATTERN, "")
+    return F.trim(F.regexp_replace(cleaned, WS_SPLIT_PATTERN, " "))
+
+
+def vocab_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary with term frequency + document frequency — the
+    tokenizer-training / corpus-sizing primitive (BPE trainers, stopword
+    discovery, df-based filtering all start from this table).
+
+    Plan shape (scales to 100 TB): explode → per-(doc, word) count with
+    map-side partial combine → per-word rollup (``sum`` → tf, ``count`` →
+    df). Document frequency is counted WITHOUT ``count_distinct`` — the
+    two-phase aggregate avoids Catalyst's Expand fallback and keeps every
+    stage partially aggregated, so per-word state never exceeds the
+    vocabulary size on any executor. Output: (word, tf, df)."""
+    words = _word_arrays(df, id_col, text_col).select(
+        "doc_id", F.explode("arr").alias("word")
+    )
+    per_doc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_doc.groupBy("word")
+        .agg(
+            F.sum("cnt").cast("long").alias("tf"),
+            F.count(F.lit(1)).cast("long").alias("df"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword/topic sketch
+    used for corpus clustering, domain tagging, and search-index keying.
+
+    ``idf = ln((N+1)/(df+1)) + 1`` (smoothed, sklearn convention);
+    ``score = round(tf * idf, 6)``. Ranking uses the ROUNDED score with a
+    lexicographic term tiebreak so two independent engines order ties
+    identically (the DuckDB oracle mirrors this exactly).
+
+    Plan: the vocab_table aggregate (vocabulary-sized — broadcastable for
+    natural-language vocabularies) joins the per-doc term counts, then one
+    window partitioned by doc — a single shuffle on the doc id. N is a
+    driver-side scalar (same cost class as bigram_lm_scores' V)."""
+    from pyspark.sql import Window
+
+    if n_docs is None:
+        n_docs = df.count()
+    words = _word_arrays(df, id_col, text_col).select(
+        "doc_id", F.explode("arr").alias("term")
+    )
+    per_doc = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1)).cast("double")) + F.lit(1.0)
+    scored = per_doc.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf").cast("double") * idf, 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "score", "rk")
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame,
     id_col: str = "doc_id",

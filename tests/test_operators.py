@@ -800,3 +800,118 @@ def test_winnowing_portable_mode_matches_python(spark):
                 seen.add(v)
                 out.append(v)
         assert got[doc_id] == out, doc_id
+
+
+def test_normalize_text(spark):
+    """Control-char strip + whitespace collapse + trim, hand-computed."""
+    from secretscraper_spark.operators.textstats import normalize_text
+
+    rows = [
+        (0, "  hello\x00 world\x07!  "),
+        (1, "tabs\tand\nnewlines\r\nhere"),
+        (2, "vertical\x0btab\x0cformfeed"),
+        (3, "already clean"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.norm
+        for r in df.select(
+            "doc_id", normalize_text(F.col("text")).alias("norm")
+        ).collect()
+    }
+    assert got[0] == "hello world!"
+    assert got[1] == "tabs and newlines here"
+    # \x0b and \x0c are stripped as controls (not whitespace-collapsed)
+    assert got[2] == "verticaltabformfeed"
+    assert got[3] == "already clean"
+    assert got[4] == ""
+
+
+def test_vocab_table(spark):
+    """tf/df counts vs a hand-computed vocabulary; min_df filter."""
+    from secretscraper_spark.operators.textstats import vocab_table
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat"),
+        (2, "a cat and a dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.word: (r.tf, r.df) for r in vocab_table(df, min_df=1).collect()
+    }
+    assert got["the"] == (3, 2)
+    assert got["cat"] == (2, 2)
+    assert got["sat"] == (2, 2)
+    assert got["a"] == (2, 1)
+    assert got["mat"] == (1, 1)
+    high = {r.word for r in vocab_table(df, min_df=2).collect()}
+    assert high == {"the", "cat", "sat", "dog"}
+
+
+def test_tfidf_top_terms(spark):
+    """Top-k terms per doc vs an independent python TF-IDF with the same
+    smoothing and (rounded-score, term) tiebreak."""
+    import math
+    from collections import Counter
+
+    from secretscraper_spark.operators.textstats import tfidf_top_terms
+
+    rows = [
+        (0, "spark spark shuffle join"),
+        (1, "shuffle join join window"),
+        (2, "spark window window window curious"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.term, r.tf, r.score, r.rk)
+        for r in tfidf_top_terms(df, k=2).orderBy("doc_id", "rk").collect()
+    ]
+
+    toks = {i: t.lower().split() for i, t in rows}
+    dfreq = Counter()
+    for ws in toks.values():
+        dfreq.update(set(ws))
+    n = len(rows)
+    want = []
+    for i in sorted(toks):
+        tf = Counter(toks[i])
+        scored = [
+            (term, c, round(c * (math.log((n + 1) / (dfreq[term] + 1)) + 1), 6))
+            for term, c in tf.items()
+        ]
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        for rk, (term, c, s) in enumerate(scored[:2], 1):
+            want.append((i, term, c, s, rk))
+    assert got == want
+
+
+def test_filter_images(spark):
+    """Every curation gate fires on its crafted row; keep-row passes."""
+    from secretscraper_spark.operators.multimodal import filter_images
+
+    rows = [
+        # image_id, w, h, payload, caption
+        ("ok", 200, 200, b"x" * 8000, "a fine photograph of a dog"),
+        ("tiny", 16, 16, b"x" * 2000, "small but captioned image"),
+        ("banner", 1000, 100, b"x" * 90000, "very wide banner strip"),
+        ("blank", 400, 400, b"x" * 100, "solid color placeholder"),
+        ("nocap", 300, 300, b"x" * 30000, "   "),
+        ("nullcap", 300, 300, b"x" * 30000, None),
+        ("multi", 8, 300, b"x" * 10, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w int, h int, bytes binary, caption string"
+    )
+    out = {
+        r.image_id: (r.keep, r.reject_reason)
+        for r in filter_images(df).collect()
+    }
+    assert out["ok"] == (True, None)
+    assert out["tiny"] == (False, "small")
+    assert out["banner"] == (False, "aspect")
+    assert out["blank"] == (False, "low_bpp")
+    assert out["nocap"] == (False, "caption")
+    assert out["nullcap"] == (False, "caption")
+    assert out["multi"] == (False, "small+aspect+low_bpp+caption")
