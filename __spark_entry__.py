@@ -946,6 +946,75 @@ def q_image_filter(spark, sf_dir):
     )
 
 
+def q_dup_spans(spark, sf_dir):
+    """ExactSubstr-style duplicate-span detection (operators/dedup.py:
+    duplicate_spans): token 3-gram windows shared by >=2 distinct docs
+    mark intervals, overlapping/touching windows merge into maximal
+    (doc_id, span_start, span_end) spans — the span-level dedup of Lee et
+    al. 2021 re-expressed as positional-gram inverted index + pure-
+    Catalyst interval merge (no window, no Python). The oracle recomputes
+    it with the gaps-and-islands window idiom — two entirely different
+    merge algorithms must agree on every coordinate."""
+    from secretscraper_spark.operators.dedup import duplicate_spans
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=3, min_df=2).orderBy("doc_id", "span_start")
+
+
+def q_pagerank(spark, sf_dir):
+    """Damped PageRank (operators/graph.py) over a link graph derived
+    from lineitem (src=l_orderkey%300, dst=l_partkey%300, self-loops
+    dropped) — the frontier-prioritization signal a production crawler
+    schedules by. 3 fixed iterations so the identical computation unrolls
+    into the oracle's chained CTEs; ranks rounded to 6 dp so float
+    summation order cannot diverge the engines."""
+    from secretscraper_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 300).alias("src"),
+        (F.col("l_partkey") % 300).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, n_iter=3).orderBy("node")
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source round-trip (sources/warc.py): the documents table is
+    serialized into a spec-shaped WARC/1.0 file (driver-side fixture
+    builder — oracle-gate scale only; the production reader is the
+    distributed per-file `read_warc`), read back through the Spark
+    reader, and reduced to (doc_id, content_length, payload_md5). The
+    oracle computes the same digests straight from the table — an engine
+    that never saw WARC framing value-checks the codec end-to-end."""
+    import os
+    import tempfile
+
+    from secretscraper_spark.sources.warc import build_warc_bytes, read_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text").orderBy("doc_id").collect()
+    recs = [
+        {
+            "warc_type": "resource",
+            "record_id": f"<urn:doc:{r.doc_id}>",
+            "target_uri": f"http://docs.example/{r.doc_id}",
+            "warc_date": "2026-01-01T00:00:00Z",
+            "content_type": "text/plain; charset=utf-8",
+            "payload": (r.text or "").encode("utf-8"),
+        }
+        for r in rows
+    ]
+    d = tempfile.mkdtemp(prefix="spark_graft_warc_")
+    with open(os.path.join(d, "docs.warc"), "wb") as fh:
+        fh.write(build_warc_bytes(recs))
+    w = read_warc(spark, os.path.join(d, "docs.warc"))
+    return w.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1001,6 +1070,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab": q_vocab,
         "q_tfidf": q_tfidf,
         "q_image_filter": q_image_filter,
+        "q_dup_spans": q_dup_spans,
+        "q_pagerank": q_pagerank,
+        "q_warc_roundtrip": q_warc_roundtrip,
     }
 
 
@@ -1696,6 +1768,88 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN f_caption THEN 'caption' END)
                    END AS reject_reason
             FROM f ORDER BY image_id
+        """,
+        # duplicate spans: gaps-and-islands window merge — a different
+        # algorithm than the Spark side's Catalyst aggregate fold; both
+        # must produce identical token coordinates. Merge rule parity:
+        # intervals are all length k with ascending starts, so Spark's
+        # "merge when last.end >= pos" is exactly "new island when
+        # pos - prev > k".
+        "q_dup_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, CAST(i.i AS INTEGER) AS pos,
+                     array_to_string(list_slice(t, i.i + 1, i.i + 3), ' ') AS gram
+              FROM toks, LATERAL (
+                SELECT unnest(range(0, greatest(len(t) - 2, 0))) AS i) i),
+            dup AS (
+              SELECT gram FROM grams
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+            marked AS (
+              SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+            lagged AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM marked),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev IS NULL OR pos - prev > 3
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM lagged)
+            SELECT doc_id,
+                   CAST(min(pos) AS INTEGER) AS span_start,
+                   CAST(max(pos) + 3 AS INTEGER) AS span_end
+            FROM isl GROUP BY doc_id, g
+            ORDER BY doc_id, span_start
+        """,
+        # pagerank: the 3 fixed iterations unroll into chained CTEs; all
+        # arithmetic forced to DOUBLE (DuckDB decimal literals would
+        # otherwise diverge from Spark's float64), final round(6) absorbs
+        # summation-order noise
+        "q_pagerank": """
+            WITH e AS (
+              SELECT DISTINCT l_orderkey % 300 AS src, l_partkey % 300 AS dst
+              FROM lineitem
+              WHERE l_orderkey % 300 <> l_partkey % 300),
+            n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM n),
+            c1 AS (SELECT e.dst AS node, sum(r.pr / d.deg) AS contrib
+                   FROM e JOIN r0 r ON e.src = r.node JOIN d ON d.src = e.src
+                   GROUP BY e.dst),
+            r1 AS (SELECT n.node,
+                          CAST(0.15 AS DOUBLE)
+                          + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, 0) AS pr
+                   FROM n LEFT JOIN c1 c USING (node)),
+            c2 AS (SELECT e.dst AS node, sum(r.pr / d.deg) AS contrib
+                   FROM e JOIN r1 r ON e.src = r.node JOIN d ON d.src = e.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT n.node,
+                          CAST(0.15 AS DOUBLE)
+                          + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, 0) AS pr
+                   FROM n LEFT JOIN c2 c USING (node)),
+            c3 AS (SELECT e.dst AS node, sum(r.pr / d.deg) AS contrib
+                   FROM e JOIN r2 r ON e.src = r.node JOIN d ON d.src = e.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT n.node,
+                          CAST(0.15 AS DOUBLE)
+                          + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, 0) AS pr
+                   FROM n LEFT JOIN c3 c USING (node))
+            SELECT node, round(pr, 6) AS pagerank FROM r3 ORDER BY node
+        """,
+        # WARC round-trip: the oracle never sees WARC bytes — it digests
+        # the source rows directly, so framing/codec bugs in the Spark
+        # reader cannot cancel out
+        "q_warc_roundtrip": """
+            SELECT doc_id,
+                   CAST(strlen(text) AS BIGINT) AS content_length,
+                   md5(text) AS payload_md5
+            FROM documents ORDER BY doc_id
         """,
         # q_minhash_dedup / q_simhash_dedup / q_lsh_ann / q_ivf_ann /
         # q_image_verify: the production-hash / binary-codec variants stay

@@ -508,3 +508,144 @@ def simhash_near_dups(
     return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def positional_grams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """(doc_id, pos, gram): every FULL word k-gram with its 0-based token
+    position (unlike :func:`shingles`, positions are kept and partial
+    trailing grams are excluded — span arithmetic needs exact windows).
+    Empty tokens are dropped BEFORE positioning so coordinates agree with
+    :func:`strip_spans`'s canonical tokenization regardless of leading /
+    repeated whitespace. JVM-only: one let-bound transform per row, then
+    posexplode."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+
+    def _grams(tk):
+        return F.when(
+            F.size(tk) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - k),
+                lambda i: F.array_join(F.slice(tk, i + 1, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = F.element_at(F.transform(F.array(toks), _grams), 1)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(grams).alias("pos", "gram"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, min_df: int = 2, max_gram_df: int | None = None,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (the span-level dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): a token k-gram window whose exact text occurs in >=
+    ``min_df`` DISTINCT documents marks the token interval ``[pos,
+    pos+k)``; overlapping/touching marked windows merge into maximal
+    spans. Returns one row per merged span: ``(doc_id, span_start,
+    span_end)`` — 0-based token coordinates, end exclusive. The reference
+    work uses a corpus suffix array; the distributed re-expression swaps
+    it for a positional-gram inverted index, which finds exactly the
+    duplicated regions of length >= k (shorter overlaps are below the
+    dedup threshold by construction).
+
+    Plan shape at 100 TB: posexplode k-grams (no shuffle) -> gram document
+    frequency via two-phase distinct-count (groupBy(gram, doc_id) then
+    groupBy(gram), both with map-side partial agg — no count_distinct
+    Expand) -> semi join routes only duplicated positions onward (the
+    surviving set is corpus-overlap-sized, not corpus-sized) -> per-doc
+    interval merge as a pure-Catalyst aggregate over sort_array(
+    collect_list(pos)) — one hash agg, no window. ``max_gram_df`` is the
+    boilerplate skew guard: grams above that document frequency (page
+    templates shared by millions of docs) are dropped before the join —
+    exact when None."""
+    grams = positional_grams(df, id_col, text_col, k)
+    gram_df = (
+        grams.select("gram", "doc_id").distinct()
+        .groupBy("gram").agg(F.count(F.lit(1)).alias("gram_docs"))
+        .filter(F.col("gram_docs") >= min_df)
+    )
+    if max_gram_df is not None:
+        gram_df = gram_df.filter(F.col("gram_docs") <= max_gram_df)
+    marked = grams.join(gram_df.select("gram"), "gram", "left_semi")
+
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+
+    def _merge(acc, p):
+        last = F.element_at(acc, -1)
+        win = F.struct(p.alias("s"), (p + k).alias("e"))
+        grown = F.struct(
+            last["s"].alias("s"), F.greatest(last["e"], p + k).alias("e")
+        )
+        return (
+            F.when(F.size(acc) == 0, F.array(win))
+            .when(
+                last["e"] >= p,
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(grown)),
+            )
+            .otherwise(F.concat(acc, F.array(win)))
+        )
+
+    merged = marked.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.col("pos").cast("int"))), empty, _merge
+        ).alias("spans")
+    )
+    return merged.select(
+        "doc_id", F.explode("spans").alias("sp")
+    ).select(
+        "doc_id",
+        F.col("sp.s").alias("span_start"),
+        F.col("sp.e").alias("span_end"),
+    )
+
+
+def strip_spans(
+    df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove the token intervals in *spans* (the :func:`duplicate_spans`
+    output) from each document: tokens whose position falls inside any
+    span are dropped, the rest re-join with single spaces (the dedup
+    pipeline's destructive step — run after human/threshold review).
+    Returns (doc_id, text, n_tokens, n_removed). Docs without spans pass
+    through re-tokenized (lowercased, whitespace-normalized — same
+    canonical form the gram index saw).
+
+    One groupBy on the (small) span side, one join, then pure-Catalyst
+    position filtering with a let-bound span array — no window, no
+    Python."""
+    span_arrays = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct(
+            F.col("span_start").alias("s"), F.col("span_end").alias("e")
+        )).alias("spans")
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    joined = base.join(span_arrays, "doc_id", "left").select(
+        "doc_id", "toks",
+        F.coalesce("spans", F.array().cast("array<struct<s:int,e:int>>"))
+        .alias("spans"),
+    )
+    covered = lambda sp, i: F.exists(sp, lambda v: (v["s"] <= i) & (i < v["e"]))
+    kept = F.zip_with(
+        F.col("toks"),
+        F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0))),
+        lambda t, i: F.when(~covered(F.col("spans"), i), t),
+    )
+    kept = F.filter(kept, lambda t: t.isNotNull())
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -1,0 +1,97 @@
+"""Link-graph analytics over the crawl edge table.
+
+The crawler's K2 hierarchy report materializes the (url_from, url_to)
+edge list; a production frontier wants more than grouping — link-based
+prioritization (crawl the high-centrality hosts first) is the classic
+frontier-scheduling signal (Cho/Garcia-Molina/Page, "Efficient Crawling
+Through URL Ordering"). This module gives the engine that signal as a
+first-class iterative DataFrame computation:
+
+- out_degrees : per-source fan-out (one partial-agg groupBy)
+- pagerank    : damped power iteration — per round ONE shuffle join
+                (edges x ranks on src, edges pre-partitioned once and
+                reused) + ONE partial-agg groupBy(dst), lineage cut with
+                localCheckpoint per round; driver-side work is O(1)
+
+Semantics follow the classic formulation used by the Spark examples
+(`examples/src/main/python/pagerank.py` in apache/spark): ranks start at
+1.0, each round ``rank(v) = (1-d) + d * sum(rank(u)/deg(u))`` over
+in-edges; dangling nodes keep contributing nothing (their mass is not
+redistributed), so ranks are un-normalized popularity scores — exactly
+what frontier ordering needs (only the ORDER matters). The fixed-
+iteration form is deliberately oracle-expressible: the same computation
+unrolls into chained SQL CTEs (see __spark_entry__.q_pagerank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def out_degrees(edges: DataFrame, src_col: str = "src") -> DataFrame:
+    """(src, deg): fan-out per source over a deduplicated edge list."""
+    return edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Damped PageRank over *edges* → (node, pagerank).
+
+    Nodes are every distinct endpoint; duplicate edges collapse first (a
+    page linking twice votes once, matching the crawler's deduplicated
+    edge report). ``round_to`` rounds the final score so independent
+    engines agree bit-for-bit despite float summation order (None = raw).
+
+    Scale shape: edges and degrees join once up front into a static
+    ``(src, dst, deg)`` frame that is repartitioned by src and
+    localCheckpointed — each of the ``n_iter`` rounds then shuffles ONLY
+    the rank frame (one row per node) to the edge partitioning, and the
+    contribution groupBy(dst) is map-side combined. No driver-side data
+    movement at any point; lineage is cut per round so plan depth stays
+    constant. Hot destinations (every page links home) are plain groupBy
+    skew — AQE's skew-join/partition-coalescing handles the join side,
+    and the partial agg absorbs the combine side.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    static = (
+        e.join(deg, "src")
+        .repartition("src")
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    base = 1.0 - damping
+    for _ in range(n_iter):
+        contribs = (
+            static.join(ranks, static["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0)))
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    out = ranks.select("node", F.col("rank").alias("pagerank"))
+    if round_to is not None:
+        out = out.select("node", F.round("pagerank", round_to).alias("pagerank"))
+    return out

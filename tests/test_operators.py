@@ -915,3 +915,137 @@ def test_filter_images(spark):
     assert out["nocap"] == (False, "caption")
     assert out["nullcap"] == (False, "caption")
     assert out["multi"] == (False, "small+aspect+low_bpp+caption")
+
+
+# --- ExactSubstr-style duplicate spans --------------------------------------
+
+SPAN_SHARED = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+SPAN_DOCS = [
+    (0, f"unique zero opening words {SPAN_SHARED} and a unique zero tail"),
+    (1, f"{SPAN_SHARED} then document one diverges with its own material"),
+    (2, "entirely distinct text with no overlap against any other document here"),
+    (3, f"padding up front {SPAN_SHARED} middle padding {SPAN_SHARED} rear pad"),
+]
+
+
+def _spans_bruteforce(docs, k, min_df):
+    toks = {i: t.lower().split() for i, t in docs}
+    where: dict[str, set[int]] = {}
+    for i, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            where.setdefault(" ".join(tk[p : p + k]), set()).add(i)
+    dup = {g for g, s in where.items() if len(s) >= min_df}
+    out = set()
+    for i, tk in toks.items():
+        spans: list[list[int]] = []
+        for p in range(len(tk) - k + 1):
+            if " ".join(tk[p : p + k]) not in dup:
+                continue
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k)
+            else:
+                spans.append([p, p + k])
+        out |= {(i, s, e) for s, e in spans}
+    return out
+
+
+def test_duplicate_spans_matches_bruteforce(spark):
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    for k in (4, 6):
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in dedup.duplicate_spans(df, k=k, min_df=2).collect()
+        }
+        assert got == _spans_bruteforce(SPAN_DOCS, k, 2)
+    # the shared 10-token phrase is one maximal span per occurrence
+    got4 = dedup.duplicate_spans(df, k=4, min_df=2)
+    by_doc = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in got4.filter(F.col("doc_id").isin(0, 1)).collect()
+    }
+    assert by_doc[0] == (4, 14) and by_doc[1] == (0, 10)
+
+
+def test_duplicate_spans_irregular_whitespace(spark):
+    # leading/doubled whitespace must not shift token coordinates
+    df = spark.createDataFrame(
+        [(0, "  a b  c d e f tail0"), (1, "a b c\td e f tail1")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.duplicate_spans(df, k=6, min_df=2).collect()
+    }
+    assert got == {(0, 0, 6), (1, 0, 6)}
+
+
+def test_strip_spans_removes_marked_tokens(spark):
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    spans = dedup.duplicate_spans(df, k=4, min_df=2)
+    out = {r.doc_id: r for r in dedup.strip_spans(df, spans).collect()}
+    shared = SPAN_SHARED.split()
+    # doc 2 untouched (re-tokenized form)
+    assert out[2].text == SPAN_DOCS[2][1] and out[2].n_removed == 0
+    # doc 0: the shared phrase is gone, flanks remain in order
+    assert out[0].text == "unique zero opening words and a unique zero tail"
+    assert out[0].n_removed == len(shared)
+    # doc 3 loses both occurrences
+    assert out[3].text == "padding up front middle padding rear pad"
+    assert out[3].n_removed == 2 * len(shared)
+    for r in out.values():
+        assert r.n_tokens == len(SPAN_DOCS[r.doc_id][1].split())
+
+
+def test_duplicate_spans_max_gram_df_guard(spark):
+    # a gram in EVERY doc is boilerplate; the guard drops it
+    docs = [(i, f"common boiler plate text here unique{i} word{i}") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    all_spans = dedup.duplicate_spans(df, k=5, min_df=2)
+    assert all_spans.count() == 5
+    guarded = dedup.duplicate_spans(df, k=5, min_df=2, max_gram_df=4)
+    assert guarded.count() == 0
+
+
+# --- PageRank ---------------------------------------------------------------
+
+def _pagerank_numpy(edges, n_iter, d=0.85):
+    import numpy as np
+
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = {u: sum(1 for a, _ in e if a == u) for u, _ in e}
+    r = np.ones(len(nodes))
+    for _ in range(n_iter):
+        nxt = np.full(len(nodes), 1.0 - d)
+        for u, v in e:
+            nxt[idx[v]] += d * r[idx[u]] / deg[u]
+        r = nxt
+    return {n: r[idx[n]] for n in nodes}
+
+
+def test_pagerank_matches_numpy(spark):
+    from secretscraper_spark.operators import graph
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (1, 2)]  # dup edge + dangling 4
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.pagerank for r in graph.pagerank(df, n_iter=12, round_to=None).collect()}
+    want = _pagerank_numpy(edges, 12)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9
+    # 3 receives from three sources -> highest rank; dangling 4 gets base only
+    assert got[3] == max(got.values())
+    assert abs(got[4] - 0.15) < 1e-12
+
+
+def test_pagerank_star_graph_known_values(spark):
+    from secretscraper_spark.operators import graph
+
+    # hub <- spokes: closed form after 1 iter from uniform init
+    edges = [(i, 0) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.pagerank for r in graph.pagerank(df, n_iter=1, round_to=6).collect()}
+    assert got[0] == pytest.approx(0.15 + 0.85 * 4, abs=1e-6)
+    for i in range(1, 5):
+        assert got[i] == pytest.approx(0.15, abs=1e-6)
