@@ -1015,6 +1015,51 @@ def q_warc_roundtrip(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_robots_parse(spark, sf_dir):
+    """robots.txt parsing (plans/robotstxt.py): deterministic robots
+    bodies are synthesized per nation-key host — a decoy `otherbot`
+    group, then a `*` group whose Disallow/Crawl-delay lines follow a
+    closed form of the key — and run through the Arrow-batched parser
+    with group selection (our agent must skip the decoy and take `*`).
+    The oracle never parses text: it recomputes the generator's closed
+    form directly, so any mis-parse (group choice, comment stripping,
+    empty-Disallow, delay binding) diverges the values. NULLs are
+    coalesced to sentinels ('-' / -1.0) to keep cross-engine sort and
+    hash representation identical."""
+    from secretscraper_spark.plans.robotstxt import robots_table
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    body = F.concat_ws(
+        "\n",
+        F.lit("# synthetic robots body"),
+        F.lit("User-agent: otherbot"),
+        F.lit("Disallow: /other"),
+        F.lit(""),
+        F.lit("User-agent: *"),
+        F.when(k % 5 != 0,
+               F.concat(F.lit("Disallow: /private"), k.cast("string")))
+        .otherwise(F.lit("Disallow:")),
+        F.when(k % 5 != 0, F.lit("Disallow: /tmp")).otherwise(F.lit("")),
+        F.when(k % 3 == 0,
+               F.concat(F.lit("Crawl-delay: "), (k % 4).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    bodies = n.select(
+        F.concat(F.lit("host"), k.cast("string"), F.lit(".example")).alias("host"),
+        body.alias("body"),
+    )
+    return (
+        robots_table(bodies, user_agent="secretscraper")
+        .select(
+            "host",
+            F.coalesce("disallow_prefix", F.lit("-")).alias("disallow_prefix"),
+            F.coalesce("crawl_delay", F.lit(-1.0)).alias("crawl_delay"),
+        )
+        .orderBy("host", "disallow_prefix")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1073,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": q_dup_spans,
         "q_pagerank": q_pagerank,
         "q_warc_roundtrip": q_warc_roundtrip,
+        "q_robots_parse": q_robots_parse,
     }
 
 
@@ -1850,6 +1896,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS content_length,
                    md5(text) AS payload_md5
             FROM documents ORDER BY doc_id
+        """,
+        # robots parsing: the oracle recomputes the synthetic generator's
+        # closed form (it never sees robots text) — parser bugs cannot
+        # cancel out
+        "q_robots_parse": """
+            WITH k AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+            rows_ AS (
+              SELECT 'host' || CAST(k AS VARCHAR) || '.example' AS host,
+                     '/private' || CAST(k AS VARCHAR) AS disallow_prefix,
+                     CASE WHEN k % 3 = 0 THEN CAST(k % 4 AS DOUBLE)
+                          ELSE CAST(-1.0 AS DOUBLE) END AS crawl_delay
+              FROM k WHERE k % 5 <> 0
+              UNION ALL
+              SELECT 'host' || CAST(k AS VARCHAR) || '.example', '/tmp',
+                     CASE WHEN k % 3 = 0 THEN CAST(k % 4 AS DOUBLE)
+                          ELSE CAST(-1.0 AS DOUBLE) END
+              FROM k WHERE k % 5 <> 0
+              UNION ALL
+              SELECT 'host' || CAST(k AS VARCHAR) || '.example', '-',
+                     CAST(k % 4 AS DOUBLE)
+              FROM k WHERE k % 5 = 0 AND k % 3 = 0
+            )
+            SELECT host, disallow_prefix, crawl_delay
+            FROM rows_ ORDER BY host, disallow_prefix
         """,
         # q_minhash_dedup / q_simhash_dedup / q_lsh_ann / q_ivf_ann /
         # q_image_verify: the production-hash / binary-codec variants stay
