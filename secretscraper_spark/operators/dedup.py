@@ -543,6 +543,7 @@ def positional_grams(
 def duplicate_spans(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 8, min_df: int = 2, max_gram_df: int | None = None,
+    join_on_hash: bool = False,
 ) -> DataFrame:
     """ExactSubstr-style duplicate-span detection (the span-level dedup of
     Lee et al., "Deduplicating Training Data Makes Language Models
@@ -565,8 +566,18 @@ def duplicate_spans(
     collect_list(pos)) — one hash agg, no window. ``max_gram_df`` is the
     boilerplate skew guard: grams above that document frequency (page
     templates shared by millions of docs) are dropped before the join —
-    exact when None."""
+    exact when None.
+
+    ``join_on_hash`` replaces the gram TEXT with ``xxhash64(gram)`` as
+    the frequency/join key: at 10^12 grams the two gram shuffles carry 8
+    bytes/row instead of ~k tokens of text (~10× shuffle-volume cut).
+    The trade is exactness: a 64-bit collision can mark a span that is
+    not truly duplicated (expected collisions ≈ n²/2^65 — about 0.03
+    spurious PAIRS at 10^9 distinct grams); False (default) keeps the
+    operator exact and oracle-checkable."""
     grams = positional_grams(df, id_col, text_col, k)
+    if join_on_hash:
+        grams = grams.select("doc_id", "pos", F.xxhash64("gram").alias("gram"))
     gram_df = (
         grams.select("gram", "doc_id").distinct()
         .groupBy("gram").agg(F.count(F.lit(1)).alias("gram_docs"))

@@ -1049,3 +1049,16 @@ def test_pagerank_star_graph_known_values(spark):
     assert got[0] == pytest.approx(0.15 + 0.85 * 4, abs=1e-6)
     for i in range(1, 5):
         assert got[i] == pytest.approx(0.15, abs=1e-6)
+
+
+def test_duplicate_spans_hash_join_matches_exact(spark):
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    exact = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.duplicate_spans(df, k=4, min_df=2).collect()
+    }
+    hashed = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.duplicate_spans(df, k=4, min_df=2, join_on_hash=True).collect()
+    }
+    assert hashed == exact
