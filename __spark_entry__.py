@@ -1060,6 +1060,81 @@ def q_robots_parse(spark, sf_dir):
     )
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap source (sources/sitemap.py): deterministic sitemap XML —
+    ``<sitemapindex>`` bodies for every 4th supplier key, ``<urlset>``
+    bodies (with an entity-escaped query string) otherwise — parsed by
+    the pure-Catalyst `parse_sitemap_entries` (regexp_extract_all +
+    explode + chained-replace unescape). The oracle recomputes the
+    generator's closed form and never sees XML, so extraction, kind
+    detection, trimming, and one-level entity unescape are all
+    value-gated."""
+    from secretscraper_spark.sources.sitemap import parse_sitemap_entries
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    ks = k.cast("string")
+    index_body = F.concat(
+        F.lit('<?xml version="1.0"?>\n<sitemapindex>\n<sitemap><loc> '),
+        F.lit("http://s.example/sm_"), ks, F.lit("_1.xml"),
+        F.lit(" </loc></sitemap>\n<sitemap><loc>"),
+        F.lit("http://s.example/sm_"), ks, F.lit("_2.xml"),
+        F.lit("</loc></sitemap>\n</sitemapindex>"),
+    )
+    urlset_body = F.concat(
+        F.lit("<urlset>\n<url><loc>http://h"), (k % 10).cast("string"),
+        F.lit(".example/p"), ks,
+        F.lit("?a=1&amp;b="), (k % 3).cast("string"),
+        F.lit("</loc></url>\n<url><loc>  http://h"), (k % 10).cast("string"),
+        F.lit(".example/q"), ks, F.lit("  </loc></url>\n</urlset>"),
+    )
+    bodies = s.select(
+        F.concat(F.lit("http://s.example/sitemap"), ks, F.lit(".xml")).alias("url"),
+        F.when(k % 4 == 0, index_body).otherwise(urlset_body).alias("body"),
+    )
+    return parse_sitemap_entries(bodies).orderBy("sitemap_url", "loc")
+
+
+def q_crawl_diff(spark, sf_dir):
+    """Crawl-snapshot diff (plans/snapdiff.py): two synthetic crawl
+    snapshots are derived from orders keys with closed-form presence
+    (k%9 / k%7), status (k%5, k%11), and content-fingerprint (k%17)
+    differences; `crawl_diff` classifies every URL as added / removed /
+    status_changed / content_changed / unchanged via one full-outer
+    join. The oracle applies the same closed form with CASE precedence —
+    join semantics and classification order are both value-gated.
+    Statuses are coalesced to '-' on both sides (full-outer NULLs) for
+    representation-stable hashing."""
+    from secretscraper_spark.plans.snapdiff import crawl_diff
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    base = o.select(
+        k.alias("k"),
+        F.concat(F.lit("http://x.example/"), k.cast("string")).alias("url_norm"),
+    )
+    old = base.filter(F.col("k") % 9 != 0).select(
+        "url_norm",
+        F.when(F.col("k") % 5 == 0, F.lit("404")).otherwise(F.lit("200"))
+        .alias("status"),
+        (F.col("k") % 13).alias("content_length"),
+    )
+    new = base.filter(F.col("k") % 7 != 0).select(
+        "url_norm",
+        F.when(F.col("k") % 11 == 0, F.lit("500"))
+        .when(F.col("k") % 5 == 0, F.lit("404")).otherwise(F.lit("200"))
+        .alias("status"),
+        F.when(F.col("k") % 17 == 0, F.lit(-1).cast("long"))
+        .otherwise(F.col("k") % 13).alias("content_length"),
+    )
+    d = crawl_diff(old, new)
+    return d.select(
+        "url_norm", "change",
+        F.coalesce("old_status", F.lit("-")).alias("old_status"),
+        F.coalesce("new_status", F.lit("-")).alias("new_status"),
+    ).orderBy("url_norm")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1119,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_robots_parse": q_robots_parse,
+        "q_sitemap_parse": q_sitemap_parse,
+        "q_crawl_diff": q_crawl_diff,
     }
 
 
@@ -1920,6 +1997,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, disallow_prefix, crawl_delay
             FROM rows_ ORDER BY host, disallow_prefix
+        """,
+        # sitemap parsing: closed form of the generator, never the XML
+        "q_sitemap_parse": """
+            WITH k AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+            r AS (
+              SELECT 'http://s.example/sitemap' || CAST(k AS VARCHAR) || '.xml' AS sitemap_url,
+                     'http://s.example/sm_' || CAST(k AS VARCHAR) || '_1.xml' AS loc,
+                     'sitemap' AS kind
+              FROM k WHERE k % 4 = 0
+              UNION ALL
+              SELECT 'http://s.example/sitemap' || CAST(k AS VARCHAR) || '.xml',
+                     'http://s.example/sm_' || CAST(k AS VARCHAR) || '_2.xml',
+                     'sitemap'
+              FROM k WHERE k % 4 = 0
+              UNION ALL
+              SELECT 'http://s.example/sitemap' || CAST(k AS VARCHAR) || '.xml',
+                     'http://h' || CAST(k % 10 AS VARCHAR) || '.example/p'
+                       || CAST(k AS VARCHAR) || '?a=1&b=' || CAST(k % 3 AS VARCHAR),
+                     'url'
+              FROM k WHERE k % 4 <> 0
+              UNION ALL
+              SELECT 'http://s.example/sitemap' || CAST(k AS VARCHAR) || '.xml',
+                     'http://h' || CAST(k % 10 AS VARCHAR) || '.example/q'
+                       || CAST(k AS VARCHAR),
+                     'url'
+              FROM k WHERE k % 4 <> 0
+            )
+            SELECT sitemap_url, loc, kind FROM r ORDER BY sitemap_url, loc
+        """,
+        # crawl diff: same closed form + CASE precedence as the operator
+        "q_crawl_diff": """
+            WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+            old AS (
+              SELECT 'http://x.example/' || CAST(k AS VARCHAR) AS url_norm,
+                     CASE WHEN k % 5 = 0 THEN '404' ELSE '200' END AS status,
+                     k % 13 AS fp
+              FROM k WHERE k % 9 <> 0),
+            new AS (
+              SELECT 'http://x.example/' || CAST(k AS VARCHAR) AS url_norm,
+                     CASE WHEN k % 11 = 0 THEN '500'
+                          WHEN k % 5 = 0 THEN '404' ELSE '200' END AS status,
+                     CASE WHEN k % 17 = 0 THEN CAST(-1 AS BIGINT)
+                          ELSE k % 13 END AS fp
+              FROM k WHERE k % 7 <> 0),
+            j AS (
+              SELECT coalesce(old.url_norm, new.url_norm) AS url_norm,
+                     old.status AS old_status, new.status AS new_status,
+                     old.fp AS old_fp, new.fp AS new_fp,
+                     old.url_norm IS NOT NULL AS in_old,
+                     new.url_norm IS NOT NULL AS in_new
+              FROM old FULL OUTER JOIN new ON old.url_norm = new.url_norm)
+            SELECT url_norm,
+                   CASE WHEN NOT in_old THEN 'added'
+                        WHEN NOT in_new THEN 'removed'
+                        WHEN old_status <> new_status THEN 'status_changed'
+                        WHEN old_fp <> new_fp THEN 'content_changed'
+                        ELSE 'unchanged' END AS change,
+                   coalesce(old_status, '-') AS old_status,
+                   coalesce(new_status, '-') AS new_status
+            FROM j ORDER BY url_norm
         """,
         # q_minhash_dedup / q_simhash_dedup / q_lsh_ann / q_ivf_ann /
         # q_image_verify: the production-hash / binary-codec variants stay

@@ -1,0 +1,114 @@
+"""sitemap.xml source — seed discovery for the crawl frontier.
+
+The reference seeds only from `-u`/`-f` URL lists (facade.py:176-192); a
+web-scale crawler also ingests the sitemaps protocol (sitemaps.org):
+``<urlset>`` documents list page URLs, ``<sitemapindex>`` documents list
+child sitemaps. Both are parsed ENTIRELY in Catalyst — one
+``regexp_extract_all`` + explode per body, XML entity unescape as chained
+``replace`` — so sitemap ingestion is a plain scan stage, no Python.
+
+- parse_sitemap_entries : (url, body) → (sitemap_url, loc, kind) with
+  kind ∈ {'url', 'sitemap'} (entries of a urlset vs children of an
+  index); loc is entity-unescaped and trimmed.
+- expand_sitemap_indexes : driver-bounded recursion — resolve index
+  children against the fetched-bodies table up to ``max_depth`` levels
+  and return every page URL reachable; each level is one join + one
+  parse stage (sitemap trees are shallow by spec: index → sitemap →
+  urls).
+- sitemap_seed_urls : convenience — pick ``sitemap.xml``-ish rows out of
+  a pages table, expand, and return a one-column ``url`` frame that
+  feeds ``SparkCrawler.run_from_urls`` directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_LOC_PATTERN = r"<loc>\s*([^<]*?)\s*</loc>"
+
+
+def _xml_unescape(c: F.Column) -> F.Column:
+    """The five predefined XML entities. ``&amp;`` is replaced LAST so
+    double-escaped text (``&amp;lt;``) unescapes one level, not two."""
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def parse_sitemap_entries(
+    bodies: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """(sitemap_url, loc, kind): every ``<loc>`` of every sitemap body.
+    kind is 'sitemap' when the body is a ``<sitemapindex>`` (children are
+    sitemaps to fetch), 'url' otherwise (children are page URLs)."""
+    body = F.coalesce(F.col(body_col), F.lit(""))
+    locs = F.regexp_extract_all(body, F.lit(_LOC_PATTERN), F.lit(1))
+    kind = F.when(
+        body.contains("<sitemapindex"), F.lit("sitemap")
+    ).otherwise(F.lit("url"))
+    return (
+        bodies.select(
+            F.col(url_col).alias("sitemap_url"),
+            kind.alias("kind"),
+            F.explode(locs).alias("raw_loc"),
+        )
+        .select(
+            "sitemap_url",
+            _xml_unescape(F.col("raw_loc")).alias("loc"),
+            "kind",
+        )
+        .filter(F.col("loc") != "")
+    )
+
+
+def expand_sitemap_indexes(
+    roots: DataFrame,
+    bodies: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Resolve sitemap indexes transitively: starting from the *roots*
+    bodies, follow 'sitemap' entries into *bodies* (the fetched store) up
+    to ``max_depth`` levels and return the distinct page URLs found.
+
+    The loop is driver-bounded (depth iterations, no data to the driver);
+    each level is one semi-join against the bodies table + one parse
+    stage. Missing children (listed but never fetched) are simply
+    absent — fetch-and-rerun is the crawler loop's job."""
+    all_bodies = bodies.select(
+        F.col(url_col).alias("b_url"), F.col(body_col).alias("b_body")
+    )
+    frontier = roots.select(
+        F.col(url_col).alias("url"), F.col(body_col).alias("body")
+    )
+    pages = None
+    for _ in range(max_depth):
+        entries = parse_sitemap_entries(frontier)
+        level_pages = entries.filter(F.col("kind") == "url").select(
+            F.col("loc").alias("url")
+        )
+        pages = level_pages if pages is None else pages.union(level_pages)
+        children = entries.filter(F.col("kind") == "sitemap").select(
+            F.col("loc").alias("url")
+        ).distinct()
+        frontier = children.join(
+            all_bodies, children["url"] == all_bodies["b_url"]
+        ).select(F.col("b_url").alias("url"), F.col("b_body").alias("body"))
+        if not frontier.take(1):
+            break
+    return pages.distinct() if pages is not None else frontier.select("url")
+
+
+def sitemap_seed_urls(pages: DataFrame, max_depth: int = 3) -> DataFrame:
+    """Pages-table bridge: rows whose URL path ends in ``sitemap.xml`` /
+    ``sitemap_index.xml`` are treated as sitemap bodies (caption holds
+    the text); returns the distinct page URLs they reach — ready for
+    ``SparkCrawler.run_from_urls``. The rlike filter prunes at the scan."""
+    maps = pages.filter(
+        F.col("url_norm").rlike(r"/[^/]*sitemap[^/]*\.xml$")
+    ).select(F.col("url_norm").alias("url"), F.col("caption").alias("body"))
+    return expand_sitemap_indexes(maps, maps, max_depth=max_depth)

@@ -1,0 +1,107 @@
+"""Sitemap source + crawl-snapshot diff tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from secretscraper_spark.plans.snapdiff import crawl_diff, diff_summary
+from secretscraper_spark.sources.sitemap import (
+    expand_sitemap_indexes,
+    parse_sitemap_entries,
+    sitemap_seed_urls,
+)
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc> http://a.example/p1 </loc><lastmod>2026-01-01</lastmod></url>
+  <url><loc>http://a.example/p2?x=1&amp;y=2</loc></url>
+  <url><loc>http://a.example/p3&amp;lt;odd</loc></url>
+</urlset>"""
+
+INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://a.example/sitemap_a.xml</loc></sitemap>
+  <sitemap><loc>http://a.example/sitemap_missing.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap_entries(spark):
+    df = spark.createDataFrame(
+        [("http://a.example/sitemap.xml", URLSET),
+         ("http://a.example/sitemap_index.xml", INDEX)],
+        "url string, body string",
+    )
+    rows = {(r.sitemap_url, r.loc, r.kind) for r in parse_sitemap_entries(df).collect()}
+    assert rows == {
+        # whitespace trimmed, entities unescaped exactly one level
+        ("http://a.example/sitemap.xml", "http://a.example/p1", "url"),
+        ("http://a.example/sitemap.xml", "http://a.example/p2?x=1&y=2", "url"),
+        ("http://a.example/sitemap.xml", "http://a.example/p3&lt;odd", "url"),
+        ("http://a.example/sitemap_index.xml", "http://a.example/sitemap_a.xml", "sitemap"),
+        ("http://a.example/sitemap_index.xml", "http://a.example/sitemap_missing.xml", "sitemap"),
+    }
+
+
+def test_expand_sitemap_indexes(spark):
+    child = """<urlset><url><loc>http://a.example/deep1</loc></url>
+    <url><loc>http://a.example/deep2</loc></url></urlset>"""
+    bodies = spark.createDataFrame(
+        [("http://a.example/sitemap_index.xml", INDEX),
+         ("http://a.example/sitemap_a.xml", child)],
+        "url string, body string",
+    )
+    roots = bodies.filter(F.col("url").contains("index"))
+    got = {r.url for r in expand_sitemap_indexes(roots, bodies).collect()}
+    # the missing child contributes nothing; the fetched child's pages land
+    assert got == {"http://a.example/deep1", "http://a.example/deep2"}
+
+
+def test_sitemap_seed_urls_from_pages(spark):
+    pages = spark.createDataFrame(
+        [("http://a.example/sitemap.xml", URLSET),
+         ("http://a.example/not-a-map.html", "<html><loc>nope</loc></html>")],
+        "url_norm string, caption string",
+    )
+    got = {r.url for r in sitemap_seed_urls(pages).collect()}
+    assert got == {
+        "http://a.example/p1",
+        "http://a.example/p2?x=1&y=2",
+        "http://a.example/p3&lt;odd",
+    }
+
+
+def test_crawl_diff_all_classes(spark):
+    old = spark.createDataFrame(
+        [("u_removed", "200", 10), ("u_status", "200", 10),
+         ("u_content", "200", 10), ("u_same", "200", 10),
+         ("u_nullst", None, 10)],
+        "url_norm string, status string, content_length int",
+    )
+    new = spark.createDataFrame(
+        [("u_added", "200", 10), ("u_status", "404", 10),
+         ("u_content", "200", 11), ("u_same", "200", 10),
+         ("u_nullst", None, 10)],
+        "url_norm string, status string, content_length int",
+    )
+    got = {r.url_norm: r.change for r in crawl_diff(old, new).collect()}
+    assert got == {
+        "u_added": "added",
+        "u_removed": "removed",
+        "u_status": "status_changed",
+        "u_content": "content_changed",
+        "u_same": "unchanged",
+        # NULL status in BOTH snapshots is presence, not absence
+        "u_nullst": "unchanged",
+    }
+    summary = {r.change: r.n for r in diff_summary(crawl_diff(old, new)).collect()}
+    assert summary == {
+        "added": 1, "removed": 1, "status_changed": 1,
+        "content_changed": 1, "unchanged": 2,
+    }
+
+
+def test_crawl_diff_no_fingerprint(spark):
+    old = spark.createDataFrame([("u", "200", 10)], "url_norm string, status string, content_length int")
+    new = spark.createDataFrame([("u", "200", 99)], "url_norm string, status string, content_length int")
+    got = crawl_diff(old, new, fingerprint_col=None).collect()
+    assert got[0].change == "unchanged"  # content ignored when disabled
