@@ -1135,6 +1135,32 @@ def q_crawl_diff(spark, sf_dir):
     ).orderBy("url_norm")
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Document chunking (operators/chunking.py): 40-token windows with
+    8-token overlap over documents — pure Catalyst (let-bound tokenize,
+    start-offset sequence, posexplode), zero shuffle. Oracle rebuilds the
+    identical windows with DuckDB list functions; window text, ids, and
+    short-tail lengths are all value-gated."""
+    from secretscraper_spark.operators.chunking import chunk_documents
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=40, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+def q_pack_seqs(spark, sf_dir):
+    """Sequence packing (operators/chunking.py): documents fill 500-token
+    training sequences contiguously in (source, doc_id) order —
+    deterministic under any partition layout, unlike randomSplit-style
+    packing. One window per source group. Oracle reproduces the exclusive
+    prefix sum with a SQL window."""
+    from secretscraper_spark.operators.chunking import pack_sequences
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=500).orderBy("group", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1196,6 +1222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_parse": q_robots_parse,
         "q_sitemap_parse": q_sitemap_parse,
         "q_crawl_diff": q_crawl_diff,
+        "q_chunk_docs": q_chunk_docs,
+        "q_pack_seqs": q_pack_seqs,
     }
 
 
@@ -2057,6 +2085,43 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(old_status, '-') AS old_status,
                    coalesce(new_status, '-') AS new_status
             FROM j ORDER BY url_norm
+        """,
+        # chunking: identical token windows rebuilt with list functions
+        "q_chunk_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents),
+            s AS (
+              SELECT doc_id, tk, CAST(u.st AS BIGINT) AS st
+              FROM t, LATERAL (
+                SELECT unnest(range(0, greatest(len(tk), 1), 32)) AS st) u
+              WHERE len(tk) > 0)
+            SELECT doc_id,
+                   CAST(st // 32 AS INTEGER) AS chunk_id,
+                   array_to_string(list_slice(tk, st + 1, st + 40), ' ') AS chunk_text,
+                   CAST(least(len(tk) - st, 40) AS INTEGER) AS n_chunk_tokens
+            FROM s ORDER BY doc_id, chunk_id
+        """,
+        # packing: exclusive prefix sum per source group, floor/mod split
+        "q_pack_seqs": r"""
+            WITH n AS (
+              SELECT source AS "group", doc_id,
+                     CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                          x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT "group", doc_id, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY "group" ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - n_tokens AS cum_excl
+              FROM n)
+            SELECT "group", doc_id, n_tokens,
+                   CAST(cum_excl // 500 AS BIGINT) AS pack_id,
+                   CAST(cum_excl % 500 AS BIGINT) AS pack_offset
+            FROM c ORDER BY "group", doc_id
         """,
         # q_minhash_dedup / q_simhash_dedup / q_lsh_ann / q_ivf_ann /
         # q_image_verify: the production-hash / binary-codec variants stay
