@@ -1161,6 +1161,18 @@ def q_pack_seqs(spark, sf_dir):
     return pack_sequences(docs, seq_len=500).orderBy("group", "doc_id")
 
 
+def q_quality_gate(spark, sf_dir):
+    """Gopher-style document quality gate (textstats.quality_gate): token
+    bounds, mean-word-length band, symbol ratio, stopword floor — every
+    gate a pure Column expr, keep + auditable '+'-joined reject_reason.
+    The oracle recomputes every signal and the gate precedence with
+    DuckDB list/regex functions."""
+    from secretscraper_spark.operators.textstats import quality_gate
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return quality_gate(docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1224,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_diff": q_crawl_diff,
         "q_chunk_docs": q_chunk_docs,
         "q_pack_seqs": q_pack_seqs,
+        "q_quality_gate": q_quality_gate,
     }
 
 
@@ -2122,6 +2135,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum_excl // 500 AS BIGINT) AS pack_id,
                    CAST(cum_excl % 500 AS BIGINT) AS pack_offset
             FROM c ORDER BY "group", doc_id
+        """,
+        # quality gate: signals + gate precedence recomputed independently
+        "q_quality_gate": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(tk) AS INTEGER) AS n_tokens,
+                     round(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+                           * 1.0 / greatest(len(tk), 1), 6) AS mean_word_len,
+                     round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                           * 1.0 / greatest(length(text), 1), 6) AS symbol_ratio,
+                     CAST(len(regexp_extract_all(lower(text),
+                          '\b(the|and|of|to|a)\b')) AS INTEGER) AS n_stopwords
+              FROM t),
+            f AS (
+              SELECT *,
+                     n_tokens < 5 AS f_short,
+                     n_tokens > 100000 AS f_long,
+                     mean_word_len < 3.0 OR mean_word_len > 10.0 AS f_wl,
+                     symbol_ratio > 0.1 AS f_sym,
+                     n_stopwords < 1 AS f_stop
+              FROM m)
+            SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, n_stopwords,
+                   NOT (f_short OR f_long OR f_wl OR f_sym OR f_stop) AS keep,
+                   CASE WHEN NOT (f_short OR f_long OR f_wl OR f_sym OR f_stop)
+                        THEN '-'
+                        ELSE concat_ws('+',
+                          CASE WHEN f_short THEN 'short' END,
+                          CASE WHEN f_long THEN 'long' END,
+                          CASE WHEN f_wl THEN 'word_len' END,
+                          CASE WHEN f_sym THEN 'symbols' END,
+                          CASE WHEN f_stop THEN 'stopwords' END)
+                   END AS reject_reason
+            FROM f ORDER BY doc_id
         """,
         # q_minhash_dedup / q_simhash_dedup / q_lsh_ann / q_ivf_ann /
         # q_image_verify: the production-hash / binary-codec variants stay

@@ -95,3 +95,57 @@ def pagerank(
     if round_to is not None:
         out = out.select("node", F.round("pagerank", round_to).alias("pagerank"))
     return out
+
+
+def prioritize_frontier(
+    frontier: DataFrame,
+    host_scores: DataFrame,
+    score_col: str = "pagerank",
+    default_score: float = 0.0,
+) -> DataFrame:
+    """Attach a per-host priority (e.g. :func:`pagerank` over the crawl
+    edge graph, rolled up by host) to a frontier and return it ordered
+    for budgeted fetching: highest score first, BFS ``discovery_seq`` as
+    the deterministic tiebreak. Unknown hosts get *default_score*.
+
+    This is the link-ordering frontier scheduler of Cho et al. layered on
+    the engine's existing pieces: the score table is host-cardinality
+    (broadcast dim), the sort is the same salted-key DataFrame sort the
+    north rule names (hot hosts cannot own a reducer). BFS parity mode
+    (the reference's ordering) remains the crawler default — this is the
+    opt-in scheduler for budget-cut crawls, where what you fetch under a
+    budget matters more than pure breadth order."""
+    from ..plans.politeness import with_host
+
+    f = with_host(frontier)
+    scores = F.broadcast(
+        host_scores.select(
+            F.col("host").alias("p_host"), F.col(score_col).alias("priority")
+        )
+    )
+    joined = f.join(scores, f["host"] == scores["p_host"], "left").drop("p_host")
+    joined = joined.withColumn(
+        "priority", F.coalesce("priority", F.lit(default_score))
+    )
+    salt = F.pmod(F.xxhash64("url_norm"), F.lit(16))
+    return (
+        joined.withColumn("salt", salt)
+        .repartition(F.col("host"), F.col("salt"))
+        .sortWithinPartitions(F.desc("priority"), F.asc("discovery_seq"))
+        .drop("salt")
+    )
+
+
+def host_pagerank(edges: DataFrame, n_iter: int = 10) -> DataFrame:
+    """Host-level pagerank of a URL edge list: collapse (parent, child)
+    URLs to their hosts, drop intra-host self-edges, run :func:`pagerank`
+    → (host, pagerank). The standard crawl-scheduling granularity — the
+    host graph is ~4 orders smaller than the URL graph."""
+    host = lambda c: F.regexp_extract(c, r"//([^/:]+)", 1)
+    he = edges.select(
+        host(F.col("parent_norm")).alias("src"),
+        host(F.col("child_norm")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(he, n_iter=n_iter).select(
+        F.col("node").alias("host"), "pagerank"
+    )

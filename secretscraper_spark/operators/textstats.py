@@ -382,3 +382,82 @@ def repetition_features(
         F.round(F.col("top") / n, 6).alias("top_word_frac"),
         F.round(F.col("dup_occ") / n, 6).alias("dup_word_frac"),
     )
+
+
+def quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopwords: int = 1,
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1 rule
+    family, restricted to dialect-portable signals) — the text analog of
+    ``multimodal.filter_images``: every gate is a pure Column expression
+    over one let-bound tokenize, so the whole filter collapses into the
+    scan stage (predicate pushdown applies to the cheap gates), zero
+    Python, zero shuffle.
+
+    Gates, in reject_reason order: ``short`` / ``long`` (token count
+    bounds), ``word_len`` (mean word length outside [min,max] — gibberish
+    and char-soup), ``symbols`` (non-alphanumeric char ratio — markup
+    and encoding junk), ``stopwords`` (fewer than *min_stopwords* English
+    stopword hits — non-linguistic text). Returns the measured signals
+    plus ``keep`` and a '+'-joined ``reject_reason`` ('-' when kept), so
+    drops are auditable instead of silent."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+    def _stats(tk):
+        n = F.size(tk)
+        char_sum = F.aggregate(
+            tk, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        return F.struct(
+            n.alias("n"),
+            (char_sum / F.greatest(n, F.lit(1)).cast("double")).alias("mwl"),
+        )
+
+    st = F.element_at(F.transform(F.array(toks), _stats), 1)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        st.alias("st"),
+        F.round(
+            punct_count(t).cast("double") / F.greatest(char_count(t), F.lit(1)), 6
+        ).alias("symbol_ratio"),
+        stopword_hits(t, LANG_STOPWORDS["en"]).alias("n_stopwords"),
+    ).select(
+        "doc_id",
+        F.col("st.n").alias("n_tokens"),
+        F.round(F.col("st.mwl"), 6).alias("mean_word_len"),
+        "symbol_ratio",
+        "n_stopwords",
+    )
+    f_short = F.col("n_tokens") < min_tokens
+    f_long = F.col("n_tokens") > max_tokens
+    f_wl = (F.col("mean_word_len") < min_mean_word_len) | (
+        F.col("mean_word_len") > max_mean_word_len
+    )
+    f_sym = F.col("symbol_ratio") > max_symbol_ratio
+    f_stop = F.col("n_stopwords") < min_stopwords
+    keep = ~(f_short | f_long | f_wl | f_sym | f_stop)
+    reason = F.when(keep, F.lit("-")).otherwise(
+        F.concat_ws(
+            "+",
+            *[
+                F.when(flag, F.lit(name))
+                for flag, name in [
+                    (f_short, "short"), (f_long, "long"), (f_wl, "word_len"),
+                    (f_sym, "symbols"), (f_stop, "stopwords"),
+                ]
+            ],
+        )
+    )
+    return base.select(
+        "doc_id", "n_tokens", "mean_word_len", "symbol_ratio", "n_stopwords",
+        keep.alias("keep"), reason.alias("reject_reason"),
+    )

@@ -1062,3 +1062,93 @@ def test_duplicate_spans_hash_join_matches_exact(spark):
         for r in dedup.duplicate_spans(df, k=4, min_df=2, join_on_hash=True).collect()
     }
     assert hashed == exact
+
+
+# --- Gopher-style quality gate ----------------------------------------------
+
+def test_quality_gate_each_gate_fires(spark):
+    from secretscraper_spark.operators.textstats import quality_gate
+
+    rows = [
+        ("keep", "the quick brown fox jumps over the lazy dog today"),
+        ("short", "tiny text"),
+        ("wordlen", "a b c d e f"),
+        ("symbols", "@@@@ #### $$$$ %%%% ^^^^ the end"),
+        ("stopless", "zebra yonder xylophone wombat velvet umbrella"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in quality_gate(df, id_col="doc_id").collect()}
+
+    assert out["keep"].keep and out["keep"].reject_reason == "-"
+    assert out["keep"].n_tokens == 10
+    assert out["keep"].mean_word_len == 4.0
+
+    assert not out["short"].keep
+    assert out["short"].reject_reason == "short+stopwords"
+
+    assert not out["wordlen"].keep
+    assert out["wordlen"].reject_reason == "word_len"  # 'a' is a stopword hit
+
+    assert not out["symbols"].keep
+    assert out["symbols"].reject_reason == "symbols"
+    assert out["symbols"].symbol_ratio == 0.625
+
+    assert not out["stopless"].keep
+    assert out["stopless"].reject_reason == "stopwords"
+
+
+def test_quality_gate_long_and_empty(spark):
+    from secretscraper_spark.operators.textstats import quality_gate
+
+    df = spark.createDataFrame(
+        [("long", "the of and to a " * 4), ("empty", "")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in quality_gate(df, id_col="doc_id", max_tokens=8).collect()}
+    assert out["long"].n_tokens == 20 and "long" in out["long"].reject_reason
+    e = out["empty"]
+    assert e.n_tokens == 0 and not e.keep
+    assert e.mean_word_len == 0.0 and e.reject_reason == "short+word_len+stopwords"
+
+
+def test_host_pagerank_collapses_urls(spark):
+    from secretscraper_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [
+            ("http://a.ex/1", "http://b.ex/x", "url"),
+            ("http://a.ex/2", "http://b.ex/y", "url"),   # same host pair
+            ("http://b.ex/x", "http://c.ex/z", "url"),
+            ("http://c.ex/z", "http://a.ex/1", "url"),
+            ("http://a.ex/1", "http://a.ex/3", "url"),   # intra-host: dropped
+        ],
+        "parent_norm string, child_norm string, kind string",
+    )
+    got = {r.host: r.pagerank for r in graph.host_pagerank(edges, n_iter=8).collect()}
+    want = _pagerank_numpy([("a", "b"), ("b", "c"), ("c", "a")], 8)
+    assert set(got) == {"a.ex", "b.ex", "c.ex"}
+    for h, n in (("a.ex", "a"), ("b.ex", "b"), ("c.ex", "c")):
+        assert abs(got[h] - round(want[n], 6)) < 1e-6
+
+
+def test_prioritize_frontier_orders_by_score(spark):
+    from secretscraper_spark.operators import graph
+
+    frontier = spark.createDataFrame(
+        [(f"http://h{i % 3}.ex/p{i}", f"h{i % 3}.ex", i) for i in range(12)],
+        "url_norm string, netloc string, discovery_seq long",
+    )
+    scores = spark.createDataFrame(
+        [("h0.ex", 0.5), ("h2.ex", 3.0)], "host string, pagerank double"
+    )
+    out = graph.prioritize_frontier(frontier, scores)
+    rows = out.collect()
+    assert len(rows) == 12
+    got = {r.url_norm: r.priority for r in rows}
+    assert got["http://h2.ex/p2"] == 3.0
+    assert got["http://h0.ex/p0"] == 0.5
+    assert got["http://h1.ex/p1"] == 0.0  # unknown host -> default
+    # within every partition: non-increasing priority, seq ascending inside ties
+    for part in out.rdd.glom().collect():
+        keys = [(-r.priority, r.discovery_seq) for r in part]
+        assert keys == sorted(keys)
