@@ -1173,6 +1173,24 @@ def q_quality_gate(spark, sf_dir):
     return quality_gate(docs).orderBy("doc_id")
 
 
+def q_canonical_pick(spark, sf_dir):
+    """Quality-aware canonical selection (dedup.canonical_by_quality):
+    synthetic dedup clusters (component = doc_id % 60) pick their keeper
+    by the quality_features score, smallest doc_id on ties — one max_by
+    aggregate with the tiebreak inside the ordered struct. The oracle
+    resolves the same pick with a row_number window — two different
+    argmax algorithms must choose identical keepers."""
+    from secretscraper_spark.operators.dedup import canonical_by_quality
+    from secretscraper_spark.operators.textstats import quality_features
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    comps = docs.select("doc_id", (F.col("doc_id") % 60).alias("component_id"))
+    scores = quality_features(docs).select(
+        "doc_id", F.col("quality_score").alias("score")
+    )
+    return canonical_by_quality(comps, scores).orderBy("component_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1237,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_docs": q_chunk_docs,
         "q_pack_seqs": q_pack_seqs,
         "q_quality_gate": q_quality_gate,
+        "q_canonical_pick": q_canonical_pick,
     }
 
 
@@ -2173,6 +2192,26 @@ def oracle_sql() -> dict[str, str]:
                           CASE WHEN f_stop THEN 'stopwords' END)
                    END AS reject_reason
             FROM f ORDER BY doc_id
+        """,
+        # canonical pick: row_number window vs Spark's max_by — different
+        # argmax algorithms, same keeper
+        "q_canonical_pick": """
+            WITH s AS (
+              SELECT doc_id, doc_id % 60 AS component_id,
+                     round((len(string_split(text, ' ')) * 1.0
+                            / greatest(length(text), 1))
+                           * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                              * 1.0 / greatest(length(text), 1)), 6) AS score
+              FROM documents),
+            r AS (
+              SELECT component_id, doc_id, score,
+                     row_number() OVER (PARTITION BY component_id
+                                        ORDER BY score DESC, doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY component_id) AS n_docs
+              FROM s)
+            SELECT component_id, doc_id AS canonical_id,
+                   CAST(n_docs AS BIGINT) AS n_docs
+            FROM r WHERE rn = 1 ORDER BY component_id
         """,
         # q_minhash_dedup / q_simhash_dedup / q_lsh_ann / q_ivf_ann /
         # q_image_verify: the production-hash / binary-codec variants stay

@@ -660,3 +660,37 @@ def strip_spans(
         F.size("toks").cast("long").alias("n_tokens"),
         (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def canonical_by_quality(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    component_col: str = "component_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Pick the keeper per dedup cluster: given :func:`connected_components`
+    output and a per-doc quality score (``textstats.quality_features`` /
+    ``bigram_lm_scores``), return (component_id, canonical_id, n_docs) —
+    the highest-scoring member wins, lowest doc_id breaks ties
+    (deterministic). This replaces the min-id canonical choice with the
+    quality-aware one every production dedup pipeline actually ships.
+
+    One join + one max_by aggregate (map-side partial agg; the tiebreak
+    rides inside the ordered struct, so no window, no second pass)."""
+    s = scores.select(
+        F.col(id_col).alias("s_doc_id"), F.col(score_col).alias("score")
+    )
+    j = components.join(
+        s, components[id_col] == s["s_doc_id"]
+    ).select(
+        F.col(component_col).alias("component_id"),
+        F.col("s_doc_id").alias("doc_id"),
+        F.col("score"),
+    )
+    # max_by on (score, -doc_id): ties on score resolve to the SMALLEST id
+    key = F.struct(F.col("score"), (-F.col("doc_id")).alias("neg_id"))
+    return j.groupBy("component_id").agg(
+        F.max_by("doc_id", key).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

@@ -1152,3 +1152,21 @@ def test_prioritize_frontier_orders_by_score(spark):
     for part in out.rdd.glom().collect():
         keys = [(-r.priority, r.discovery_seq) for r in part]
         assert keys == sorted(keys)
+
+
+def test_canonical_by_quality(spark):
+    comps = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 200), (5, 200), (9, 300)],
+        "doc_id long, component_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.1), (9, 0.7)],
+        "doc_id long, score double",
+    )
+    got = {
+        r.component_id: (r.canonical_id, r.n_docs)
+        for r in dedup.canonical_by_quality(comps, scores).collect()
+    }
+    assert got[100] == (2, 3)  # score tie 2 vs 3 -> smallest id
+    assert got[200] == (4, 2)  # tie at 0.1 -> smallest id
+    assert got[300] == (9, 1)  # singleton cluster
