@@ -69,3 +69,45 @@ def stream_tier_edges(
     return extraction.edges_of(
         extraction.children_of(_combined(fetched, rules, link_rules))
     )
+
+
+def stream_land_payloads(
+    fetched: DataFrame,
+    pages_store: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming payload landing: each micro-batch's fetched URL set
+    semi-joins the payload store and appends to the landing table — the
+    continuous-ingest form of ``sinks.payloads.land_payloads``, so a
+    fetch fleet's output flows into the image+caption table without a
+    per-round batch job.
+
+    Idempotence: each batch writes (mode=overwrite) its OWN
+    ``batch_id=N`` subdirectory, so a micro-batch replayed after a crash
+    overwrites its previous attempt instead of duplicating rows — the
+    standard exactly-once-effect foreachBatch pattern on a plain-file
+    sink (an Iceberg deployment gets the same guarantee from
+    commit-by-batchId). Read the landing with
+    ``spark.read.parquet(out_dir)`` (partition discovery unions the
+    batch dirs). A URL fetched in TWO different micro-batches lands
+    twice — run the stream through ``stream_seen_dedup`` first (the
+    crawler's seen semantics) if the fleet can emit repeats. Returns the
+    StreamingQuery; caller awaits/stops."""
+    from ..sinks.payloads import PAYLOAD_COLS
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        keys = batch_df.select("url_norm").distinct()
+        landed = pages_store.join(keys, "url_norm", "left_semi").select(
+            *PAYLOAD_COLS
+        )
+        landed.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    w = (
+        fetched.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

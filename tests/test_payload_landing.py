@@ -63,3 +63,42 @@ def test_landing_appends_across_rounds(spark, store, tmp_path):
     landed2 = land_payloads(r2.nodes, store, out)
     n2 = r2.nodes.select("url_norm").distinct().count()
     assert landed2.count() == n1 + n2
+
+
+def test_stream_landing_matches_batch(spark, store, tmp_path):
+    """foreachBatch landing over two micro-batches == the one-shot batch
+    landing for the same fetched URL set (modulo the batch_id dir col)."""
+    from secretscraper_spark.streaming.crawl_bridge import stream_land_payloads
+
+    urls = sorted(r.url_norm for r in store.select("url_norm").limit(6).collect())
+    fdir = tmp_path / "fetched"
+    spark.createDataFrame([(u,) for u in urls[:3]], "url_norm string").coalesce(
+        1
+    ).write.mode("append").parquet(str(fdir))
+    spark.createDataFrame([(u,) for u in urls[3:]], "url_norm string").coalesce(
+        1
+    ).write.mode("append").parquet(str(fdir))
+
+    st = (
+        spark.readStream.schema("url_norm string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(fdir))
+    )
+    q = stream_land_payloads(
+        st, store, str(tmp_path / "land"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(600), "stream landing did not finish"
+
+    landed = spark.read.parquet(str(tmp_path / "land"))
+    assert "batch_id" in landed.columns and landed.select("batch_id").distinct().count() >= 2
+
+    batch = land_payloads(
+        spark.createDataFrame([(u,) for u in urls], "url_norm string"),
+        store,
+        str(tmp_path / "bland"),
+        mode="overwrite",
+    )
+    key = lambda df: {
+        (r.url_norm, r.image_id, r.caption, bytes(r.bytes)) for r in df.collect()
+    }
+    assert key(landed) == key(batch)
