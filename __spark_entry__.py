@@ -869,6 +869,25 @@ def q_image_resize(spark, sf_dir):
     )
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio pipeline end-to-end (operators/audio.py): deterministic
+    square-wave RIFF/WAVE PCM16 clips are synthesized per doc_id
+    (synth_params closed forms → encode_wav), decoded by the real
+    chunk-walking parser, and featurized (duration/rms/peak/zcr/clip) in
+    Arrow-batched mapInPandas. Every feature of a square wave has an exact
+    closed form in the generator parameters, so the DuckDB oracle
+    recomputes the full answer WITHOUT touching the bytes — encoder,
+    decoder, and feature kernels are all value-gated. Map-only (no
+    shuffle beyond the output sort)."""
+    from secretscraper_spark.operators import audio
+
+    ids = _t_cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("audio_id")
+    )
+    wavs = audio.synth_audio_table(ids)
+    return audio.audio_features(wavs).orderBy("audio_id")
+
+
 def q_text_normalize(spark, sf_dir):
     """Corpus text normalization (textstats.normalize_text): strip C0/DEL
     control characters, collapse whitespace runs, trim — the canonical
@@ -1241,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_verify": q_image_verify,
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_image_resize": q_image_resize,
+        "q_audio_features": q_audio_features,
         "q_shipping_priority": q_shipping_priority,
         "q_text_normalize": q_text_normalize,
         "q_vocab": q_vocab,
@@ -1871,6 +1891,34 @@ def oracle_sql() -> dict[str, str]:
         # disagree on \x0B), DuckDB regexp_replace needs the 'g' flag
         # (Spark's is global by default), and strlen() is DuckDB's
         # byte-length (Spark octet_length).
+        # audio: every feature of the synthesized square wave has a closed
+        # form in (n, sr, half_period, amp, channels) = synth_params(id) —
+        # the oracle recomputes the answer without parsing any bytes, so a
+        # hash match certifies the WAV encoder, decoder, and numpy feature
+        # kernels end-to-end (amp stride 3001 keeps rms off 6-dp rounding
+        # ties; see operators/audio.py)
+        "q_audio_features": """
+            WITH p AS (
+              SELECT doc_id AS audio_id,
+                     400 + (doc_id % 37) * 8      AS n,
+                     8000 * (1 + doc_id % 3)      AS sr,
+                     2 + doc_id % 9               AS half,
+                     CASE WHEN doc_id % 11 = 0 THEN 32767
+                          ELSE 20000 + (doc_id % 5) * 3001 END AS amp,
+                     1 + doc_id % 2               AS ch
+              FROM documents)
+            SELECT audio_id,
+                   TRUE                          AS decode_ok,
+                   CAST(ch AS INT)               AS n_channels,
+                   CAST(sr AS INT)               AS sample_rate,
+                   CAST(n AS BIGINT)             AS n_samples,
+                   round(CAST(n AS DOUBLE) / sr, 6)          AS duration_s,
+                   round(CAST(amp AS DOUBLE) / 32768, 6)     AS rms,
+                   round(CAST(amp AS DOUBLE) / 32768, 6)     AS peak,
+                   round(CAST((n - 1) // half AS DOUBLE) / (n - 1), 6) AS zcr,
+                   CASE WHEN amp = 32767 THEN 1.0 ELSE 0.0 END AS clip_frac
+            FROM p ORDER BY audio_id
+        """,
         "q_text_normalize": r"""
             WITH d AS (
               SELECT doc_id, text || chr(7) || '  tail' || chr(0) AS dirty
