@@ -423,6 +423,32 @@ def q_minhash_portable(spark, sf_dir):
     ).filter(F.col("est_jaccard") >= 0.5).orderBy("doc_a", "doc_b")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental (daily-ingest) minhash dedup: the batch (doc_id % 5 = 0)
+    against the already-indexed corpus (the rest) via
+    dedup.incremental_lsh_pairs — only buckets the batch lands in produce
+    join work; the corpus is never self-joined. Portable hash mode so
+    signatures, banding, union-side bucket capping, pair orientation
+    (batch doc in doc_new), and match_side tagging are ALL value-checked
+    against the DuckDB oracle."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    idx_docs = docs.filter(F.col("doc_id") % 5 != 0)
+
+    def sigs(d):
+        sh = dedup.shingles(d, "doc_id", "text", k=3)
+        return dedup.minhash_signatures(sh, num_hashes=64, hash_mode="portable")
+
+    return (
+        dedup.incremental_lsh_pairs(
+            sigs(new_docs), sigs(idx_docs), num_hashes=64, bands=16,
+            hash_mode="portable",
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_new", "doc_match")
+    )
+
+
 def q_simhash_portable(spark, sf_dir):
     """SimHash computed entirely in Catalyst (60-bit md5-prefix token
     hashes, nested higher-order aggregates — zero Python) + the same
@@ -1235,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_knn": q_embedding_knn,
         "q_minhash_dedup": q_minhash_dedup,
         "q_minhash_portable": q_minhash_portable,
+        "q_incremental_dedup": q_incremental_dedup,
         "q_simhash_dedup": q_simhash_dedup,
         "q_simhash_portable": q_simhash_portable,
         "q_lsh_ann": q_lsh_ann,
@@ -1826,6 +1853,7 @@ def oracle_sql() -> dict[str, str]:
         # exactly: H(x) = first 15 md5 hex chars as bigint, identical in
         # Spark (conv/substring/md5) and DuckDB ('0x'||substr cast).
         "q_minhash_portable": _minhash_portable_oracle(),
+        "q_incremental_dedup": _incremental_dedup_oracle(),
         # exhaustive-probe ANN ≡ brute force by construction: same oracle
         # as q_embedding_knn (see q_lsh_ann_full/q_ivf_ann_full docstrings)
         "q_lsh_ann_full": _KNN_ORACLE,
@@ -2275,10 +2303,13 @@ def _h_sql(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-def _minhash_portable_oracle() -> str:
-    """Mirror of q_minhash_portable: 64 seeded min-hashes per doc, 16
-    4-row band hashes, per-bucket cap 200, same-bucket pair join,
-    agreement-fraction estimate. Built programmatically — 64 aggregates."""
+_MH_AGREE = "len(list_filter(range(1, 65), i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) / 64.0"
+
+
+def _minhash_capped_cte() -> str:
+    """Shared WITH-prefix of the minhash oracles: word 3-shingles → 64
+    seeded portable min-hashes → 16 4-row band hashes → per-bucket cap 200.
+    Built programmatically — 64 aggregates."""
     mins = ",\n                     ".join(
         f"min({_h_sql(f'''shingle || chr(1) || '{i}' ''')}) AS mh{i}"
         for i in range(64)
@@ -2314,18 +2345,48 @@ def _minhash_portable_oracle() -> str:
                 SELECT *, row_number() OVER (
                   PARTITION BY band, band_hash ORDER BY doc_id) AS rk
                 FROM banded)
-              WHERE rk <= 200),
+              WHERE rk <= 200)"""
+
+
+def _minhash_portable_oracle() -> str:
+    """Mirror of q_minhash_portable: capped-bucket pair join + agreement-
+    fraction estimate over the shared prefix."""
+    return f"""{_minhash_capped_cte()},
             pairs AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      a.sig_arr AS sa, b.sig_arr AS sb
               FROM capped a JOIN capped b USING (band, band_hash)
               WHERE a.doc_id < b.doc_id)
             SELECT doc_a, doc_b,
-                   round(len(list_filter(range(1, 65), i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) / 64.0,
-                         6) AS est_jaccard
+                   round({_MH_AGREE}, 6) AS est_jaccard
             FROM pairs
-            WHERE len(list_filter(range(1, 65), i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) / 64.0 >= 0.5
+            WHERE {_MH_AGREE} >= 0.5
             ORDER BY doc_a, doc_b
+        """
+
+
+def _incremental_dedup_oracle() -> str:
+    """Mirror of q_incremental_dedup: the batch (doc_id % 5 = 0) against the
+    index (the rest). The Spark side caps buckets over the UNION of both
+    sides, which — because batch ∪ index = documents — is byte-identical to
+    the whole-corpus capped CTE, so the prefix is shared verbatim and only
+    the pair tail differs (at least one endpoint in the batch; the batch doc
+    lands in doc_new; new-vs-new pairs keep doc_new < doc_match)."""
+    return f"""{_minhash_capped_cte()},
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                     a.sig_arr AS sa, b.sig_arr AS sb
+              FROM capped a JOIN capped b USING (band, band_hash)
+              WHERE a.doc_id < b.doc_id
+                AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0))
+            SELECT CASE WHEN da % 5 = 0 THEN da ELSE db END AS doc_new,
+                   CASE WHEN da % 5 = 0 THEN db ELSE da END AS doc_match,
+                   CASE WHEN da % 5 = 0 AND db % 5 = 0
+                        THEN 'new' ELSE 'index' END AS match_side,
+                   round({_MH_AGREE}, 6) AS est_jaccard
+            FROM pairs
+            WHERE {_MH_AGREE} >= 0.5
+            ORDER BY doc_new, doc_match
         """
 
 

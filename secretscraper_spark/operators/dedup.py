@@ -144,12 +144,13 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, num_hashes: int = 64, bands: int = 16,
-    max_bucket: int = 200, hash_mode: str = "xxhash64",
+def _band_signatures(
+    sig: DataFrame, num_hashes: int, bands: int, max_bucket: int,
+    hash_mode: str, extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Band the signatures, self-join buckets, emit candidate (a<b) pairs
-    with the fraction of agreeing minhashes as the jaccard estimate."""
+    """Shared banding stage: (doc_id, sig array, band, band_hash) with the
+    per-bucket cap applied (pathological-bucket / boilerplate skew guard).
+    ``extra_cols`` are carried through (e.g. a batch-side tag)."""
     rows = num_hashes // bands
     mh_cols = [F.col(f"mh{i}") for i in range(num_hashes)]
 
@@ -161,17 +162,32 @@ def lsh_candidate_pairs(
 
     banded = sig.select(
         "doc_id",
+        *extra_cols,
         F.array(*mh_cols).alias("sig"),
         F.posexplode(
             F.array(*[band_hash(b) for b in range(bands)])
         ).alias("band", "band_hash"),
     )
-    # cap pathological buckets (boilerplate skew guard)
     w_rank = F.row_number().over(
         Window.partitionBy("band", "band_hash").orderBy("doc_id")
     )
-    banded = banded.withColumn("rk", w_rank).filter(F.col("rk") <= max_bucket)
+    return banded.withColumn("rk", w_rank).filter(F.col("rk") <= max_bucket)
 
+
+def _est_jaccard(num_hashes: int) -> F.Column:
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return F.round(agree / F.lit(float(num_hashes)), 6)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = 64, bands: int = 16,
+    max_bucket: int = 200, hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Band the signatures, self-join buckets, emit candidate (a<b) pairs
+    with the fraction of agreeing minhashes as the jaccard estimate."""
+    banded = _band_signatures(sig, num_hashes, bands, max_bucket, hash_mode)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -185,13 +201,77 @@ def lsh_candidate_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    return pairs.select("doc_a", "doc_b", _est_jaccard(num_hashes).alias("est_jaccard"))
+
+
+def incremental_lsh_pairs(
+    new_sig: DataFrame, index_sig: DataFrame, num_hashes: int = 64,
+    bands: int = 16, max_bucket: int = 200, hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup candidates of an INCOMING batch against an existing corpus
+    signature index, plus within-batch pairs — the daily-ingest dedup shape
+    at 100 TB. The corpus is never self-joined again: only buckets the new
+    batch lands in produce work, so cost is O(batch × collision), not
+    O(corpus²). At scale the index side is the PERSISTED banded form
+    (bucketed by (band, band_hash) in storage, e.g. an Iceberg table
+    partitioned on band) so each ingest pays one co-located join; here it
+    is banded inline. The per-bucket cap is applied over the union of both
+    sides (identical semantics to whole-corpus banding when new ∪ index
+    partitions the corpus — what the DuckDB oracle checks).
+
+    Returns ``(doc_new, doc_match, match_side 'index'|'new', est_jaccard)``
+    — one row per candidate pair, new-vs-new pairs emitted once with
+    ``doc_new < doc_match``. ``doc_id`` spaces of the two sides must be
+    disjoint."""
+    tagged = index_sig.withColumn("side", F.lit("index")).unionByName(
+        new_sig.withColumn("side", F.lit("new"))
+    )
+    banded = _band_signatures(
+        tagged, num_hashes, bands, max_bucket, hash_mode, extra_cols=("side",)
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    a_new = F.col("a.side") == "new"
+    pairs = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(a_new | (F.col("b.side") == "new"))
+        .select(
+            F.when(a_new, F.col("a.doc_id")).otherwise(F.col("b.doc_id"))
+            .alias("doc_new"),
+            F.when(a_new, F.col("b.doc_id")).otherwise(F.col("a.doc_id"))
+            .alias("doc_match"),
+            F.when(a_new & (F.col("b.side") == "new"), F.lit("new"))
+            .otherwise(F.lit("index")).alias("match_side"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_new", "doc_match"])
     )
     return pairs.select(
-        "doc_a", "doc_b",
-        F.round(agree / F.lit(float(len(mh_cols))), 6).alias("est_jaccard"),
+        "doc_new", "doc_match", "match_side",
+        _est_jaccard(num_hashes).alias("est_jaccard"),
     )
+
+
+def incremental_keep_ids(
+    new_sig: DataFrame, pairs: DataFrame, min_est: float = 0.8
+) -> DataFrame:
+    """New-batch docs to APPEND to the index after incremental dedup: drop
+    any new doc matching the index at ≥ ``min_est``, and of each
+    within-batch pair keep the smaller id (greedy, deterministic; run the
+    connected-components canonicalization instead when cluster-level
+    choice matters — see graph.connected_components/canonical pick)."""
+    hot = pairs.filter(F.col("est_jaccard") >= min_est)
+    drop = (
+        hot.filter(F.col("match_side") == "index").select(F.col("doc_new").alias("doc_id"))
+        .unionByName(
+            hot.filter(F.col("match_side") == "new")
+            .select(F.col("doc_match").alias("doc_id"))
+        )
+        .distinct()
+    )
+    return new_sig.select("doc_id").join(drop, "doc_id", "left_anti")
 
 
 def exact_jaccard_pairs(

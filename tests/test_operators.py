@@ -57,6 +57,53 @@ def test_ngram_jaccard_exact_verification(docs):
     assert abs(est[(0, 2)] - exact[(0, 2)]) < 0.25
 
 
+def test_incremental_lsh_matches_full_self_join(docs):
+    """Incremental (batch vs index) candidates must equal the full
+    self-join's pairs restricted to pairs touching the batch, with the
+    batch doc in the doc_new slot — and must emit no index-index pairs."""
+    new_ids = {1, 2}
+    sh = dedup.shingles(docs, "doc_id", "text", k=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=64)
+    full = dedup.lsh_candidate_pairs(sig, num_hashes=64, bands=16).collect()
+    expect = {}
+    for r in full:
+        in_a, in_b = r.doc_a in new_ids, r.doc_b in new_ids
+        if not (in_a or in_b):
+            continue
+        if in_a and in_b:
+            expect[(r.doc_a, r.doc_b)] = ("new", r.est_jaccard)
+        elif in_a:
+            expect[(r.doc_a, r.doc_b)] = ("index", r.est_jaccard)
+        else:
+            expect[(r.doc_b, r.doc_a)] = ("index", r.est_jaccard)
+    new_sig = sig.filter(F.col("doc_id").isin(list(new_ids)))
+    idx_sig = sig.filter(~F.col("doc_id").isin(list(new_ids)))
+    inc = dedup.incremental_lsh_pairs(new_sig, idx_sig, num_hashes=64, bands=16)
+    got = {
+        (r.doc_new, r.doc_match): (r.match_side, r.est_jaccard)
+        for r in inc.collect()
+    }
+    assert got == expect
+    assert expect  # the fixture guarantees cross and within-batch pairs
+
+
+def test_incremental_keep_ids(docs):
+    """Doc 1 (exact dup of index doc 0) is dropped; doc 2's fate depends on
+    the threshold: at 0.95 its near-dup links fall away and it is kept."""
+    new_ids = [1, 2]
+    sh = dedup.shingles(docs, "doc_id", "text", k=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=64)
+    new_sig = sig.filter(F.col("doc_id").isin(new_ids))
+    idx_sig = sig.filter(~F.col("doc_id").isin(new_ids))
+    pairs = dedup.incremental_lsh_pairs(new_sig, idx_sig, num_hashes=64, bands=16)
+    kept_strict = {r.doc_id for r in dedup.incremental_keep_ids(new_sig, pairs, 0.95).collect()}
+    assert kept_strict == {2}
+    est = {(r.doc_new, r.doc_match): r.est_jaccard for r in pairs.collect()}
+    lo = min(est[(2, 0)], est[(1, 2)])
+    kept_loose = {r.doc_id for r in dedup.incremental_keep_ids(new_sig, pairs, lo).collect()}
+    assert kept_loose == set()
+
+
 def test_simhash_near_dups(docs):
     sim = dedup.simhash64(docs, "doc_id", "text")
     rows = {r.doc_id: r.simhash for r in sim.collect()}
