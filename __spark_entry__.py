@@ -895,6 +895,18 @@ def q_image_resize(spark, sf_dir):
     )
 
 
+def q_source_reputation(spark, sf_dir):
+    """Source/domain-level curation (textstats.source_reputation): per-
+    source doc counts, within-source exact-dup fraction, and a reputation
+    score from exact integer sums — the RefinedWeb-style URL/source gate.
+    Two partial-agg stages, no count_distinct Expand; all ratios derived
+    once per source from integer sums so they are bit-reproducible."""
+    from secretscraper_spark.operators.textstats import source_reputation
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return source_reputation(docs).orderBy("source")
+
+
 def q_audio_features(spark, sf_dir):
     """Audio pipeline end-to-end (operators/audio.py): deterministic
     square-wave RIFF/WAVE PCM16 clips are synthesized per doc_id
@@ -1288,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_image_resize": q_image_resize,
         "q_audio_features": q_audio_features,
+        "q_source_reputation": q_source_reputation,
         "q_shipping_priority": q_shipping_priority,
         "q_text_normalize": q_text_normalize,
         "q_vocab": q_vocab,
@@ -1946,6 +1959,38 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST((n - 1) // half AS DOUBLE) / (n - 1), 6) AS zcr,
                    CASE WHEN amp = 32767 THEN 1.0 ELSE 0.0 END AS clip_frac
             FROM p ORDER BY audio_id
+        """,
+        # ratios mirror the Spark expressions token-for-token (incl. the
+        # 1.0 - (1.0 - u/n) form) so both engines run the identical float
+        # op sequence on identical integer inputs; sums CAST to BIGINT
+        # (DuckDB sum() yields HUGEINT — the q_dedup_exact lesson)
+        "q_source_reputation": r"""
+            WITH per_fp AS (
+              SELECT source,
+                     md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+                     count(*) AS n,
+                     sum(len(string_split(text, ' '))) AS tk,
+                     sum(length(text)) AS cc,
+                     sum(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))) AS pc
+              FROM documents GROUP BY source, fp),
+            agg AS (
+              SELECT source,
+                     CAST(sum(n) AS BIGINT)  AS n_docs,
+                     count(*)                AS n_unique_fp,
+                     CAST(sum(tk) AS BIGINT) AS sum_tokens,
+                     CAST(sum(cc) AS BIGINT) AS sum_chars,
+                     CAST(sum(pc) AS BIGINT) AS sum_punct
+              FROM per_fp GROUP BY source)
+            SELECT source, n_docs, n_unique_fp, sum_tokens, sum_chars, sum_punct,
+                   round(1.0 - CAST(n_unique_fp AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                     AS dup_frac,
+                   round((CAST(sum_tokens AS DOUBLE)
+                            / CAST(greatest(sum_chars, 1) AS DOUBLE))
+                         * (1.0 - CAST(sum_punct AS DOUBLE)
+                            / CAST(greatest(sum_chars, 1) AS DOUBLE))
+                         * (1.0 - (1.0 - CAST(n_unique_fp AS DOUBLE)
+                            / CAST(n_docs AS DOUBLE))), 6) AS rep_score
+            FROM agg ORDER BY source
         """,
         "q_text_normalize": r"""
             WITH d AS (

@@ -73,6 +73,75 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def source_reputation(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source (domain) reputation roll-up — the URL/source-level
+    curation stage (RefinedWeb-style): corpora are gated by where a page
+    came from, not only by per-document features, because spam farms and
+    mirror hosts are source-shaped phenomena.
+
+    Per source: ``n_docs``, ``n_unique_fp`` (distinct whitespace-normalized
+    fingerprints), ``dup_frac`` (within-source exact-dup rate — mirror/spam
+    signal), and a ``rep_score`` combining corpus-level token/char and
+    punctuation ratios with the dup rate.
+
+    Scale shape: two partial-agg stages — (source, fingerprint) roll-up
+    then source roll-up — so distinct-counting never builds an Expand and
+    every shuffle carries pre-combined partial sums; output is
+    sources-sized (≪ corpus). All ratios are computed ONCE per source from
+    exact integer sums (not averaged per-row doubles), which also makes
+    them bit-reproducible across engines and partition layouts."""
+    t = F.col(text_col)
+    per_fp = (
+        df.select(
+            F.col(source_col).alias("source"),
+            fingerprint(t).alias("fp"),
+            token_count(t).alias("tk"),
+            char_count(t).alias("cc"),
+            punct_count(t).alias("pc"),
+        )
+        .groupBy("source", "fp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("tk").alias("tk"),
+            F.sum("cc").alias("cc"),
+            F.sum("pc").alias("pc"),
+        )
+    )
+    agg = per_fp.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_unique_fp"),
+        F.sum("tk").alias("sum_tokens"),
+        F.sum("cc").alias("sum_chars"),
+        F.sum("pc").alias("sum_punct"),
+    )
+    nd = F.col("n_docs").cast("double")
+    dup = F.lit(1.0) - F.col("n_unique_fp").cast("double") / nd
+    chars = F.greatest(F.col("sum_chars"), F.lit(1)).cast("double")
+    rep = (
+        (F.col("sum_tokens").cast("double") / chars)
+        * (F.lit(1.0) - F.col("sum_punct").cast("double") / chars)
+        * (F.lit(1.0) - dup)
+    )
+    return agg.withColumns(
+        {"dup_frac": F.round(dup, 6), "rep_score": F.round(rep, 6)}
+    )
+
+
+def gate_by_reputation(
+    df: DataFrame, rep: DataFrame, min_score: float,
+    source_col: str = "source",
+) -> DataFrame:
+    """Keep documents whose source clears the reputation bar. The rep dim
+    is sources-sized — explicitly broadcast, so the corpus scan never
+    shuffles (semi-join against a broadcast hash table)."""
+    dim = rep.filter(F.col("rep_score") >= min_score).select(
+        F.col("source").alias(source_col)
+    )
+    return df.join(F.broadcast(dim), source_col, "left_semi")
+
+
 def lang_id(text: Column) -> Column:
     """Stopword-vote language heuristic → 2-letter code or 'unknown'.
     Pure Column expr (CASE over greatest), SQL-expressible."""

@@ -57,6 +57,40 @@ def test_ngram_jaccard_exact_verification(docs):
     assert abs(est[(0, 2)] - exact[(0, 2)]) < 0.25
 
 
+def test_source_reputation_hand_computed(spark):
+    from secretscraper_spark.operators.textstats import (
+        gate_by_reputation,
+        source_reputation,
+    )
+
+    rows = [
+        (0, "hello world foo", "A"),
+        (1, "spark query engine", "A"),
+        (2, "buy now!!!", "B"),
+        (3, "buy now!!!", "B"),
+        (4, "buy now!!!", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rep = {r.source: r for r in source_reputation(df).collect()}
+    a, b = rep["A"], rep["B"]
+    assert (a.n_docs, a.n_unique_fp, a.dup_frac) == (2, 2, 0.0)
+    assert a.rep_score == round(6 / 33, 6)
+    assert (b.n_docs, b.n_unique_fp) == (3, 1)
+    assert b.dup_frac == round(2 / 3, 6)
+    # (tokens/chars) * (1 - punct/chars) * (1 - dup) = 0.2 * 0.7 * 1/3
+    assert b.rep_score == round((6 / 30) * (1 - 9 / 30) * (1 - (1 - 1 / 3)), 6)
+    kept = gate_by_reputation(df, source_reputation(df), min_score=0.1)
+    assert {r.doc_id for r in kept.collect()} == {0, 1}
+    # the dim side must broadcast — the corpus scan never shuffles
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        kept.explain()
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
 def test_incremental_lsh_matches_full_self_join(docs):
     """Incremental (batch vs index) candidates must equal the full
     self-join's pairs restricted to pairs touching the batch, with the
