@@ -895,6 +895,36 @@ def q_image_resize(spark, sf_dir):
     )
 
 
+def q_caption_alignment(spark, sf_dir):
+    """Image↔caption alignment gate (multimodal.alignment_gate): the
+    CLIP-score curation filter — cosine between a per-row 'image' embedding
+    (the embeddings table, standing in for an image-tower output) and a
+    text embedding of the caption (multimodal.hash_embed, the deterministic
+    portable stand-in encoder; a real CLIP tower writes the same
+    array<double> column), keep iff score ≥ 0. Pure Catalyst HOFs end to
+    end — embed, dot, norms, gate — zero Python, one broadcast-able join
+    to pair the towers; every score and keep flag is value-checked."""
+    from secretscraper_spark.operators import multimodal
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    img = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.slice(
+            F.transform("embedding", lambda x: x.cast("double")), 1, 16
+        ).alias("img_emb"),
+    )
+    paired = docs.select(
+        "doc_id",
+        multimodal.hash_embed(F.col("text"), dim=16, mode="portable").alias("txt_emb"),
+    ).join(img, "doc_id")
+    return (
+        multimodal.alignment_gate(paired, "txt_emb", "img_emb", threshold=0.0)
+        .select("doc_id", "alignment", "keep")
+        .orderBy("doc_id")
+    )
+
+
 def q_source_reputation(spark, sf_dir):
     """Source/domain-level curation (textstats.source_reputation): per-
     source doc counts, within-source exact-dup fraction, and a reputation
@@ -1301,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_resize": q_image_resize,
         "q_audio_features": q_audio_features,
         "q_source_reputation": q_source_reputation,
+        "q_caption_alignment": q_caption_alignment,
         "q_shipping_priority": q_shipping_priority,
         "q_text_normalize": q_text_normalize,
         "q_vocab": q_vocab,
@@ -1867,6 +1898,7 @@ def oracle_sql() -> dict[str, str]:
         # Spark (conv/substring/md5) and DuckDB ('0x'||substr cast).
         "q_minhash_portable": _minhash_portable_oracle(),
         "q_incremental_dedup": _incremental_dedup_oracle(),
+        "q_caption_alignment": _caption_alignment_oracle(),
         # exhaustive-probe ANN ≡ brute force by construction: same oracle
         # as q_embedding_knn (see q_lsh_ann_full/q_ivf_ann_full docstrings)
         "q_lsh_ann_full": _KNN_ORACLE,
@@ -2391,6 +2423,38 @@ def _minhash_capped_cte() -> str:
                   PARTITION BY band, band_hash ORDER BY doc_id) AS rk
                 FROM banded)
               WHERE rk <= 200)"""
+
+
+def _caption_alignment_oracle() -> str:
+    """Mirror of q_caption_alignment: the 16-dim portable hash embedding is
+    recomputed token-for-token (list_sum folds in list order, matching the
+    Spark aggregate fold), the image tower is the embeddings table sliced
+    to 16 dims, cosine rounds to 3 (+0.0 canonicalizes -0.0)."""
+    dim_exprs = ",\n                       ".join(
+        f"coalesce(list_sum(list_transform(toks, t -> "
+        f"CAST({_h_sql(f'''t || chr(1) || '{j}' ''')} % 1000 AS DOUBLE) / 1000.0)), 0.0)"
+        f" / greatest(len(toks), 1)"
+        for j in range(16)
+    )
+    return f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            te AS (SELECT doc_id, [{dim_exprs}] AS txt_emb FROM t),
+            ie AS (
+              SELECT vec_id AS doc_id,
+                     list_slice(CAST(embedding AS DOUBLE[]), 1, 16) AS img_emb
+              FROM embeddings)
+            SELECT te.doc_id,
+                   round(list_cosine_similarity(txt_emb, img_emb), 3) + 0.0
+                     AS alignment,
+                   (round(list_cosine_similarity(txt_emb, img_emb), 3) + 0.0)
+                     >= 0.0 AS keep
+            FROM te JOIN ie USING (doc_id)
+            ORDER BY te.doc_id
+        """
 
 
 def _minhash_portable_oracle() -> str:

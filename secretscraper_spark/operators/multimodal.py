@@ -217,6 +217,57 @@ def filter_images(
     )
 
 
+def hash_embed(text: F.Column, dim: int = 16, mode: str = "xxhash64") -> F.Column:
+    """Deterministic bag-of-words hash embedding (``array<double>``): dim j
+    is the mean over whitespace tokens of a [0,1)-mapped seeded token hash.
+    This is a STAND-IN encoder — a real CLIP/SigLIP text tower produces the
+    same ``array<double>`` column (via a Pandas-UDF batch encode where torch
+    exists) and everything downstream (cosine, gate, stats) is
+    encoder-agnostic. Pure Catalyst HOFs: per-token work only, no UDF.
+    ``mode='portable'`` uses the md5-prefix hash so the DuckDB oracle can
+    recompute it token-for-token (list order fixed ⇒ identical float
+    accumulation in both engines)."""
+    from .dedup import portable_hash64
+
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+
+    def dim_mean(j: int) -> F.Column:
+        if mode == "portable":
+            h = lambda t: portable_hash64(t, seed=j)  # noqa: E731
+        else:
+            h = lambda t: F.pmod(F.xxhash64(t, F.lit(j)), F.lit(1000))  # noqa: E731
+        vals = F.transform(toks, lambda t: (h(t) % 1000).cast("double") / F.lit(1000.0))
+        return F.aggregate(vals, F.lit(0.0), lambda acc, v: acc + v) / F.greatest(
+            F.size(toks), F.lit(1)
+        ).cast("double")
+
+    return F.array(*[dim_mean(j) for j in range(dim)])
+
+
+def alignment_gate(
+    df: DataFrame,
+    emb_a_col: str,
+    emb_b_col: str,
+    threshold: float,
+    out_col: str = "alignment",
+) -> DataFrame:
+    """Cosine alignment between two embedding columns + keep flag — the
+    CLIP-score image↔caption curation gate (LAION/DataComp: keep a pair iff
+    similarity ≥ t). Encoder-agnostic over ``array<double>`` columns (plug
+    real tower outputs; :func:`hash_embed` is the deterministic test
+    stand-in). Pure JVM HOF expressions: one scan, zero Python, zero
+    shuffle — at 100 TB the keep filter applies in the same stage as the
+    scan and prunes before any downstream shuffle."""
+    from .similarity import cosine_similarity
+
+    # + 0.0 canonicalizes IEEE -0.0 (round(-0.0004, 3) is negative zero,
+    # which engines print differently) to +0.0
+    cos = F.round(cosine_similarity(F.col(emb_a_col), F.col(emb_b_col)), 3) + F.lit(0.0)
+    return df.withColumns(
+        {out_col: cos, "keep": cos >= F.lit(float(threshold))}
+    )
+
+
 def frame_sample_stub(video_bytes: bytes, every_n: int = 30):
     """Video frame sampling is NOT implementable in this container (no
     decoder libraries). The Spark plumbing pattern is image_features();

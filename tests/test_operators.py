@@ -57,6 +57,50 @@ def test_ngram_jaccard_exact_verification(docs):
     assert abs(est[(0, 2)] - exact[(0, 2)]) < 0.25
 
 
+def test_hash_embed_matches_python(spark):
+    """Portable-mode hash embedding ≡ an independent hashlib/python
+    recompute (token split, seeded md5-prefix hash, [0,1) map, mean)."""
+    import hashlib
+
+    texts = ["The quick Brown fox", "  spaced   out  ", "one"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r.i: r.emb
+        for r in df.select(
+            "i", multimodal.hash_embed(F.col("text"), dim=4, mode="portable").alias("emb")
+        ).collect()
+    }
+
+    def phash64(s: str, seed: int) -> int:
+        return int(hashlib.md5((s + "\x01" + str(seed)).encode()).hexdigest()[:15], 16)
+
+    for i, t in enumerate(texts):
+        toks = [x for x in t.lower().split() if x]
+        for j in range(4):
+            vals = [(phash64(tok, j) % 1000) / 1000.0 for tok in toks]
+            acc = 0.0
+            for v in vals:
+                acc += v
+            assert got[i][j] == acc / max(len(toks), 1)
+
+
+def test_alignment_gate_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(20):
+        a = rng.normal(size=8).tolist()
+        b = rng.normal(size=8).tolist()
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "i long, ea array<double>, eb array<double>")
+    out = {r.i: (r.alignment, r.keep) for r in
+           multimodal.alignment_gate(df, "ea", "eb", threshold=0.1).collect()}
+    for i, a, b in rows:
+        a, b = np.array(a), np.array(b)
+        cos = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 3)
+        assert abs(out[i][0] - cos) < 1e-9
+        assert out[i][1] == (cos >= 0.1)
+
+
 def test_source_reputation_hand_computed(spark):
     from secretscraper_spark.operators.textstats import (
         gate_by_reputation,
