@@ -925,6 +925,23 @@ def q_caption_alignment(spark, sf_dir):
     )
 
 
+def q_video_frames(spark, sf_dir):
+    """Video pipeline end-to-end (operators/video.py): deterministic
+    constant-plane Y4M/C444 clips are synthesized per doc_id, decoded by
+    the real YUV4MPEG2 parser, and frame-sampled at stride 2 into one row
+    per sampled frame with per-plane means. Every feature has a closed
+    form in the generator parameters, so the DuckDB oracle recomputes the
+    full exploded answer without touching any bytes — container encoder,
+    decoder, stride semantics, and plane order are all value-gated."""
+    from secretscraper_spark.operators import video
+
+    ids = _t_cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("video_id")
+    )
+    clips = video.synth_video_table(ids)
+    return video.sample_frames(clips, every_n=2).orderBy("video_id", "frame_idx")
+
+
 def q_source_reputation(spark, sf_dir):
     """Source/domain-level curation (textstats.source_reputation): per-
     source doc counts, within-source exact-dup fraction, and a reputation
@@ -1332,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_features": q_audio_features,
         "q_source_reputation": q_source_reputation,
         "q_caption_alignment": q_caption_alignment,
+        "q_video_frames": q_video_frames,
         "q_shipping_priority": q_shipping_priority,
         "q_text_normalize": q_text_normalize,
         "q_vocab": q_vocab,
@@ -1991,6 +2009,33 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST((n - 1) // half AS DOUBLE) / (n - 1), 6) AS zcr,
                    CASE WHEN amp = 32767 THEN 1.0 ELSE 0.0 END AS clip_frac
             FROM p ORDER BY audio_id
+        """,
+        # video: the exploded per-sampled-frame answer in closed form (same
+        # contract as q_audio_features — the oracle never parses bytes)
+        "q_video_frames": """
+            WITH p AS (
+              SELECT doc_id AS video_id,
+                     6 + doc_id % 7        AS n,
+                     16 * (1 + doc_id % 3) AS w,
+                     24 + doc_id % 2       AS fps_num
+              FROM documents),
+            f AS (
+              SELECT video_id, n, w, fps_num, CAST(k.k AS INT) AS frame_idx
+              FROM p, LATERAL (SELECT unnest(range(0, n, 2)) AS k) k)
+            SELECT video_id,
+                   TRUE                 AS decode_ok,
+                   frame_idx,
+                   CAST(w AS INT)       AS w,
+                   CAST(16 AS INT)      AS h,
+                   CAST(n AS INT)       AS n_frames,
+                   CAST(fps_num AS INT) AS fps_num,
+                   CAST(1 AS INT)       AS fps_den,
+                   CAST((31 * video_id + 7 * frame_idx) % 256 AS DOUBLE) AS mean_y,
+                   CAST(((31 * video_id + 7 * frame_idx) % 256 + 85) % 256
+                        AS DOUBLE) AS mean_u,
+                   CAST(((31 * video_id + 7 * frame_idx) % 256 + 170) % 256
+                        AS DOUBLE) AS mean_v
+            FROM f ORDER BY video_id, frame_idx
         """,
         # ratios mirror the Spark expressions token-for-token (incl. the
         # 1.0 - (1.0 - u/n) form) so both engines run the identical float
