@@ -925,6 +925,57 @@ def q_caption_alignment(spark, sf_dir):
     )
 
 
+def q_image_meta_secrets(spark, sf_dir):
+    """Secret extraction over DECODED IMAGE METADATA (the north rule's
+    second extraction surface): per doc, a real PNG is encoded with two
+    tEXt chunks (Comment = the document text, Software = a fixed tool
+    string), decoded by imagecodec.png_text_chunks inside
+    multimodal.image_text_metadata, and the same Arrow secrets UDF as the
+    caption path runs over every chunk value with per-image dedup. The
+    toy s-word rule keeps the oracle dialect-portable (the SHIPPED rules
+    over tEXt metadata are exercised in tests/test_operators.py); the
+    oracle recomputes matches from text ∪ the Software constant — the
+    PNG encoder, chunk walker, UDF plumbing, and cross-chunk dedup are
+    all value-gated."""
+    from secretscraper_spark.operators import multimodal
+    from secretscraper_spark.operators.imagecodec import encode_png, pixels_for
+
+    docs = _t_cpu(spark, sf_dir, "documents").select("doc_id", "text")
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("fmt", T.StringType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                (str(did), encode_png(pixels_for(int(did) % 7 + 1, 4, 4), {
+                    "Comment": txt, "Software": "spark etl v2",
+                }), "png")
+                for did, txt in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    pages = docs.mapInPandas(gen, schema)
+    secrets = multimodal.secrets_from_image_metadata(
+        pages, rules={"sword": r"\b(s[a-z]+)\b"}
+    )
+    return (
+        secrets.groupBy("image_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.array_join(F.array_sort(F.collect_list("match")), ",").alias("matches_csv"),
+        )
+        .orderBy("image_id")
+    )
+
+
 def q_video_frames(spark, sf_dir):
     """Video pipeline end-to-end (operators/video.py): deterministic
     constant-plane Y4M/C444 clips are synthesized per doc_id, decoded by
@@ -1350,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_reputation": q_source_reputation,
         "q_caption_alignment": q_caption_alignment,
         "q_video_frames": q_video_frames,
+        "q_image_meta_secrets": q_image_meta_secrets,
         "q_shipping_priority": q_shipping_priority,
         "q_text_normalize": q_text_normalize,
         "q_vocab": q_vocab,
@@ -2009,6 +2061,20 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST((n - 1) // half AS DOUBLE) / (n - 1), 6) AS zcr,
                    CASE WHEN amp = 32767 THEN 1.0 ELSE 0.0 END AS clip_frac
             FROM p ORDER BY audio_id
+        """,
+        # image-metadata secrets: the union of the two tEXt chunk values is
+        # 'text ∪ the Software constant' — appending the constant after a
+        # space reproduces the cross-chunk distinct without parsing any PNG
+        "q_image_meta_secrets": r"""
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                     unnest(list_distinct(regexp_extract_all(
+                       text || ' spark etl v2', '\b(s[a-z]+)\b', 1))) AS match
+              FROM documents)
+            SELECT image_id, count(*) AS n_matches,
+                   list_aggregate(list_sort(list(match)), 'string_agg', ',')
+                     AS matches_csv
+            FROM m GROUP BY image_id ORDER BY image_id
         """,
         # video: the exploded per-sampled-frame answer in closed form (same
         # contract as q_audio_features — the oracle never parses bytes)

@@ -36,19 +36,55 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """Minimal RGB8 PNG (filter type 0 per scanline)."""
+def encode_png(
+    pixels: np.ndarray, text_chunks: dict[str, str] | None = None
+) -> bytes:
+    """Minimal RGB8 PNG (filter type 0 per scanline). ``text_chunks``
+    optionally embeds tEXt metadata (PNG 1.2 §4.2.3: ``keyword\\0value``,
+    latin-1) after IHDR, sorted by keyword for determinism — the standard
+    place camera/export software leaves Comment/Software/Author strings
+    (and, in the wild, leaked credentials — see
+    multimodal.secrets_from_image_metadata). Omitted → byte-identical to
+    the historical encoder output."""
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
     raw = np.zeros((h, w * 3 + 1), dtype=np.uint8)
     raw[:, 1:] = pixels.reshape(h, w * 3)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    texts = b"".join(
+        _chunk(b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1"))
+        for k, v in sorted((text_chunks or {}).items())
+    )
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
+        + texts
         + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
         + _chunk(b"IEND", b"")
     )
+
+
+def png_text_chunks(data: bytes) -> dict[str, str]:
+    """Decode tEXt metadata from a PNG: walk the chunk list, collect
+    ``keyword → value`` (latin-1). Unknown/ancillary chunks are skipped;
+    malformed input raises ValueError (callers degrade per row)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    out: dict[str, str] = {}
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) < length:
+            raise ValueError("truncated chunk")
+        if tag == b"tEXt":
+            key, _, val = payload.partition(b"\x00")
+            out[key.decode("latin-1")] = val.decode("latin-1")
+        if tag == b"IEND":
+            break
+        pos += 12 + length  # len + tag + payload + crc
+    return out
 
 
 def decode_png(data: bytes) -> np.ndarray:

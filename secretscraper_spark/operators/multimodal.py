@@ -217,6 +217,68 @@ def filter_images(
     )
 
 
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+
+def image_text_metadata(
+    pages: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Decoded image metadata as rows: one ``(image_id, key, value)`` per
+    PNG tEXt chunk (imagecodec.png_text_chunks) — Comment/Software/Author
+    strings left by export tooling. Non-PNG and malformed payloads yield
+    no rows (corrupt bytes never fail the task). Map-only Arrow batches;
+    an EXIF parser for jpeg slots in beside the tEXt walk unchanged."""
+    from .imagecodec import png_text_chunks
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, blob, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                if fmt != "png":
+                    continue
+                try:
+                    chunks = png_text_chunks(bytes(blob))
+                except ValueError:
+                    continue
+                rows.extend((img_id, k, v) for k, v in chunks.items())
+            yield pd.DataFrame(rows, columns=["image_id", "key", "value"])
+
+    return pages.select(
+        F.col(id_col).alias("image_id"), F.col(bytes_col).alias(bytes_col),
+        F.col(fmt_col).alias(fmt_col),
+    ).mapInPandas(compute, IMAGE_META_SCHEMA)
+
+
+def secrets_from_image_metadata(
+    pages: DataFrame, rules: dict[str, str] | None = None, engine: str = "re"
+) -> DataFrame:
+    """The north-rule requirement 'secret-extraction rules applied to …
+    decoded image metadata' (BASELINE.json north_star): run the SAME
+    vectorized Arrow secrets UDF the caption path uses (functions/
+    extract.py:make_secrets_udf → purekit extractor, reference
+    handler.py:41-61 semantics) over every decoded tEXt value, dedup per
+    image across chunks (reference ``set(secrets)`` per page,
+    crawler.py:311). Returns ``(image_id, rule_name, match)``."""
+    from ..config import loaded_rules
+    from ..functions.extract import make_secrets_udf
+
+    meta = image_text_metadata(pages)
+    udf = make_secrets_udf(rules if rules is not None else loaded_rules(), engine=engine)
+    return (
+        meta.select("image_id", F.explode(udf("value")).alias("s"))
+        .select("image_id", F.col("s.rule_name").alias("rule_name"),
+                F.col("s.match").alias("match"))
+        .dropDuplicates(["image_id", "rule_name", "match"])
+    )
+
+
 def hash_embed(text: F.Column, dim: int = 16, mode: str = "xxhash64") -> F.Column:
     """Deterministic bag-of-words hash embedding (``array<double>``): dim j
     is the mean over whitespace tokens of a [0,1)-mapped seeded token hash.

@@ -57,6 +57,43 @@ def test_ngram_jaccard_exact_verification(docs):
     assert abs(est[(0, 2)] - exact[(0, 2)]) < 0.25
 
 
+def test_png_text_chunks_roundtrip():
+    px = imagecodec.pixels_for(3, 8, 8)
+    blob = imagecodec.encode_png(px, {"Comment": "hello there", "Author": "x y"})
+    assert imagecodec.png_text_chunks(blob) == {"Comment": "hello there", "Author": "x y"}
+    np.testing.assert_array_equal(imagecodec.decode_png(blob), px)
+    assert imagecodec.png_text_chunks(imagecodec.encode_png(px)) == {}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        imagecodec.png_text_chunks(b"not a png")
+
+
+def test_secrets_from_image_metadata(spark):
+    """North-rule path: the SHIPPED secret rules over decoded PNG tEXt
+    metadata — planted Phone and Swagger markers must surface; non-PNG,
+    metadata-less, and corrupt payloads must contribute nothing."""
+    px = imagecodec.pixels_for(1, 4, 4)
+    rows = [
+        ("img_0",
+         imagecodec.encode_png(px, {
+             "Comment": "call '13012345678' for access",
+             "Software": "x/swagger-ui.html exporter",
+         }), "png"),
+        ("img_1", imagecodec.encode_png(px), "png"),
+        ("img_2", b"\x89PNG garbage", "png"),
+        ("img_3", imagecodec.encode_fake_jpeg(px), "jpeg"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    meta = multimodal.image_text_metadata(df).collect()
+    assert {(r.image_id, r.key) for r in meta} == {("img_0", "Comment"), ("img_0", "Software")}
+    got = {(r.image_id, r.rule_name, r.match)
+           for r in multimodal.secrets_from_image_metadata(df).collect()}
+    assert ("img_0", "Phone", "13012345678") in got
+    assert ("img_0", "Swagger", "swagger-ui.html") in got
+    assert all(i == "img_0" for i, _, _ in got)
+
+
 def test_hash_embed_matches_python(spark):
     """Portable-mode hash embedding ≡ an independent hashlib/python
     recompute (token split, seeded md5-prefix hash, [0,1) map, mean)."""
