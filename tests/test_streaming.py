@@ -186,3 +186,29 @@ class TestCrawlBridge:
         }
         assert stream_edges == batch_edges and batch_edges
         assert stream_secrets_set == batch_secrets and batch_secrets
+
+
+def test_stream_audio_features_matches_batch(spark, tmp_path_factory):
+    """Payload-column streaming: the audio feature mapInPandas runs
+    UNCHANGED on a file-source stream (two arrival files, availableNow)
+    and produces exactly the batch answer — multimodal decode stages
+    compose with the continuous-ingest path like the text ones."""
+    from secretscraper_spark.operators import audio
+
+    d = str(tmp_path_factory.mktemp("audio_stream")) + "/clips"
+    ids = spark.range(0, 50).withColumnRenamed("id", "audio_id")
+    clips = audio.synth_audio_table(ids)
+    clips.filter(F.col("audio_id") < 25).write.mode("overwrite").parquet(d)
+    clips.filter(F.col("audio_id") >= 25).write.mode("append").parquet(d)
+
+    schema = "audio_id long, bytes binary"
+    st = spark.readStream.schema(schema).parquet(d)
+    run_to_memory(audio.audio_features(st), "audio_feats")
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM audio_feats").collect()
+    }
+    batch = {
+        tuple(r)
+        for r in audio.audio_features(spark.read.schema(schema).parquet(d)).collect()
+    }
+    assert got == batch and len(got) == 50
