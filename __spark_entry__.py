@@ -2068,8 +2068,9 @@ def oracle_sql() -> dict[str, str]:
         "q_image_meta_secrets": r"""
             WITH m AS (
               SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                     -- (?i) mirrors purekit's re.IGNORECASE rule compile
                      unnest(list_distinct(regexp_extract_all(
-                       text || ' spark etl v2', '\b(s[a-z]+)\b', 1))) AS match
+                       text || ' spark etl v2', '(?i)\b(s[a-z]+)\b', 1))) AS match
               FROM documents)
             SELECT image_id, count(*) AS n_matches,
                    list_aggregate(list_sort(list(match)), 'string_agg', ',')

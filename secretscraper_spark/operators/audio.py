@@ -79,6 +79,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported format (fmt={audio_fmt}, bits={bits})")
     if ch < 1:
         raise ValueError("zero channels")
+    if sr < 1:
+        # a zeroed rate field would otherwise surface as ZeroDivisionError
+        # in feature math — keep every corruption on the ValueError path
+        raise ValueError("zero sample rate")
     samples = np.frombuffer(pcm[: (len(pcm) // (2 * ch)) * 2 * ch], dtype="<i2")
     return samples.reshape(-1, ch).astype(np.int16), sr
 
@@ -115,8 +119,10 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _features_row(audio_id: int, blob: bytes) -> tuple:
+def _features_row(audio_id: int, blob: bytes | None) -> tuple:
     try:
+        if blob is None:
+            raise ValueError("null payload")
         samples, sr = decode_wav(blob)
     except (ValueError, struct.error):
         return (audio_id, False, None, None, None, None, None, None, None, None)
@@ -157,7 +163,7 @@ def audio_features(
         cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
         for pdf in batches:
             rows = [
-                _features_row(int(r[0]), bytes(r[1]))
+                _features_row(int(r[0]), None if r[1] is None else bytes(r[1]))
                 for r in zip(pdf[id_col], pdf[bytes_col])
             ]
             yield pd.DataFrame(rows, columns=cols)

@@ -64,13 +64,17 @@ def encode_png(
     )
 
 
-def png_text_chunks(data: bytes) -> dict[str, str]:
+def png_text_chunks(data: bytes) -> list[tuple[str, str]]:
     """Decode tEXt metadata from a PNG: walk the chunk list, collect
-    ``keyword → value`` (latin-1). Unknown/ancillary chunks are skipped;
-    malformed input raises ValueError (callers degrade per row)."""
+    ``(keyword, value)`` pairs in chunk order (latin-1). A LIST, not a
+    dict: PNG 1.2 explicitly permits repeated keywords (multi-tool export
+    pipelines stack Comment chunks) and a dict would silently drop all but
+    the last — a recall hole for the metadata secret scan. Unknown/
+    ancillary chunks are skipped; malformed input raises ValueError
+    (callers degrade per row)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    out: dict[str, str] = {}
+    out: list[tuple[str, str]] = []
     pos = 8
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -80,7 +84,7 @@ def png_text_chunks(data: bytes) -> dict[str, str]:
             raise ValueError("truncated chunk")
         if tag == b"tEXt":
             key, _, val = payload.partition(b"\x00")
-            out[key.decode("latin-1")] = val.decode("latin-1")
+            out.append((key.decode("latin-1"), val.decode("latin-1")))
         if tag == b"IEND":
             break
         pos += 12 + length  # len + tag + payload + crc

@@ -231,28 +231,29 @@ def image_text_metadata(
     fmt_col: str = "fmt",
 ) -> DataFrame:
     """Decoded image metadata as rows: one ``(image_id, key, value)`` per
-    PNG tEXt chunk (imagecodec.png_text_chunks) — Comment/Software/Author
-    strings left by export tooling. Non-PNG and malformed payloads yield
-    no rows (corrupt bytes never fail the task). Map-only Arrow batches;
-    an EXIF parser for jpeg slots in beside the tEXt walk unchanged."""
+    PNG tEXt chunk (imagecodec.png_text_chunks, repeated keywords kept) —
+    Comment/Software/Author strings left by export tooling. Non-PNG,
+    null, and malformed payloads yield no rows (corrupt bytes never fail
+    the task). Map-only Arrow batches; an EXIF parser for jpeg slots in
+    beside the tEXt walk unchanged."""
     from .imagecodec import png_text_chunks
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for img_id, blob, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
-                if fmt != "png":
+            for img_id, blob, fmt in zip(pdf["image_id"], pdf["b"], pdf["f"]):
+                if fmt != "png" or blob is None:
                     continue
                 try:
                     chunks = png_text_chunks(bytes(blob))
                 except ValueError:
                     continue
-                rows.extend((img_id, k, v) for k, v in chunks.items())
+                rows.extend((img_id, k, v) for k, v in chunks)
             yield pd.DataFrame(rows, columns=["image_id", "key", "value"])
 
     return pages.select(
-        F.col(id_col).alias("image_id"), F.col(bytes_col).alias(bytes_col),
-        F.col(fmt_col).alias(fmt_col),
+        F.col(id_col).alias("image_id"), F.col(bytes_col).alias("b"),
+        F.col(fmt_col).alias("f"),
     ).mapInPandas(compute, IMAGE_META_SCHEMA)
 
 
@@ -288,22 +289,32 @@ def hash_embed(text: F.Column, dim: int = 16, mode: str = "xxhash64") -> F.Colum
     encoder-agnostic. Pure Catalyst HOFs: per-token work only, no UDF.
     ``mode='portable'`` uses the md5-prefix hash so the DuckDB oracle can
     recompute it token-for-token (list order fixed ⇒ identical float
-    accumulation in both engines)."""
+    accumulation in both engines).
+
+    The token split is LET-BOUND via the array/transform/element_at idiom
+    (CLAUDE.md HOF pitfall): Catalyst does no CSE across lambda bodies, so
+    referencing the split expression from each of the dim means + sizes
+    would re-run lower+split+filter 2×dim times per row."""
     from .dedup import portable_hash64
 
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    toks_expr = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
 
-    def dim_mean(j: int) -> F.Column:
-        if mode == "portable":
-            h = lambda t: portable_hash64(t, seed=j)  # noqa: E731
-        else:
-            h = lambda t: F.pmod(F.xxhash64(t, F.lit(j)), F.lit(1000))  # noqa: E731
-        vals = F.transform(toks, lambda t: (h(t) % 1000).cast("double") / F.lit(1000.0))
-        return F.aggregate(vals, F.lit(0.0), lambda acc, v: acc + v) / F.greatest(
-            F.size(toks), F.lit(1)
-        ).cast("double")
+    def embed_from(toks: F.Column) -> F.Column:
+        def dim_mean(j: int) -> F.Column:
+            if mode == "portable":
+                h = lambda t: portable_hash64(t, seed=j)  # noqa: E731
+            else:
+                h = lambda t: F.pmod(F.xxhash64(t, F.lit(j)), F.lit(1000))  # noqa: E731
+            vals = F.transform(
+                toks, lambda t: (h(t) % 1000).cast("double") / F.lit(1000.0)
+            )
+            return F.aggregate(vals, F.lit(0.0), lambda acc, v: acc + v) / F.greatest(
+                F.size(toks), F.lit(1)
+            ).cast("double")
 
-    return F.array(*[dim_mean(j) for j in range(dim)])
+        return F.array(*[dim_mean(j) for j in range(dim)])
+
+    return F.element_at(F.transform(F.array(toks_expr), embed_from), 1)
 
 
 def alignment_gate(
@@ -312,6 +323,7 @@ def alignment_gate(
     emb_b_col: str,
     threshold: float,
     out_col: str = "alignment",
+    keep_col: str = "keep",
 ) -> DataFrame:
     """Cosine alignment between two embedding columns + keep flag — the
     CLIP-score image↔caption curation gate (LAION/DataComp: keep a pair iff
@@ -322,11 +334,17 @@ def alignment_gate(
     scan and prunes before any downstream shuffle."""
     from .similarity import cosine_similarity
 
+    for c in (out_col, keep_col):
+        if c in df.columns:
+            # another gate's verdict (e.g. filter_images' 'keep') must not
+            # be silently clobbered — make the composition conflict loud
+            raise ValueError(f"column {c!r} already exists; pass out_col/keep_col")
+
     # + 0.0 canonicalizes IEEE -0.0 (round(-0.0004, 3) is negative zero,
     # which engines print differently) to +0.0
     cos = F.round(cosine_similarity(F.col(emb_a_col), F.col(emb_b_col)), 3) + F.lit(0.0)
     return df.withColumns(
-        {out_col: cos, "keep": cos >= F.lit(float(threshold))}
+        {out_col: cos, keep_col: cos >= F.lit(float(threshold))}
     )
 
 

@@ -151,6 +151,8 @@ def sample_frames(
             for vid, blob in zip(pdf[id_col], pdf[bytes_col]):
                 vid = int(vid)
                 try:
+                    if blob is None:
+                        raise ValueError("null payload")
                     frames, fps, cs = decode_y4m(bytes(blob))
                 except ValueError:
                     rows.append((vid, False) + (None,) * 9)

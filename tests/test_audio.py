@@ -99,18 +99,28 @@ def test_spark_pipeline_with_corrupt_rows(spark):
     # corrupt two payloads: truncate one, garbage the other
     from pyspark.sql import functions as F
 
+    # zero out the sample-rate field of clip 9 (single corrupted byte range)
+    blob9 = bytes(
+        {r.audio_id: r.bytes for r in table.filter(F.col("audio_id") == 9).collect()}[9]
+    )
+    i = blob9.index(b"fmt ") + 8 + 4
+    sr_zeroed = blob9[:i] + b"\x00\x00\x00\x00" + blob9[i + 4 :]
     corrupted = table.withColumn(
         "bytes",
         F.when(F.col("audio_id") == 3, F.substring("bytes", 1, 20).cast("binary"))
         .when(F.col("audio_id") == 7, F.lit(b"not a wav at all"))
+        .when(F.col("audio_id") == 9, F.lit(sr_zeroed))
+        .when(F.col("audio_id") == 11, F.lit(None).cast("binary"))
         .otherwise(F.col("bytes")),
     )
     feats = {r.audio_id: r for r in audio.audio_features(corrupted).collect()}
     assert len(feats) == 40
     assert not feats[3].decode_ok and feats[3].rms is None
     assert not feats[7].decode_ok and feats[7].duration_s is None
+    assert not feats[9].decode_ok  # zero sample rate must not kill the task
+    assert not feats[11].decode_ok  # null payload must not kill the task
     good = [r for r in feats.values() if r.decode_ok]
-    assert len(good) == 38
+    assert len(good) == 36
     for r in good:
         n, sr, half, amp, ch = audio.synth_params(r.audio_id)
         assert (r.n_channels, r.sample_rate, r.n_samples) == (ch, sr, n)

@@ -60,13 +60,36 @@ def test_ngram_jaccard_exact_verification(docs):
 def test_png_text_chunks_roundtrip():
     px = imagecodec.pixels_for(3, 8, 8)
     blob = imagecodec.encode_png(px, {"Comment": "hello there", "Author": "x y"})
-    assert imagecodec.png_text_chunks(blob) == {"Comment": "hello there", "Author": "x y"}
+    # encoder sorts by keyword; decoder preserves chunk order
+    assert imagecodec.png_text_chunks(blob) == [
+        ("Author", "x y"), ("Comment", "hello there"),
+    ]
     np.testing.assert_array_equal(imagecodec.decode_png(blob), px)
-    assert imagecodec.png_text_chunks(imagecodec.encode_png(px)) == {}
+    assert imagecodec.png_text_chunks(imagecodec.encode_png(px)) == []
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         imagecodec.png_text_chunks(b"not a png")
+
+
+def test_png_duplicate_keyword_chunks_all_kept():
+    """PNG 1.2 permits repeated tEXt keywords — every value must survive
+    (a dict would keep only the last and miss planted secrets)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    px = imagecodec.pixels_for(3, 4, 4)
+    blob = imagecodec.encode_png(px, {"Comment": "second"})
+    payload = b"Comment\x00first '13012345678'"
+    extra = (
+        _struct.pack(">I", len(payload)) + b"tEXt" + payload
+        + _struct.pack(">I", _zlib.crc32(b"tEXt" + payload) & 0xFFFFFFFF)
+    )
+    idat_at = blob.index(b"tEXt")  # splice BEFORE the existing chunk
+    spliced = blob[:idat_at - 4] + extra + blob[idat_at - 4:]
+    assert imagecodec.png_text_chunks(spliced) == [
+        ("Comment", "first '13012345678'"), ("Comment", "second"),
+    ]
 
 
 def test_secrets_from_image_metadata(spark):
@@ -83,10 +106,18 @@ def test_secrets_from_image_metadata(spark):
         ("img_1", imagecodec.encode_png(px), "png"),
         ("img_2", b"\x89PNG garbage", "png"),
         ("img_3", imagecodec.encode_fake_jpeg(px), "jpeg"),
+        ("img_4", None, "png"),
     ]
     df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
     meta = multimodal.image_text_metadata(df).collect()
     assert {(r.image_id, r.key) for r in meta} == {("img_0", "Comment"), ("img_0", "Software")}
+    # non-default column names must work (regression: closure read id_col
+    # from the already-aliased batch)
+    renamed = df.withColumnRenamed("image_id", "iid").withColumnRenamed("bytes", "payload")
+    meta2 = multimodal.image_text_metadata(
+        renamed, id_col="iid", bytes_col="payload"
+    ).collect()
+    assert {(r.image_id, r.key) for r in meta2} == {("img_0", "Comment"), ("img_0", "Software")}
     got = {(r.image_id, r.rule_name, r.match)
            for r in multimodal.secrets_from_image_metadata(df).collect()}
     assert ("img_0", "Phone", "13012345678") in got
@@ -136,6 +167,13 @@ def test_alignment_gate_matches_numpy(spark):
         cos = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 3)
         assert abs(out[i][0] - cos) < 1e-9
         assert out[i][1] == (cos >= 0.1)
+    # a prior gate's verdict must not be silently clobbered
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        multimodal.alignment_gate(
+            df.withColumn("keep", F.lit(True)), "ea", "eb", 0.1
+        )
 
 
 def test_source_reputation_hand_computed(spark):

@@ -73,16 +73,19 @@ def test_spark_sample_frames(spark):
     table = video.synth_video_table(ids)
     corrupted = table.withColumn(
         "bytes",
-        F.when(F.col("video_id") == 5, F.lit(b"junk")).otherwise(F.col("bytes")),
+        F.when(F.col("video_id") == 5, F.lit(b"junk"))
+        .when(F.col("video_id") == 9, F.lit(None).cast("binary"))
+        .otherwise(F.col("bytes")),
     )
     out = video.sample_frames(corrupted, every_n=2).collect()
-    bad = [r for r in out if not r.decode_ok]
-    assert len(bad) == 1 and bad[0].video_id == 5 and bad[0].mean_y is None
+    bad = {r.video_id for r in out if not r.decode_ok}
+    assert bad == {5, 9}
+    assert all(r.mean_y is None for r in out if not r.decode_ok)
     by_vid: dict[int, list] = {}
     for r in out:
         if r.decode_ok:
             by_vid.setdefault(r.video_id, []).append(r)
-    assert set(by_vid) == set(range(24)) - {5}
+    assert set(by_vid) == set(range(24)) - {5, 9}
     for vid, rows in by_vid.items():
         n, w, h, fps = video.synth_params(vid)
         assert sorted(r.frame_idx for r in rows) == list(range(0, n, 2))
