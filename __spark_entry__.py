@@ -754,6 +754,18 @@ def q_ivf_ann_full(spark, sf_dir):
     ).select("vec_id", F.round(F.col("cosine"), 3).alias("cosine_r3"))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (similarity.semantic_dedup): embedding-cluster semantic
+    dedup — within-cell cosine pairs → connected components → one
+    canonical doc per cluster. n_centroids=1 makes the answer exact (the
+    all-pairs graph), which the recursive-CTE oracle recomputes; the
+    k-cell partitioned path is pytest-checked against planted dups."""
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.4, n_centroids=1).orderBy(
+        "vec_id"
+    )
+
+
 def q_politeness_schedule(spark, sf_dir):
     """C1/C2 per-host politeness schedule (rate_limiter.py:55-80 re-expressed
     as data): slot = rank-within-host / max_concurrent, virtual_start =
@@ -1388,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_dedup_groups": q_dedup_groups,
         "q_embedding_neardup": q_embedding_neardup,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_phash_neardup": q_phash_neardup,
         "q_ivf_ann": q_ivf_ann,
         "q_ivf_ann_full": q_ivf_ann_full,
@@ -1925,6 +1938,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.v, b.v) >= 0.4
             ORDER BY vec_a, vec_b
+        """,
+        # same recursive-CTE CC shape as q_dedup_groups, over the exact
+        # cosine pair graph (threshold compare on the unrounded cosine —
+        # the q_embedding_neardup precedent)
+        "q_semantic_dedup": """
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+              FROM e a, e b
+              WHERE a.vec_id < b.vec_id
+                AND list_cosine_similarity(a.v, b.v) >= 0.4),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM pairs),
+            reach AS (
+              SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e2.u, r.v FROM edges e2 JOIN reach r ON r.u = e2.v),
+            comp AS (SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u)
+            SELECT e.vec_id,
+                   coalesce(c.component_id, e.vec_id) AS cluster,
+                   coalesce(c.component_id, e.vec_id) = e.vec_id AS keep
+            FROM e LEFT JOIN comp c ON c.doc_id = e.vec_id
+            ORDER BY e.vec_id
         """,
         "q_politeness_schedule": """
             WITH f AS (

@@ -195,3 +195,50 @@ def rp_lsh_topk(
             probes += [qsig ^ (1 << i) for i in range(n)]
         cand = bucketed.filter(F.col("bucket").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def semantic_dedup(
+    df: DataFrame, threshold: float = 0.95, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-level
+    semantic dedup — k-means-partition the corpus, emit cosine-≥threshold
+    pairs WITHIN each cell, connected-components the pair graph, keep one
+    document per semantic cluster. Returns ``(vec_id, cluster, keep)``
+    where ``cluster`` is the minimum reachable id (singletons label
+    themselves) and ``keep`` marks the canonical copy.
+
+    Scale shape: the pair join is within-cell only — shuffle keyed on
+    ``centroid_id``, cost O(Σ cell²) instead of O(n²); centroids are a
+    k-sized driver list (ivf_centroids). Cross-cell near-dups are missed
+    by design — the SemDeDup recall tradeoff, bounded by k. With
+    ``n_centroids=1`` the operator degrades to the exact all-pairs answer,
+    which is what the DuckDB oracle gate checks (q_semantic_dedup); the
+    partitioned path is pytest-checked against planted duplicates."""
+    from .dedup import connected_components
+
+    cents = ivf_centroids(df, n_centroids, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col).select(
+        id_col, vec_col, "centroid_id"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(cos >= F.lit(float(threshold)))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+    )
+    cc = connected_components(pairs)
+    return (
+        df.select(id_col)
+        .join(cc, F.col(id_col) == F.col("doc_id"), "left")
+        .select(
+            id_col,
+            F.coalesce("component_id", F.col(id_col)).alias("cluster"),
+        )
+        .withColumn("keep", F.col("cluster") == F.col(id_col))
+    )

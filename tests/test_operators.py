@@ -57,6 +57,70 @@ def test_ngram_jaccard_exact_verification(docs):
     assert abs(est[(0, 2)] - exact[(0, 2)]) < 0.25
 
 
+def _sd_expected(vecs: dict[int, np.ndarray], threshold: float) -> dict[int, int]:
+    """Independent union-find over the exact cosine graph."""
+    parent = {i: i for i in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(vecs)
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            a, b = vecs[i], vecs[j]
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            if cos >= threshold:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in ids}
+
+
+def test_semantic_dedup_one_cell_matches_exact(spark):
+    """n_centroids=1 ⇒ the exact all-pairs answer (what the oracle entry
+    gates); compare clusters and keep flags against independent numpy
+    union-find."""
+    rng = np.random.default_rng(5)
+    base = {k: rng.normal(size=8) for k in range(4)}
+    vecs: dict[int, np.ndarray] = {}
+    for i in range(16):
+        v = base[i % 4] + rng.normal(scale=0.02 if i < 12 else 3.0, size=8)
+        vecs[i] = v
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: (r.cluster, r.keep)
+           for r in similarity.semantic_dedup(df, 0.95, n_centroids=1).collect()}
+    expect = _sd_expected(vecs, 0.95)
+    assert {i: c for i, (c, _) in got.items()} == expect
+    assert all(k == (c == i) for i, (c, k) in got.items())
+    assert len({c for c, _ in got.values()}) < 16  # clusters actually formed
+
+
+def test_semantic_dedup_partitioned_finds_planted_dups(spark):
+    """k>1: identical vectors always share a cell, so planted exact
+    duplicates must cluster; every vec appears exactly once."""
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(20):
+        v = rng.normal(size=6)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, rows[3][1]))  # exact dup of 3
+    rows.append((101, rows[7][1]))  # exact dup of 7
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.cluster, r.keep)
+           for r in similarity.semantic_dedup(df, 0.9999, n_centroids=4).collect()}
+    assert len(out) == 22
+    assert out[100] == (3, False) and out[3] == (3, True)
+    assert out[101] == (7, False) and out[7] == (7, True)
+
+
 def test_png_text_chunks_roundtrip():
     px = imagecodec.pixels_for(3, 8, 8)
     blob = imagecodec.encode_png(px, {"Comment": "hello there", "Author": "x y"})
