@@ -1083,6 +1083,30 @@ def q_tfidf(spark, sf_dir):
     )
 
 
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 ranked search (retrieval.bm25_search): the inverted-index
+    probe-query operator behind decontamination audits and retrieval-based
+    data selection (DSIR-style). Probe queries derive deterministically
+    from every 97th document (its first 4 whitespace tokens). Determinism
+    contract shared with the oracle: idf rounded to 6dp, per-term
+    contributions fixed-point BIGINTs summed exactly, doc_id tiebreak — so
+    both engines produce the identical ranking regardless of partition
+    layout or summation order. Plan: two corpus hash-aggs + a BROADCAST
+    probe join (the corpus-sized postings never shuffle) + one per-query
+    ranking window."""
+    from secretscraper_spark.operators.retrieval import bm25_search
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[ \t\n\r\f]+"), lambda x: x != ""
+    )
+    queries = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("qtext"),
+    )
+    return bm25_search(docs, queries, top_k=5).orderBy("query_id", "rk")
+
+
 def q_image_filter(spark, sf_dir):
     """Image+caption curation gate (multimodal.filter_images): the LAION/
     DataComp-style pre-training filter — resolution, aspect-ratio,
@@ -1419,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_normalize": q_text_normalize,
         "q_vocab": q_vocab,
         "q_tfidf": q_tfidf,
+        "q_bm25": q_bm25,
         "q_image_filter": q_image_filter,
         "q_dup_spans": q_dup_spans,
         "q_pagerank": q_pagerank,
@@ -2226,6 +2251,69 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT doc_id, term, tf, score, CAST(rk AS INTEGER) AS rk
             FROM r WHERE rk <= 2 ORDER BY doc_id, rk
+        """,
+        # BM25: float literals are CAST(... AS DOUBLE) (DuckDB decimal-point
+        # literals are DECIMAL, not DOUBLE) and the expression tree mirrors
+        # the Spark side operand-for-operand; idf is rounded to 6dp before
+        # use and contributions are fixed-point BIGINTs, so IEEE ops give
+        # bit-identical scores in both engines.
+        "q_bm25": r"""
+            WITH docarr AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[ \t\n\r\f]+'),
+                                 x -> x <> '') AS arr
+              FROM documents),
+            lens AS (SELECT doc_id, len(arr) AS dl FROM docarr),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM lens),
+            w AS (SELECT doc_id, unnest(arr) AS term FROM docarr),
+            postings AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM w GROUP BY doc_id, term),
+            dfreq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM postings GROUP BY term),
+            q AS (
+              SELECT doc_id AS query_id,
+                     unnest(list_distinct(list_slice(arr, 1, 4))) AS term
+              FROM docarr WHERE doc_id % 97 = 0),
+            probe AS (
+              SELECT q.query_id, q.term,
+                     round(ln(CAST(1.0 AS DOUBLE)
+                              + (CAST(stats.n AS DOUBLE) - df
+                                 + CAST(0.5 AS DOUBLE))
+                                / (df + CAST(0.5 AS DOUBLE))), 6) AS idf,
+                     stats.avgdl AS avgdl
+              FROM q JOIN dfreq USING (term), stats),
+            matched AS (
+              SELECT probe.query_id, p.doc_id,
+                     CAST(round(idf
+                          * ((CAST(tf AS DOUBLE)
+                              * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                             / (CAST(tf AS DOUBLE)
+                                + CAST(1.2 AS DOUBLE)
+                                  * (CAST(1.0 AS DOUBLE)
+                                     - CAST(0.75 AS DOUBLE)
+                                     + CAST(0.75 AS DOUBLE)
+                                       * CAST(dl AS DOUBLE) / avgdl)))
+                          * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS c
+              FROM postings p
+              JOIN probe USING (term)
+              JOIN lens USING (doc_id)),
+            scored AS (
+              SELECT query_id, doc_id, sum(c) AS c
+              FROM matched GROUP BY query_id, doc_id),
+            r AS (
+              SELECT query_id, doc_id,
+                     CAST(c AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY c DESC, doc_id) AS rk
+              FROM scored)
+            SELECT query_id, doc_id, score, CAST(rk AS INTEGER) AS rk
+            FROM r WHERE rk <= 5 ORDER BY query_id, rk
         """,
         "q_image_filter": f"""
             WITH img AS (

@@ -1434,3 +1434,92 @@ def test_canonical_by_quality(spark):
     assert got[100] == (2, 3)  # score tie 2 vs 3 -> smallest id
     assert got[200] == (4, 2)  # tie at 0.1 -> smallest id
     assert got[300] == (9, 1)  # singleton cluster
+
+
+def test_bm25_search_matches_python(spark):
+    """BM25 top-k vs an independent python implementation with the same
+    rounding contract (idf→6dp, fixed-point contribution sum)."""
+    import math
+    from collections import Counter
+
+    from secretscraper_spark.operators.retrieval import bm25_search
+
+    rows = [
+        (0, "spark shuffle join broadcast join"),
+        (1, "shuffle shuffle window state"),
+        (2, "broadcast hash join probe side"),
+        (3, "window window window function"),
+        (4, "arrow batch python worker"),
+    ]
+    qrows = [(100, "broadcast join"), (101, "window shuffle"), (102, "zebra")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame(qrows, "query_id long, qtext string")
+
+    got = [
+        (r.query_id, r.doc_id, r.score, r.rk)
+        for r in bm25_search(docs, queries, top_k=3)
+        .orderBy("query_id", "rk")
+        .collect()
+    ]
+
+    k1, b = 1.2, 0.75
+    toks = {i: t.lower().split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(ws) for ws in toks.values()) / n
+    dfreq = Counter()
+    for ws in toks.values():
+        dfreq.update(set(ws))
+    want = []
+    for qid, qt in qrows:
+        per_doc = {}
+        for i, ws in toks.items():
+            tf = Counter(ws)
+            c = 0
+            for term in set(qt.lower().split()):
+                if term not in tf:
+                    continue
+                idf = round(
+                    math.log(1 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5)), 6
+                )
+                tfnorm = (tf[term] * (k1 + 1)) / (
+                    tf[term] + k1 * (1 - b + b * len(ws) / avgdl)
+                )
+                c += int(round(idf * tfnorm * 1_000_000, 0))
+            if c:
+                per_doc[i] = c
+        ranked = sorted(per_doc.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rk, (i, c) in enumerate(ranked, 1):
+            want.append((qid, i, c / 1_000_000, rk))
+    assert got == want
+    assert not any(g[0] == 102 for g in got)  # no-match query yields no rows
+
+
+def test_bm25_search_deterministic_and_capped(spark):
+    """Rankings are partition-layout independent; max_df drops stopword-
+    grade terms from scoring entirely."""
+    from secretscraper_spark.operators.retrieval import bm25_search
+
+    rows = [(i, f"common term{i % 7} term{i % 3} tail{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "common term2"), (1, "tail5 common")], "query_id long, qtext string"
+    )
+    base = [
+        tuple(r)
+        for r in bm25_search(docs, queries, top_k=5)
+        .orderBy("query_id", "rk")
+        .collect()
+    ]
+    shuffled = [
+        tuple(r)
+        for r in bm25_search(docs.repartition(7), queries.repartition(3), top_k=5)
+        .orderBy("query_id", "rk")
+        .collect()
+    ]
+    assert base == shuffled
+
+    # 'common' appears in every doc; with max_df=20 it stops contributing,
+    # so the 'tail5 common' query matches exactly one doc (tail5).
+    capped = bm25_search(docs, queries, top_k=5, max_df=20)
+    got = [(r.query_id, r.doc_id) for r in capped.filter("query_id = 1").collect()]
+    assert got == [(1, 5)]
