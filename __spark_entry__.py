@@ -754,6 +754,61 @@ def q_ivf_ann_full(spark, sf_dir):
     ).select("vec_id", F.round(F.col("cosine"), 3).alias("cosine_r3"))
 
 
+def q_quantize_codes(spark, sf_dir):
+    """SQ8 scalar quantization of the embedding column (operators/
+    quantize.py): per-dimension min/max train pass, int8 codes + fixed-
+    point reconstruction error, exploded to one row per (vector,
+    dimension) so every code and every error is value-gated. Codes are
+    clamped integer arithmetic and the error expression has no data-
+    ordered float reduction, so both engines agree bit-for-bit. Plan:
+    one posexplode hash-agg (dim-sized) + one map-only projection."""
+    from secretscraper_spark.operators import quantize as qz
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mins, maxs = qz.dim_stats(emb)
+    codes = qz.quantize_expr(F.col("embedding"), mins, maxs)
+    deq = qz.dequantize_expr(codes, mins, maxs)
+    errs = F.zip_with(
+        F.col("embedding"),
+        deq,
+        lambda x, xr: F.round((x.cast("double") - xr) * F.lit(1000000.0), 0).cast(
+            "long"
+        ),
+    )
+    base = emb.select("vec_id", codes.alias("codes"), errs.alias("errs"))
+    return (
+        base.select(
+            "vec_id",
+            F.posexplode(F.arrays_zip("codes", "errs")).alias("pos", "z"),
+        )
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("z.codes").alias("code"),
+            F.col("z.errs").alias("err_fp"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+def q_quantized_ann_full(spark, sf_dir):
+    """Asymmetric quantized ANN (quantize.quantized_cosine_topk) with
+    refine covering the whole corpus: the exact re-rank then provably
+    returns the brute-force top-10, so the brute-force SQL oracle
+    value-checks the quantize → dequantize → approx-scan → re-rank
+    machinery end to end (a vector lost to a bad code fails the gate).
+    The narrow-refine setting is pytest-checked (top-hit survival)."""
+    from secretscraper_spark.operators import quantize as qz
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    mins, maxs = qz.dim_stats(emb)
+    n = emb.count()
+    return qz.quantized_cosine_topk(
+        emb, [float(x) for x in qvec], mins, maxs, k=10, refine=(n // 10) + 1
+    ).select("vec_id", F.round(F.col("cosine"), 3).alias("cosine_r3"))
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (similarity.semantic_dedup): embedding-cluster semantic
     dedup — within-cell cosine pairs → connected components → one
@@ -1412,6 +1467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_portable": q_simhash_portable,
         "q_lsh_ann": q_lsh_ann,
         "q_lsh_ann_full": q_lsh_ann_full,
+        "q_quantize_codes": q_quantize_codes,
+        "q_quantized_ann_full": q_quantized_ann_full,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_split_assign": q_split_assign,
         "q_stratified_sample": q_stratified_sample,
@@ -2036,6 +2093,36 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive-probe ANN ≡ brute force by construction: same oracle
         # as q_embedding_knn (see q_lsh_ann_full/q_ivf_ann_full docstrings)
         "q_lsh_ann_full": _KNN_ORACLE,
+        # full-refine asymmetric quantized ANN provably equals brute force
+        "q_quantized_ann_full": _KNN_ORACLE,
+        # SQ8 codes + fixed-point reconstruction error, one row per
+        # (vector, dimension); float literals CAST AS DOUBLE, expression
+        # tree mirrors quantize.py operand-for-operand.
+        "q_quantize_codes": r"""
+            WITH e AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings),
+            stats AS (
+              SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY pos),
+            j AS (
+              SELECT vec_id, pos, x, mn,
+                     CASE WHEN mx > mn
+                          THEN (mx - mn) / CAST(255 AS DOUBLE)
+                          ELSE CAST(1.0 AS DOUBLE) END AS st
+              FROM e JOIN stats USING (pos)),
+            c AS (
+              SELECT vec_id, pos, x, mn, st,
+                     least(greatest(CAST(round((x - mn) / st, 0) AS INTEGER),
+                                    0), 255) AS code
+              FROM j)
+            SELECT vec_id, pos, code,
+                   CAST(round((x - (mn + code * st))
+                              * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT)
+                     AS err_fp
+            FROM c ORDER BY vec_id, pos
+        """,
         "q_ivf_ann_full": _KNN_ORACLE,
         "q_simhash_portable": _simhash_portable_oracle(),
         # image-payload near-dup (phash hamming): the embedding sign sketch

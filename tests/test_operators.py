@@ -1523,3 +1523,81 @@ def test_bm25_search_deterministic_and_capped(spark):
     capped = bm25_search(docs, queries, top_k=5, max_df=20)
     got = [(r.query_id, r.doc_id) for r in capped.filter("query_id = 1").collect()]
     assert got == [(1, 5)]
+
+
+def test_quantize_matches_numpy(spark):
+    """SQ8 codes and reconstruction error vs an independent numpy
+    implementation; codes are partition-layout independent."""
+    import numpy as np
+
+    from secretscraper_spark.operators import quantize as qz
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 6)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    mins, maxs = qz.dim_stats(df)
+    assert mins == [float(x) for x in vecs.min(axis=0)]
+    assert maxs == [float(x) for x in vecs.max(axis=0)]
+
+    got = {
+        r.vec_id: r.codes
+        for r in qz.quantize_embeddings(df, mins, maxs).collect()
+    }
+    steps = [(mx - mn) / 255 if mx > mn else 1.0 for mn, mx in zip(mins, maxs)]
+    for i, v in enumerate(vecs):
+        want = [
+            min(max(int(np.round((float(x) - mn) / st)), 0), 255)
+            for x, mn, st in zip(v, mins, steps)
+        ]
+        assert got[i] == want, i
+
+    # reconstruction error bounded by half a quantization step per dim
+    deq = df.select(
+        "vec_id",
+        qz.dequantize_expr(
+            qz.quantize_expr(F.col("embedding"), mins, maxs), mins, maxs
+        ).alias("deq"),
+    )
+    for r in deq.collect():
+        for x, xr, st in zip(vecs[r.vec_id], r.deq, steps):
+            assert abs(float(x) - xr) <= st / 2 + 1e-9
+
+    shuffled = {
+        r.vec_id: r.codes
+        for r in qz.quantize_embeddings(df.repartition(5), mins, maxs).collect()
+    }
+    assert shuffled == got
+
+
+def test_quantized_ann_full_refine_equals_bruteforce(spark):
+    """With refine covering the whole corpus the asymmetric path re-ranks
+    every row exactly — equal to brute-force cosine_topk, scores included.
+    With a small refine, the top hit on well-separated data survives."""
+    import numpy as np
+
+    from secretscraper_spark.operators import quantize as qz
+    from secretscraper_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [float(x) for x in vecs[3]]
+    mins, maxs = qz.dim_stats(df)
+
+    full = [
+        (r.vec_id, r.cosine)
+        for r in qz.quantized_cosine_topk(
+            df, qv, mins, maxs, k=5, refine=12
+        ).collect()
+    ]
+    brute = [(r.vec_id, r.cosine) for r in cosine_topk(df, qv, k=5).collect()]
+    assert full == brute
+
+    narrow = qz.quantized_cosine_topk(df, qv, mins, maxs, k=3, refine=2)
+    assert narrow.first().vec_id == 3  # the query vector itself survives
