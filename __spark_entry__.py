@@ -1437,6 +1437,35 @@ def q_canonical_pick(spark, sf_dir):
     return canonical_by_quality(comps, scores).orderBy("component_id")
 
 
+def q_recrawl_schedule(spark, sf_dir):
+    """Freshness-aware recrawl scheduling (plans/recrawl.py): a synthetic
+    fetch history is derived from orders keys — ~997 URLs (k % 997), one
+    fetch per key at ms = k*3600000, fingerprint flipping on the
+    closed-form run pattern floor(k/997) % 5 <= 1 — then `change_stats`
+    (lag window + hash-agg, one URL-keyed partitioning reused by both)
+    estimates per-URL change rates (naive span rate + the Cho &
+    Garcia-Molina bias-corrected estimator) and `recrawl_schedule` turns
+    them into clamped integer due-gaps and overdue priorities. The oracle
+    mirrors the window/agg and the rate formulas operand-for-operand;
+    rates are per-row doubles rounded to 6dp (no data-ordered float
+    reductions), gaps/due-times pure integer — all value-gated."""
+    from secretscraper_spark.plans.recrawl import change_stats, recrawl_schedule
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    hist = o.select(
+        F.concat(F.lit("http://x.example/"), (k % 997).cast("string")).alias(
+            "url_norm"
+        ),
+        (k * 3_600_000).alias("fetched_ms"),
+        F.when(F.floor(k / 997) % 5 <= 1, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("fingerprint"),
+    )
+    stats = change_stats(hist)
+    return recrawl_schedule(stats, now_ms=360_000_000_000).orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1512,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_seqs": q_pack_seqs,
         "q_quality_gate": q_quality_gate,
         "q_canonical_pick": q_canonical_pick,
+        "q_recrawl_schedule": q_recrawl_schedule,
     }
 
 
@@ -2691,6 +2721,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT component_id, doc_id AS canonical_id,
                    CAST(n_docs AS BIGINT) AS n_docs
             FROM r WHERE rn = 1 ORDER BY component_id
+        """,
+        # recrawl schedule: lag-window flips → per-URL agg → CGM rate →
+        # clamped integer gaps; rate formulas mirrored operand-for-operand
+        # (floats are per-row, rounded 6dp; everything else integer)
+        "q_recrawl_schedule": """
+            WITH h AS (
+              SELECT 'http://x.example/'
+                       || CAST(CAST(o_orderkey AS BIGINT) % 997 AS VARCHAR)
+                       AS url,
+                     CAST(o_orderkey AS BIGINT) * 3600000 AS ms,
+                     CASE WHEN CAST(floor(CAST(o_orderkey AS BIGINT) / 997)
+                                    AS BIGINT) % 5 <= 1
+                          THEN 'a' ELSE 'b' END AS fp
+              FROM orders),
+            f AS (
+              SELECT url, ms,
+                     CASE WHEN lag(fp) OVER w IS NOT NULL
+                               AND fp <> lag(fp) OVER w
+                          THEN 1 ELSE 0 END AS flip
+              FROM h WINDOW w AS (PARTITION BY url ORDER BY ms)),
+            a AS (
+              SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+                     CAST(sum(flip) AS BIGINT) AS n_changes,
+                     min(ms) AS first_ms, max(ms) AS last_ms
+              FROM f GROUP BY url),
+            s AS (
+              SELECT *,
+                     CAST(last_ms - first_ms AS DOUBLE) AS span,
+                     CAST(n_fetches - 1 AS DOUBLE) AS nsamp,
+                     CAST(n_changes AS DOUBLE) AS x
+              FROM a),
+            g AS (
+              SELECT *,
+                     least(greatest(
+                       CASE WHEN n_changes > 0
+                            THEN CAST(floor(CAST(last_ms - first_ms AS DOUBLE)
+                                            / CAST(n_changes AS DOUBLE))
+                                      AS BIGINT)
+                            ELSE CAST(2592000000 AS BIGINT) END,
+                       CAST(3600000 AS BIGINT)), CAST(2592000000 AS BIGINT))
+                       AS gap_ms
+              FROM s)
+            SELECT url, n_fetches, n_changes, first_ms, last_ms,
+                   CASE WHEN span > 0
+                        THEN round(x / span * CAST(86400000 AS DOUBLE), 6)
+                        END AS rate_naive,
+                   -- + 0.0 normalizes DuckDB's -ln(1)=-0.0 to +0.0, the
+                   -- value Spark's BigDecimal round already returns
+                   CASE WHEN span > 0 AND nsamp > 0
+                        THEN round(-ln((nsamp - x + CAST(0.5 AS DOUBLE))
+                                       / (nsamp + CAST(0.5 AS DOUBLE)))
+                                   / (span / nsamp
+                                      / CAST(86400000 AS DOUBLE)), 6)
+                             + CAST(0 AS DOUBLE)
+                        END AS rate_cgm,
+                   gap_ms,
+                   last_ms + gap_ms AS next_due_ms,
+                   CAST(360000000000 AS BIGINT) - (last_ms + gap_ms)
+                     AS overdue_ms
+            FROM g ORDER BY url
         """,
         # q_minhash_dedup / q_simhash_dedup / q_lsh_ann / q_ivf_ann /
         # q_image_verify: the production-hash / binary-codec variants stay
