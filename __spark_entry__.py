@@ -1466,6 +1466,35 @@ def q_recrawl_schedule(spark, sf_dir):
     return recrawl_schedule(stats, now_ms=360_000_000_000).orderBy("url")
 
 
+def q_ar_batches(spark, sf_dir):
+    """Aspect-ratio bucketing + training-batch packing
+    (operators/imagebatch.py): synthetic image dims from orders keys
+    (w = 64 + (k%37)*16, h = 64 + (k%23)*16), nearest-log-AR bucket via
+    the precomputed geometric-mean threshold chain (map-only, no per-row
+    ln), then batch_size=32 packing via the two-phase global rank + a
+    buckets-sized broadcast offset dim — no bucket-keyed window.
+    Incomplete trailing batches are dropped (value-gates the keep
+    filter). Output is pure integers; the oracle reuses the SAME Python-
+    rendered thresholds in a CASE chain and a row_number window — two
+    different packing algorithms must agree bit-for-bit."""
+    from secretscraper_spark.operators.imagebatch import (
+        assign_ar_buckets,
+        pack_batches,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    imgs = o.select(
+        k.alias("image_id"),
+        (F.lit(64) + (k % 37) * 16).alias("w"),
+        (F.lit(64) + (k % 23) * 16).alias("h"),
+    )
+    packed = pack_batches(assign_ar_buckets(imgs), batch_size=32)
+    return packed.select(
+        "image_id", "w", "h", "bucket_id", "batch_id", "slot"
+    ).orderBy("image_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1542,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_gate": q_quality_gate,
         "q_canonical_pick": q_canonical_pick,
         "q_recrawl_schedule": q_recrawl_schedule,
+        "q_ar_batches": q_ar_batches,
     }
 
 
@@ -1564,6 +1594,45 @@ _KNN_ORACLE = """
     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
     LIMIT 10
 """
+
+
+def _ar_batches_oracle() -> str:
+    """DuckDB side of q_ar_batches: thresholds rendered from the same
+    `bucket_thresholds` the Spark when-chain compiles from (repr round-
+    trips the double; CAST from string parses to the identical bits)."""
+    from secretscraper_spark.operators.imagebatch import (
+        DEFAULT_BUCKETS,
+        bucket_thresholds,
+    )
+
+    ths = bucket_thresholds(DEFAULT_BUCKETS)
+    whens = "\n                     ".join(
+        f"WHEN CAST(w AS DOUBLE) / CAST(h AS DOUBLE)"
+        f" < CAST('{t!r}' AS DOUBLE) THEN {bid}"
+        for t, bid in ths[:-1]
+    )
+    return f"""
+        WITH img AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS image_id,
+                 64 + (CAST(o_orderkey AS BIGINT) % 37) * 16 AS w,
+                 64 + (CAST(o_orderkey AS BIGINT) % 23) * 16 AS h
+          FROM orders),
+        b AS (
+          SELECT *,
+                 CASE {whens}
+                      ELSE {ths[-1][1]} END AS bucket_id
+          FROM img),
+        r AS (
+          SELECT *,
+                 CAST(row_number() OVER (PARTITION BY bucket_id
+                                         ORDER BY image_id) - 1
+                      AS BIGINT) AS loc,
+                 count(*) OVER (PARTITION BY bucket_id) AS n
+          FROM b)
+        SELECT image_id, w, h, bucket_id,
+               loc // 32 AS batch_id, loc % 32 AS slot
+        FROM r WHERE loc < n - n % 32 ORDER BY image_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2782,6 +2851,12 @@ def oracle_sql() -> dict[str, str]:
                      AS overdue_ms
             FROM g ORDER BY url
         """,
+        # AR bucketing + batch packing: the CASE chain reuses the SAME
+        # Python-rendered geometric-mean thresholds the Spark side
+        # compiles into its when-chain; packing is a row_number window vs
+        # Spark's two-phase rank — different algorithms, identical
+        # integer output
+        "q_ar_batches": _ar_batches_oracle(),
         # q_minhash_dedup / q_simhash_dedup / q_lsh_ann / q_ivf_ann /
         # q_image_verify: the production-hash / binary-codec variants stay
         # rows-only here (xxhash64 / FNV-1a / image decode have no DuckDB
