@@ -1495,6 +1495,34 @@ def q_ar_batches(spark, sf_dir):
     ).orderBy("image_id")
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.py): target = docs with
+    doc_id % 7 == 0, raw = all documents; hashed unigram+bigram features
+    (portable hash, 10k buckets), add-1-smoothed log-ratio dim in integer
+    micro-units, per-doc BIGINT weight sum (order-independent — the BM25
+    fixed-point idiom), hash-derived Gumbel noise, top-200 without
+    replacement via TakeOrderedAndProject. The oracle rebuilds the entire
+    chain (grams → buckets → smoothed ln ratio → micro rounding → Gumbel)
+    operand-for-operand; output is pure BIGINT."""
+    from secretscraper_spark.operators.dsir import (
+        dsir_select,
+        fit_log_ratio,
+        importance_weights,
+    )
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    dim = fit_log_ratio(
+        target, docs, n_buckets=10_000, mode="portable", seed=11
+    )
+    w = importance_weights(
+        docs, dim, n_buckets=10_000, mode="portable", seed=11
+    )
+    return dsir_select(w, k=200, seed=7, mode="portable").select(
+        "doc_id", "logw_micro", "score_micro"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1572,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_canonical_pick": q_canonical_pick,
         "q_recrawl_schedule": q_recrawl_schedule,
         "q_ar_batches": q_ar_batches,
+        "q_dsir_select": q_dsir_select,
     }
 
 
@@ -1594,6 +1623,65 @@ _KNN_ORACLE = """
     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
     LIMIT 10
 """
+
+
+def _dsir_oracle() -> str:
+    """DuckDB side of q_dsir_select: the full DSIR chain — grams, hashed
+    buckets, smoothed ln-ratio micro dim, per-doc BIGINT sum, hashed
+    Gumbel top-k — mirrored operand-for-operand (floats only inside
+    per-bucket / per-doc scalar exprs, rounded to integer micro-units
+    before any aggregation)."""
+    hb = _h_sql("gram || chr(1) || '11'")
+    hn = _h_sql("CAST(doc_id AS VARCHAR) || chr(1) || '7'")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text),
+                                                '[ \\t\\n\\r\\f]+'),
+                             t -> t <> '') AS ts
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_concat(
+                   ts,
+                   list_transform(range(1, len(ts)),
+                                  i -> ts[i] || ' ' || ts[i + 1]))) AS gram
+          FROM toks),
+        gb AS (
+          SELECT doc_id, {hb} % 10000 AS bucket FROM grams),
+        tc AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_t
+          FROM gb WHERE doc_id % 7 = 0 GROUP BY bucket),
+        rc AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_r
+          FROM gb GROUP BY bucket),
+        tt AS (SELECT sum(cnt_t) AS tot_t FROM tc),
+        rt AS (SELECT sum(cnt_r) AS tot_r FROM rc),
+        dim AS (
+          SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+                 CAST(round(
+                   (ln((coalesce(cnt_t, 0) + CAST(1 AS DOUBLE))
+                       / (tot_t + CAST(10000 AS DOUBLE)))
+                    - ln((coalesce(cnt_r, 0) + CAST(1 AS DOUBLE))
+                         / (tot_r + CAST(10000 AS DOUBLE))))
+                   * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS ratio_micro
+          FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket, tt, rt),
+        w AS (
+          SELECT gb.doc_id,
+                 CAST(sum(coalesce(dim.ratio_micro, 0)) AS BIGINT)
+                   AS logw_micro
+          FROM gb LEFT JOIN dim USING (bucket)
+          GROUP BY gb.doc_id),
+        g AS (
+          SELECT doc_id, logw_micro,
+                 logw_micro + CAST(round(
+                   -ln(-ln(({hn} % 1048576 + CAST(0.5 AS DOUBLE))
+                           / CAST(1048576 AS DOUBLE)))
+                   * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS score_micro
+          FROM w)
+        SELECT doc_id, logw_micro, score_micro
+        FROM g ORDER BY score_micro DESC, doc_id LIMIT 200
+    """
 
 
 def _ar_batches_oracle() -> str:
@@ -2851,6 +2939,9 @@ def oracle_sql() -> dict[str, str]:
                      AS overdue_ms
             FROM g ORDER BY url
         """,
+        # DSIR: full chain mirrored (grams -> hashed buckets -> smoothed
+        # ln-ratio micro dim -> BIGINT doc sums -> hashed Gumbel top-k)
+        "q_dsir_select": _dsir_oracle(),
         # AR bucketing + batch packing: the CASE chain reuses the SAME
         # Python-rendered geometric-mean thresholds the Spark side
         # compiles into its when-chain; packing is a row_number window vs
