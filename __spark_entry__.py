@@ -1523,6 +1523,37 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def q_hard_negatives(spark, sf_dir):
+    """BM25 hard-negative mining (retrieval.hard_negatives): the DPR-style
+    negatives source for embedding training. Same probe queries as q_bm25
+    (every 97th doc's first 4 tokens); positives = the query's own source
+    doc and its successor id (closed form); skip_top=1 skips the best
+    negative (false-negative guard). One BM25 pass with the window
+    widened by skip+max-positives, broadcast anti-join, probe-sized
+    re-rank. Oracle = the q_bm25 CTE chain + NOT EXISTS + renumber —
+    fixed-point scores keep both engines bit-identical."""
+    from secretscraper_spark.operators.retrieval import hard_negatives
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[ \t\n\r\f]+"), lambda x: x != ""
+    )
+    queries_df = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("qtext"),
+    )
+    pos = queries_df.select(
+        "query_id", F.col("query_id").alias("doc_id")
+    ).union(
+        queries_df.select(
+            "query_id", (F.col("query_id") + 1).alias("doc_id")
+        )
+    )
+    return hard_negatives(
+        docs, queries_df, pos, top_k=5, skip_top=1
+    ).orderBy("query_id", "neg_rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1601,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recrawl_schedule": q_recrawl_schedule,
         "q_ar_batches": q_ar_batches,
         "q_dsir_select": q_dsir_select,
+        "q_hard_negatives": q_hard_negatives,
     }
 
 
@@ -1622,6 +1654,67 @@ _KNN_ORACLE = """
     FROM embeddings e, q
     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
     LIMIT 10
+"""
+
+
+# shared BM25 oracle chain (ends at CTE `r` = full fixed-point ranking):
+# q_bm25 caps it at rk<=5; q_hard_negatives widens to rk<=8, anti-joins
+# the closed-form positive pairs, and renumbers
+_BM25_CTE = r"""
+            WITH docarr AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[ \t\n\r\f]+'),
+                                 x -> x <> '') AS arr
+              FROM documents),
+            lens AS (SELECT doc_id, len(arr) AS dl FROM docarr),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM lens),
+            w AS (SELECT doc_id, unnest(arr) AS term FROM docarr),
+            postings AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM w GROUP BY doc_id, term),
+            dfreq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM postings GROUP BY term),
+            q AS (
+              SELECT doc_id AS query_id,
+                     unnest(list_distinct(list_slice(arr, 1, 4))) AS term
+              FROM docarr WHERE doc_id % 97 = 0),
+            probe AS (
+              SELECT q.query_id, q.term,
+                     round(ln(CAST(1.0 AS DOUBLE)
+                              + (CAST(stats.n AS DOUBLE) - df
+                                 + CAST(0.5 AS DOUBLE))
+                                / (df + CAST(0.5 AS DOUBLE))), 6) AS idf,
+                     stats.avgdl AS avgdl
+              FROM q JOIN dfreq USING (term), stats),
+            matched AS (
+              SELECT probe.query_id, p.doc_id,
+                     CAST(round(idf
+                          * ((CAST(tf AS DOUBLE)
+                              * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                             / (CAST(tf AS DOUBLE)
+                                + CAST(1.2 AS DOUBLE)
+                                  * (CAST(1.0 AS DOUBLE)
+                                     - CAST(0.75 AS DOUBLE)
+                                     + CAST(0.75 AS DOUBLE)
+                                       * CAST(dl AS DOUBLE) / avgdl)))
+                          * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS c
+              FROM postings p
+              JOIN probe USING (term)
+              JOIN lens USING (doc_id)),
+            scored AS (
+              SELECT query_id, doc_id, sum(c) AS c
+              FROM matched GROUP BY query_id, doc_id),
+            r AS (
+              SELECT query_id, doc_id,
+                     CAST(c AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY c DESC, doc_id) AS rk
+              FROM scored)
 """
 
 
@@ -2531,63 +2624,33 @@ def oracle_sql() -> dict[str, str]:
         # the Spark side operand-for-operand; idf is rounded to 6dp before
         # use and contributions are fixed-point BIGINTs, so IEEE ops give
         # bit-identical scores in both engines.
-        "q_bm25": r"""
-            WITH docarr AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text),
-                                                    '[ \t\n\r\f]+'),
-                                 x -> x <> '') AS arr
-              FROM documents),
-            lens AS (SELECT doc_id, len(arr) AS dl FROM docarr),
-            stats AS (
-              SELECT count(*) AS n,
-                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-              FROM lens),
-            w AS (SELECT doc_id, unnest(arr) AS term FROM docarr),
-            postings AS (
-              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-              FROM w GROUP BY doc_id, term),
-            dfreq AS (
-              SELECT term, CAST(count(*) AS BIGINT) AS df
-              FROM postings GROUP BY term),
-            q AS (
-              SELECT doc_id AS query_id,
-                     unnest(list_distinct(list_slice(arr, 1, 4))) AS term
-              FROM docarr WHERE doc_id % 97 = 0),
-            probe AS (
-              SELECT q.query_id, q.term,
-                     round(ln(CAST(1.0 AS DOUBLE)
-                              + (CAST(stats.n AS DOUBLE) - df
-                                 + CAST(0.5 AS DOUBLE))
-                                / (df + CAST(0.5 AS DOUBLE))), 6) AS idf,
-                     stats.avgdl AS avgdl
-              FROM q JOIN dfreq USING (term), stats),
-            matched AS (
-              SELECT probe.query_id, p.doc_id,
-                     CAST(round(idf
-                          * ((CAST(tf AS DOUBLE)
-                              * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
-                             / (CAST(tf AS DOUBLE)
-                                + CAST(1.2 AS DOUBLE)
-                                  * (CAST(1.0 AS DOUBLE)
-                                     - CAST(0.75 AS DOUBLE)
-                                     + CAST(0.75 AS DOUBLE)
-                                       * CAST(dl AS DOUBLE) / avgdl)))
-                          * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS c
-              FROM postings p
-              JOIN probe USING (term)
-              JOIN lens USING (doc_id)),
-            scored AS (
-              SELECT query_id, doc_id, sum(c) AS c
-              FROM matched GROUP BY query_id, doc_id),
-            r AS (
-              SELECT query_id, doc_id,
-                     CAST(c AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS score,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY c DESC, doc_id) AS rk
-              FROM scored)
+        "q_bm25": _BM25_CTE + """
             SELECT query_id, doc_id, score, CAST(rk AS INTEGER) AS rk
             FROM r WHERE rk <= 5 ORDER BY query_id, rk
+        """,
+        # hard negatives: the shared BM25 chain + closed-form positive
+        # pairs + NOT EXISTS + contiguous renumber with the skip guard
+        "q_hard_negatives": _BM25_CTE + """
+            , qids AS (SELECT DISTINCT query_id FROM q),
+            pos AS (
+              SELECT query_id, query_id AS doc_id FROM qids
+              UNION ALL
+              SELECT query_id, query_id + 1 FROM qids),
+            negs AS (
+              SELECT r.query_id, r.doc_id, r.score, r.rk
+              FROM r WHERE r.rk <= 8 AND NOT EXISTS (
+                SELECT 1 FROM pos
+                WHERE pos.query_id = r.query_id
+                  AND pos.doc_id = r.doc_id)),
+            nr AS (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rk) AS neg_rank
+              FROM negs)
+            SELECT query_id, doc_id, score,
+                   CAST(neg_rank AS INTEGER) AS neg_rank
+            FROM nr WHERE neg_rank > 1 AND neg_rank <= 6
+            ORDER BY query_id, neg_rank
         """,
         "q_image_filter": f"""
             WITH img AS (

@@ -134,3 +134,53 @@ def bm25_search(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def hard_negatives(
+    docs: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    *,
+    top_k: int = 10,
+    skip_top: int = 0,
+    broadcast_positives: bool = True,
+    **bm25_kwargs,
+) -> DataFrame:
+    """BM25 hard-negative mining for embedding/reranker training (the
+    DPR recipe, Karpukhin et al. 2020): for each query, the highest-
+    ranked documents that are NOT labeled positives. *positives* is a
+    ``(query_id, doc_id)`` pair table; *skip_top* additionally skips the
+    first *skip_top* NEGATIVES (the near-duplicates most likely to be
+    unlabeled true positives — the standard false-negative guard).
+
+    Returns ``(query_id, doc_id, score, neg_rank)`` with ``skip_top <
+    neg_rank <= skip_top + top_k`` (``neg_rank`` counts within the
+    non-positive ranking, so the skip offset stays visible).
+
+    Plan: one `bm25_search` with the retrieval window widened by
+    ``skip_top + max positives per query`` (so removing positives can
+    never starve the negative set), a broadcast LEFT ANTI against the
+    pair table, and a probe-set-sized re-rank window. The corpus-side
+    cost is exactly one BM25 pass; the anti-join and window touch only
+    the retrieved window (queries × window rows)."""
+    pos = positives.select(
+        F.col(positives.columns[0]).alias("query_id"),
+        F.col(positives.columns[1]).alias("doc_id"),
+    )
+    p_max = pos.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
+    window = top_k + skip_top + int(p_max or 0)
+    ranked = bm25_search(docs, queries, top_k=window, **bm25_kwargs)
+    anti_side = F.broadcast(pos) if broadcast_positives else pos
+    negs = ranked.join(anti_side, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.col("rk").asc())
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(
+            (F.col("neg_rank") > skip_top)
+            & (F.col("neg_rank") <= skip_top + top_k)
+        )
+        .select(
+            "query_id", "doc_id", "score",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
+    )

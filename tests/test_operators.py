@@ -1601,3 +1601,68 @@ def test_quantized_ann_full_refine_equals_bruteforce(spark):
 
     narrow = qz.quantized_cosine_topk(df, qv, mins, maxs, k=3, refine=2)
     assert narrow.first().vec_id == 3  # the query vector itself survives
+
+
+def test_hard_negatives_excludes_positives_and_renumbers(spark):
+    """Positives vanish from the negative set; neg_rank renumbers the
+    survivors contiguously; skip_top drops the best negatives."""
+    from secretscraper_spark.operators.retrieval import (
+        bm25_search,
+        hard_negatives,
+    )
+
+    rows = [
+        (0, "broadcast join broadcast join"),
+        (1, "broadcast join hash probe"),
+        (2, "broadcast join shuffle"),
+        (3, "broadcast side table"),
+        (4, "join order"),
+        (5, "arrow python worker"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(100, "broadcast join")], "query_id long, qtext string"
+    )
+    full = [
+        (r.doc_id, r.rk)
+        for r in bm25_search(docs, queries, top_k=6)
+        .orderBy("rk").collect()
+    ]
+    ranked_ids = [d for d, _ in full]
+    # label the top-2 ranked docs positive
+    pos = spark.createDataFrame(
+        [(100, ranked_ids[0]), (100, ranked_ids[1])],
+        "query_id long, doc_id long",
+    )
+    negs = [
+        (r.doc_id, r.neg_rank)
+        for r in hard_negatives(docs, queries, pos, top_k=2)
+        .orderBy("neg_rank").collect()
+    ]
+    # negatives = next ranked docs after the positives, renumbered 1..2
+    assert negs == [(ranked_ids[2], 1), (ranked_ids[3], 2)]
+
+    skipped = [
+        (r.doc_id, r.neg_rank)
+        for r in hard_negatives(docs, queries, pos, top_k=2, skip_top=1)
+        .orderBy("neg_rank").collect()
+    ]
+    assert skipped == [(ranked_ids[3], 2), (ranked_ids[4], 3)]
+
+
+def test_hard_negatives_window_survives_positive_stuffing(spark):
+    """Even when every top slot is a positive, the widened retrieval
+    window still yields top_k negatives."""
+    from secretscraper_spark.operators.retrieval import hard_negatives
+
+    rows = [(i, "term " * (10 - i) + f"filler{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(1, "term")], "query_id long, qtext string"
+    )
+    pos = spark.createDataFrame(
+        [(1, 0), (1, 1), (1, 2)], "query_id long, doc_id long"
+    )
+    out = hard_negatives(docs, queries, pos, top_k=3).collect()
+    assert len(out) == 3
+    assert {r.doc_id for r in out}.isdisjoint({0, 1, 2})
