@@ -1554,6 +1554,53 @@ def q_hard_negatives(spark, sf_dir):
     ).orderBy("query_id", "neg_rank")
 
 
+def q_crossmodal_neardup(spark, sf_dir):
+    """Joint image+caption near-dup pairs (multimodal.crossmodal_near_
+    dups): the 60-bit embedding sign sketch stands in for the phash (as
+    in q_phash_neardup) and captions are a closed-form 4-token string
+    from vec_id mod classes, so caption shingle-jaccard takes values in
+    {0, 1/3, 1}. Visual candidates come from the banded bucket join
+    (15-bit blocks, hamming ≤ 25); caption verification runs ONLY on
+    those candidates (left-semi-pruned shingle sets). The oracle mirrors
+    the banding and computes the 2-shingle-set jaccard in closed form —
+    both gates and the join are value-checked."""
+    from secretscraper_spark.operators.multimodal import crossmodal_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = F.col("vec_id").cast("long")
+    sketch = F.aggregate(
+        F.sequence(F.lit(0), F.lit(59)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.element_at(F.col("embedding"), (j + F.lit(1)).cast("int")) > 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    # coarse classes: shingle1 keys on k%2, shingle2 on k%6 — candidate
+    # pairs land on jaccard 1.0 (≡ mod 6), 1/3 (≡ mod 2 only), or 0
+    caption = F.concat(
+        F.lit("a"), (k % 2).cast("string"),
+        F.lit(" b"), (k % 2).cast("string"),
+        F.lit(" c"), (k % 2).cast("string"),
+        F.lit(" d"), (k % 3).cast("string"),
+    )
+    pages = emb.select(
+        k.alias("image_id"), sketch.alias("phash"), caption.alias("caption")
+    )
+    out = crossmodal_near_dups(
+        pages,
+        max_hamming=25,
+        min_caption_jaccard=0.3,
+        shingle_k=3,
+        block_bits=15,
+    )
+    return out.select(
+        "image_a", "image_b",
+        F.col("hamming").cast("long").alias("hamming"), "jaccard",
+    ).orderBy("image_a", "image_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1633,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ar_batches": q_ar_batches,
         "q_dsir_select": q_dsir_select,
         "q_hard_negatives": q_hard_negatives,
+        "q_crossmodal_neardup": q_crossmodal_neardup,
     }
 
 
@@ -2430,6 +2478,52 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE bit_count(xor(ha, hb)) <= 25
             ORDER BY vec_a, vec_b
+        """,
+        # cross-modal near-dup: phash banding (as q_phash_neardup) AND a
+        # closed-form 2-shingle caption jaccard — both gates value-checked
+        "q_crossmodal_neardup": """
+            WITH s AS (
+              SELECT vec_id,
+                     CAST(COALESCE(list_sum(list_transform(range(0, 60), j ->
+                       CASE WHEN embedding[CAST(j + 1 AS INT)] > 0
+                            THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0)
+                       AS BIGINT) AS sketch,
+                     'a' || CAST(CAST(vec_id AS BIGINT) % 2 AS VARCHAR)
+                       || ' b' || CAST(CAST(vec_id AS BIGINT) % 2 AS VARCHAR)
+                       AS s1h,
+                     'b' || CAST(CAST(vec_id AS BIGINT) % 2 AS VARCHAR)
+                       || ' c' || CAST(CAST(vec_id AS BIGINT) % 2 AS VARCHAR)
+                       || ' d' || CAST(CAST(vec_id AS BIGINT) % 3 AS VARCHAR)
+                       AS s2t,
+                     ' c' || CAST(CAST(vec_id AS BIGINT) % 2 AS VARCHAR)
+                       AS mid
+              FROM embeddings),
+            sh AS (
+              -- the two 3-shingles of the 4-token caption
+              SELECT vec_id, sketch, s1h || mid AS sh1, s2t AS sh2 FROM s),
+            banded AS (
+              SELECT vec_id, sketch, sh1, sh2, b.block AS block,
+                     (sketch >> (b.block * 15)) & 32767 AS block_val
+              FROM sh, LATERAL (SELECT unnest(range(0, 4)) AS block) b),
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS image_a, b.vec_id AS image_b,
+                     a.sketch AS ha, b.sketch AS hb,
+                     a.sh1 AS a1, a.sh2 AS a2, b.sh1 AS b1, b.sh2 AS b2
+              FROM banded a JOIN banded b USING (block, block_val)
+              WHERE a.vec_id < b.vec_id),
+            gated AS (
+              SELECT image_a, image_b,
+                     CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+                     (CASE WHEN a1 = b1 THEN 1 ELSE 0 END
+                      + CASE WHEN a2 = b2 THEN 1 ELSE 0 END) AS i
+              FROM pairs WHERE bit_count(xor(ha, hb)) <= 25)
+            SELECT image_a, image_b, hamming,
+                   round(CAST(i AS DOUBLE) / CAST(4 - i AS DOUBLE), 6)
+                     AS jaccard
+            FROM gated
+            WHERE round(CAST(i AS DOUBLE) / CAST(4 - i AS DOUBLE), 6)
+                  >= CAST(0.3 AS DOUBLE)
+            ORDER BY image_a, image_b
         """,
         "q_winnow_fingerprint": r"""
             WITH t AS (

@@ -134,6 +134,7 @@ def resize_images(pages: DataFrame, out_w: int, out_h: int) -> DataFrame:
 def phash_near_dups(
     pages: DataFrame, max_hamming: int = 3, max_block_df: int | None = None,
     id_col: str = "image_id", phash_col: str = "phash",
+    block_bits: int = 16,
 ) -> DataFrame:
     """Image near-duplicate pairs by perceptual-hash hamming distance ≤ k —
     the image-payload twin of text SimHash dedup, over the input table's
@@ -155,11 +156,70 @@ def phash_near_dups(
     from .dedup import simhash_near_dups
 
     return simhash_near_dups(
-        sim, max_hamming=max_hamming, block_bits=16, max_block_df=max_block_df
+        sim, max_hamming=max_hamming, block_bits=block_bits,
+        max_block_df=max_block_df,
     ).select(
         F.col("doc_a").alias("image_a"),
         F.col("doc_b").alias("image_b"),
         "hamming",
+    )
+
+
+def crossmodal_near_dups(
+    pages: DataFrame,
+    max_hamming: int = 3,
+    min_caption_jaccard: float = 0.5,
+    shingle_k: int = 3,
+    max_block_df: int | None = None,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    caption_col: str = "caption",
+    block_bits: int = 16,
+) -> DataFrame:
+    """Joint image+caption near-duplicate pairs over the input-hint table:
+    visually near (phash hamming ≤ *max_hamming* via the banded bucket
+    join) AND textually near (caption word-shingle Jaccard ≥
+    *min_caption_jaccard*, verified EXACTLY but only on the phash
+    candidate pairs). The multimodal dedup policy LAION-style pipelines
+    want: a re-encoded image with the same caption is a dup; the same
+    stock photo under unrelated captions is not.
+
+    Plan: the expensive modality (image) prunes first — candidates come
+    from the banded phash join (never all-pairs); caption shingle SETS
+    are aggregated only for ids that appear in some candidate pair
+    (left-semi prune), so the text verification join is candidate-sized
+    end to end. Returns ``(image_a, image_b, hamming, jaccard)``."""
+    from .dedup import ngram_jaccard_pairs, shingles
+
+    cands = phash_near_dups(
+        pages, max_hamming, max_block_df, id_col, phash_col, block_bits
+    ).select(
+        F.col("image_a").alias("doc_a"),
+        F.col("image_b").alias("doc_b"),
+        "hamming",
+    )
+    sh = shingles(
+        pages.select(F.col(id_col), F.col(caption_col)),
+        id_col,
+        caption_col,
+        k=shingle_k,
+    )
+    ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh.join(ids, "doc_id", "left_semi")
+    jac = ngram_jaccard_pairs(sh, cands.select("doc_a", "doc_b"))
+    return (
+        cands.join(jac, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= F.lit(float(min_caption_jaccard)))
+        .select(
+            F.col("doc_a").alias("image_a"),
+            F.col("doc_b").alias("image_b"),
+            "hamming",
+            "jaccard",
+        )
     )
 
 

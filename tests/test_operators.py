@@ -1666,3 +1666,32 @@ def test_hard_negatives_window_survives_positive_stuffing(spark):
     out = hard_negatives(docs, queries, pos, top_k=3).collect()
     assert len(out) == 3
     assert {r.doc_id for r in out}.isdisjoint({0, 1, 2})
+
+
+def test_crossmodal_near_dups_joint_gates(spark):
+    """Pairs must pass BOTH the phash hamming gate and the caption
+    jaccard gate; each gate alone is insufficient."""
+    from secretscraper_spark.operators.multimodal import crossmodal_near_dups
+
+    rows = [
+        (0, 0x0, "red cat sits on mat"),
+        (1, 0x1, "red cat sits on mat"),      # near 0 visually + textually
+        (2, 0x3, "totally unrelated words entirely"),  # near visually only
+        (3, 0x00FF00FF00FF00FF, "red cat sits on mat"),  # textual only
+        (4, 0x2, "red cat sits on rug"),      # near visually, jaccard 0.5
+    ]
+    pages = spark.createDataFrame(
+        rows, "image_id long, phash long, caption string"
+    )
+    out = {
+        (r.image_a, r.image_b): (r.hamming, r.jaccard)
+        for r in crossmodal_near_dups(
+            pages, max_hamming=2, min_caption_jaccard=0.4
+        ).collect()
+    }
+    # captions "…mat" vs "…rug" share 2 of 4 distinct 3-shingles -> 0.5
+    assert out == {
+        (0, 1): (1, 1.0),
+        (0, 4): (1, 0.5),
+        (1, 4): (2, 0.5),
+    }
