@@ -1601,6 +1601,24 @@ def q_crossmodal_neardup(spark, sf_dir):
     ).orderBy("image_a", "image_b")
 
 
+def q_curriculum(spark, sf_dir):
+    """Deterministic curriculum training order (sampling.curriculum_order):
+    documents ranked by char length (short-first curriculum), cut into 4
+    equal stages by pure rank arithmetic, rows within a stage interleaved
+    by portable key hash. Two two-phase global ranks — never a
+    single-task window at scale. The oracle rebuilds both rankings with
+    row_number windows and the identical stage/hash arithmetic; stage,
+    rank cut, and the full training sequence are all value-gated."""
+    from secretscraper_spark.operators.sampling import curriculum_order
+
+    docs = _t_cpu(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    return curriculum_order(
+        docs, "n_chars", n_stages=4, mode="portable", seed=3
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1681,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_select": q_dsir_select,
         "q_hard_negatives": q_hard_negatives,
         "q_crossmodal_neardup": q_crossmodal_neardup,
+        "q_curriculum": q_curriculum,
     }
 
 
@@ -2478,6 +2497,30 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE bit_count(xor(ha, hb)) <= 25
             ORDER BY vec_a, vec_b
+        """,
+        # curriculum: both rankings as row_number windows vs Spark's
+        # two-phase ranks; stage cut and hash interleave mirrored exactly
+        "q_curriculum": f"""
+            WITH t AS (
+              SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_chars,
+                     CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                          AS BIGINT) AS rank,
+                     count(*) OVER () AS total
+              FROM t),
+            s AS (
+              SELECT doc_id, n_chars,
+                     CAST(floor((rank * 4) / CAST(total AS DOUBLE))
+                          AS INTEGER) AS stage,
+                     {_h_sql("CAST(doc_id AS VARCHAR) || chr(1) || '3'")}
+                       % 1000000 AS h
+              FROM r)
+            SELECT doc_id, n_chars, stage,
+                   CAST(row_number() OVER (ORDER BY stage, h, doc_id) - 1
+                        AS BIGINT) AS curriculum_seq
+            FROM s ORDER BY doc_id
         """,
         # cross-modal near-dup: phash banding (as q_phash_neardup) AND a
         # closed-form 2-shingle caption jaccard — both gates value-checked

@@ -145,3 +145,46 @@ def cap_per_group(
         .filter(F.col("__rk") <= n)
         .drop("__rk")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_stages: int = 4,
+    mode: str = "fast",
+    seed: int | None = None,
+    stage_col: str = "stage",
+    seq_col: str = "curriculum_seq",
+) -> DataFrame:
+    """Deterministic curriculum training order: rank every row globally
+    by ``(score, id)`` (easy → hard; e.g. score = length for the classic
+    short-first curriculum), cut the ranking into *n_stages* equal
+    stages, then emit ``seq_col`` = the training order — stages in
+    order, rows WITHIN a stage interleaved by key hash so no source or
+    score band clumps together (the same stability contract as every
+    sampler here: identical output under any partitioning, rerun, or
+    engine).
+
+    Plan: two `plans/ranking.assign_global_seq` passes (range-partitioned
+    two-phase rank — never a single-task window at scale); the stage cut
+    is pure integer-on-rank arithmetic, so stage sizes differ by at most
+    one row. Returns the input columns + ``stage_col`` + ``seq_col``."""
+    from secretscraper_spark.plans.ranking import assign_global_seq_with_count
+
+    ranked, total = assign_global_seq_with_count(
+        df, [score_col, id_col], seq_col="__rank"
+    )
+    stage = F.floor(
+        (F.col("__rank") * F.lit(int(n_stages)))
+        / F.lit(float(max(total, 1)))
+    ).cast("int")
+    tagged = ranked.withColumn(stage_col, stage).withColumn(
+        "__h", _bucket(id_col, mode, seed)
+    )
+    from secretscraper_spark.plans.ranking import assign_global_seq
+
+    out = assign_global_seq(
+        tagged, [stage_col, "__h", id_col], seq_col=seq_col
+    )
+    return out.drop("__rank", "__h")

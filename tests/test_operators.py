@@ -1695,3 +1695,51 @@ def test_crossmodal_near_dups_joint_gates(spark):
         (0, 4): (1, 0.5),
         (1, 4): (2, 0.5),
     }
+
+
+def test_curriculum_order_stages_and_interleave(spark):
+    """Stages cut the score ranking into near-equal quarters; the
+    training sequence walks stages in order; within a stage the order is
+    the hash interleave, not the score order."""
+    import hashlib
+
+    from secretscraper_spark.operators.sampling import curriculum_order
+
+    rows = [(i, "x" * (i + 1)) for i in range(20)]  # score = id + 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curriculum_order(
+        df.withColumn("score", F.length("text")),
+        "score", n_stages=4, mode="portable", seed=3,
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    # rank == doc_id here; stage = floor(rank*4/20)
+    for i in range(20):
+        assert by_id[i].stage == (i * 4) // 20, i
+    # seq covers 0..19 exactly; stages appear in blocks
+    seqs = sorted((r.curriculum_seq, r.stage) for r in out)
+    assert [s for s, _ in seqs] == list(range(20))
+    assert [st for _, st in seqs] == sorted(st for _, st in seqs)
+    # within stage 0, order follows the portable hash of doc_id
+    def h(i):
+        return int(hashlib.md5(f"{i}\x013".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    stage0 = sorted(
+        (r.curriculum_seq, r.doc_id) for r in out if r.stage == 0
+    )
+    assert [d for _, d in stage0] == sorted(range(5), key=lambda i: (h(i), i))
+
+
+def test_curriculum_order_deterministic_under_repartition(spark):
+    from pyspark.sql import functions as F
+
+    from secretscraper_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(50)], "doc_id long, score long"
+    )
+    a = sorted(tuple(r) for r in curriculum_order(df, "score", mode="portable").collect())
+    b = sorted(
+        tuple(r)
+        for r in curriculum_order(df.repartition(7), "score", mode="portable").collect()
+    )
+    assert a == b
