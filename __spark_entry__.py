@@ -1619,6 +1619,26 @@ def q_curriculum(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_host_budget(spark, sf_dir):
+    """Largest-remainder host budget allocation (politeness.allocate_
+    host_budget): per-host demand = orders count per k%509 host, global
+    budget 997 < total demand — proportional integer quotas, leftovers to
+    the largest remainders (tie: host). Two driver scalars + pure
+    div/pmod arithmetic + ONE two-phase rank. The oracle recomputes
+    Hamilton's method with a row_number window; quotas are exact
+    integers so the gate is bit-for-bit."""
+    from secretscraper_spark.plans.politeness import allocate_host_budget
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    demands = (
+        o.select(F.concat(F.lit("h"), (k % 509).cast("string")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("demand"))
+    )
+    return allocate_host_budget(demands, 997).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1700,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hard_negatives": q_hard_negatives,
         "q_crossmodal_neardup": q_crossmodal_neardup,
         "q_curriculum": q_curriculum,
+        "q_host_budget": q_host_budget,
     }
 
 
@@ -2497,6 +2518,31 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE bit_count(xor(ha, hb)) <= 25
             ORDER BY vec_a, vec_b
+        """,
+        # host budget: Hamilton largest-remainder with a row_number
+        # window vs Spark's two-phase rank — integer-exact quotas
+        "q_host_budget": """
+            WITH d AS (
+              SELECT 'h' || CAST(CAST(o_orderkey AS BIGINT) % 509
+                                 AS VARCHAR) AS host,
+                     CAST(count(*) AS BIGINT) AS demand
+              FROM orders GROUP BY host),
+            t AS (SELECT sum(demand) AS tot FROM d),
+            b AS (
+              SELECT host, demand,
+                     (demand * 997) // t.tot AS base,
+                     (demand * 997) % t.tot AS rem
+              FROM d, t),
+            l AS (SELECT CAST(997 AS BIGINT) - sum(base) AS lft FROM b),
+            r AS (
+              SELECT host, demand, base,
+                     CAST(row_number() OVER (ORDER BY rem DESC, host) - 1
+                          AS BIGINT) AS seq
+              FROM b)
+            SELECT host, demand,
+                   CAST(base + CASE WHEN seq < l.lft THEN 1 ELSE 0 END
+                        AS BIGINT) AS quota
+            FROM r, l ORDER BY host
         """,
         # curriculum: both rankings as row_number windows vs Spark's
         # two-phase ranks; stage cut and hash interleave mirrored exactly

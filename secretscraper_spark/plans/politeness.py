@@ -96,3 +96,57 @@ def salted_priority_sort(
         .repartition(F.col("host"), F.col("salt"))
         .sortWithinPartitions("discovery_seq")
     )
+
+
+def allocate_host_budget(
+    demands: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    demand_col: str = "demand",
+    quota_col: str = "quota",
+) -> DataFrame:
+    """Split a global fetch budget across hosts proportionally to demand
+    using the largest-remainder (Hamilton) method — the deterministic,
+    integer-exact way to cap a tier at ``max_page_num`` without starving
+    small hosts or over-fetching hot ones. Guarantees: Σ quota =
+    min(budget, Σ demand); quota ≤ demand; |quota − ideal| < 1; identical
+    output under any partitioning (remainder ties break on host).
+
+    Plan: two scalar aggregates (driver scalars, like every budget/count
+    the tier loop already takes), pure integer-`div`/`pmod` arithmetic
+    per host, and ONE two-phase global rank over (remainder desc, host)
+    to hand out the leftover units — no single-task window, nothing
+    host-table-sized on the driver."""
+    from .ranking import assign_global_seq
+
+    total = demands.agg(F.sum(demand_col).alias("t")).collect()[0]["t"]
+    total = int(total or 0)
+    if total <= budget:
+        return demands.withColumn(
+            quota_col, F.col(demand_col).cast("long")
+        )
+    b = F.lit(int(budget))
+    prod = F.col(demand_col).cast("long") * b
+    base = F.expr(
+        f"(CAST({demand_col} AS BIGINT) * {int(budget)})"
+        f" div {total}"
+    )
+    rem = F.pmod(prod, F.lit(total))
+    tagged = demands.select(
+        F.col(host_col).alias("host"),
+        F.col(demand_col).cast("long").alias("demand"),
+        base.cast("long").alias("__base"),
+        (-rem).alias("__negrem"),
+    )
+    leftover = int(budget) - int(
+        tagged.agg(F.sum("__base")).collect()[0][0] or 0
+    )
+    ranked = assign_global_seq(tagged, ["__negrem", "host"], seq_col="__seq")
+    return ranked.select(
+        "host",
+        "demand",
+        (
+            F.col("__base")
+            + (F.col("__seq") < F.lit(leftover)).cast("long")
+        ).alias(quota_col),
+    )

@@ -480,3 +480,53 @@ class TestShardedSeenExactnessAtScale:
             assert out_c.join(seen, "url_norm", "inner").count() == 0
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_allocate_host_budget_largest_remainder(spark):
+    """Hand case + property sweep vs a python Hamilton reference."""
+    from secretscraper_spark.plans.politeness import allocate_host_budget
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2)], "host string, demand long"
+    )
+    got = {r.host: r.quota for r in allocate_host_budget(df, 7).collect()}
+    # t=10: ideals 3.5/2.1/1.4 -> bases 3/2/1, one leftover goes to the
+    # largest remainder (a: 35%10=5 beats c: 14%10=4)
+    assert got == {"a": 4, "b": 2, "c": 1}
+
+    def hamilton(d, budget):
+        t = sum(d.values())
+        if t <= budget:
+            return dict(d)
+        base = {h: (v * budget) // t for h, v in d.items()}
+        rem = {h: (v * budget) % t for h, v in d.items()}
+        left = budget - sum(base.values())
+        for h in sorted(d, key=lambda h: (-rem[h], h))[:left]:
+            base[h] += 1
+        return base
+
+    import random
+
+    rng = random.Random(5)
+    for trial in range(4):
+        d = {f"h{i}": rng.randint(0, 40) for i in range(12)}
+        budget = rng.randint(1, 80)
+        sdf = spark.createDataFrame(
+            list(d.items()), "host string, demand long"
+        )
+        got = {
+            r.host: r.quota
+            for r in allocate_host_budget(sdf, budget).collect()
+        }
+        exp = hamilton(d, budget)
+        assert got == exp, (trial, d, budget)
+        assert sum(got.values()) == min(budget, sum(d.values()))
+        assert all(got[h] <= d[h] for h in d)
+
+
+def test_allocate_host_budget_under_demand_passthrough(spark):
+    from secretscraper_spark.plans.politeness import allocate_host_budget
+
+    df = spark.createDataFrame([("a", 2), ("b", 1)], "host string, demand long")
+    got = {r.host: r.quota for r in allocate_host_budget(df, 100).collect()}
+    assert got == {"a": 2, "b": 1}
