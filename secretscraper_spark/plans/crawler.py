@@ -163,6 +163,7 @@ class SparkCrawler:
         paced_virtual: bool = True,
         fetch_ttl: float | None = None,
         clock=None,
+        budget_mode: str = "bfs",
     ):
         """fetch_mode='join' (default): fetch = hash join vs the pages
         store — the pure, deterministic sandbox scan (SURVEY S2).
@@ -183,7 +184,18 @@ class SparkCrawler:
           probed entirely on the executors — the 10^10 form.
         - 'cuckoo': sharded cuckoo filter (plans/cuckoo.py) — same scale
           shape as bucketed-bloom, plus delete() for TTL recrawl.
-        ``use_bloom=True`` is the legacy spelling of 'broadcast-bloom'."""
+        ``use_bloom=True`` is the legacy spelling of 'broadcast-bloom'.
+
+        budget_mode picks how a tier's page-budget cut selects pages:
+        - 'bfs' (default, reference parity crawler.py:190-191): first
+          ``remaining`` pages in BFS discovery order — one hot host can
+          consume the whole budget.
+        - 'host-proportional': largest-remainder quotas per host
+          (politeness.allocate_host_budget), each host's quota taken in
+          BFS order — the fair-share cut a standing crawler wants. Total
+          processed is identical (min(remaining, |tier|)); WHICH pages
+          are fetched differs, so this mode is opt-in and not compared
+          against the reference simulator."""
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.robots = robots
@@ -195,6 +207,8 @@ class SparkCrawler:
         self.schedule_politeness = schedule_politeness
         assert fetch_mode in ("join", "paced")
         self.fetch_mode = fetch_mode
+        assert budget_mode in ("bfs", "host-proportional")
+        self.budget_mode = budget_mode
         self._page_fetch_fn = page_fetch_fn
         # paced_virtual=False makes the paced executor sleep each slot into
         # real wall-clock place (live HTTP politeness); True keeps the
@@ -317,6 +331,34 @@ class SparkCrawler:
         from .fetch_cache import CACHE_DDL
 
         return spark.createDataFrame([], CACHE_DDL)
+
+    def _host_proportional_cut(
+        self, candidates: DataFrame, remaining: int
+    ) -> DataFrame:
+        """budget_mode='host-proportional': Hamilton quotas per host
+        (politeness.allocate_host_budget), each host's quota filled in
+        BFS discovery order. One demand agg + the allocator's rank + a
+        per-host row_number window (hosts are plentiful — no single-task
+        stage) + a host-dim join AQE is free to broadcast."""
+        from pyspark.sql import Window
+
+        from ..functions.exprs import host_of
+        from .politeness import allocate_host_budget
+
+        cand = candidates.withColumn("__bhost", host_of(F.col("netloc")))
+        demands = cand.groupBy(F.col("__bhost").alias("host")).agg(
+            F.count(F.lit(1)).alias("demand")
+        )
+        quotas = allocate_host_budget(demands, remaining).select(
+            F.col("host").alias("__bhost"), "quota"
+        )
+        w = Window.partitionBy("__bhost").orderBy("discovery_seq")
+        return (
+            cand.withColumn("__brk", F.row_number().over(w))
+            .join(quotas, "__bhost")
+            .filter(F.col("__brk") <= F.col("quota"))
+            .drop("__bhost", "__brk", "quota")
+        )
 
     def _do_fetch(self, to_process: DataFrame, tier_rows: int) -> DataFrame:
         """One tier's fetch: frontier rows → frontier cols + page cols
@@ -475,7 +517,14 @@ class SparkCrawler:
         # copy per round).
         if cfg.max_page_num > 0:
             remaining = cfg.max_page_num - st["total_page"]
-            to_process = candidates.orderBy("discovery_seq").limit(remaining)
+            if self.budget_mode == "host-proportional":
+                to_process = self._host_proportional_cut(
+                    candidates, remaining
+                )
+            else:
+                to_process = candidates.orderBy("discovery_seq").limit(
+                    remaining
+                )
             to_process = to_process.localCheckpoint()
         else:
             to_process = candidates

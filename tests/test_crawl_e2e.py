@@ -177,3 +177,47 @@ def test_budget_one(spark, site_pdf, site):
     sim, res = run_both(spark, site_pdf, site, cfg)
     assert sim.total_page == 1 == res.total_page
     assert_parity(sim, res)
+
+
+def test_budget_mode_host_proportional(spark, site_pdf, site):
+    """host-proportional budget: tier-0 per-host fetch counts equal the
+    Hamilton quotas of the seed demand; total processed matches the BFS
+    cut exactly (same budget arithmetic, different page choice)."""
+    from urllib.parse import urlsplit
+
+    seeds = seeds_for(N_HOSTS)
+    # seed every page of host 0 plus the other hosts' roots so one host
+    # dominates demand and the budget forces a proportional split
+    hot = [u for u in site_pdf["url"] if urlsplit(u).hostname == "site0.test"]
+    seeds = sorted(set(seeds + hot[:30]))
+    budget = 12
+    cfg = CrawlConfig(max_depth=0, max_page_num=budget)
+    pages = spark.createDataFrame(site_pdf.drop(columns=["bytes"]))
+
+    res = SparkCrawler(
+        spark, pages, cfg, budget_mode="host-proportional"
+    ).run(seeds)
+    per_host = {}
+    for r in res.nodes.collect():
+        h = urlsplit(r.url_norm).hostname
+        per_host[h] = per_host.get(h, 0) + 1
+
+    # python Hamilton over the actual tier-0 demand (the deduped seeds)
+    demand = {}
+    for u in sorted(set(seeds)):
+        demand[urlsplit(u).hostname] = demand.get(urlsplit(u).hostname, 0) + 1
+    t = sum(demand.values())
+    assert t > budget
+    base = {h: (v * budget) // t for h, v in demand.items()}
+    rem = {h: (v * budget) % t for h, v in demand.items()}
+    for h in sorted(demand, key=lambda h: (-rem[h], h))[
+        : budget - sum(base.values())
+    ]:
+        base[h] += 1
+    expected = {h: q for h, q in base.items() if q > 0}
+    assert per_host == expected
+    assert res.total_page == budget
+
+    # default BFS mode on the same input: same TOTAL, different choice
+    res_bfs = SparkCrawler(spark, pages, cfg).run(seeds)
+    assert res_bfs.total_page == budget
