@@ -119,6 +119,11 @@ class ExternalEntry:
 @click.option("--pages", help="Pages-store parquet (fetch-join mode)",
               type=click.STRING)
 @click.option("--master", help="Spark master", type=click.STRING)
+@click.option("--seen-filter", help="URL-seen prefilter",
+              type=click.Choice(
+                  ["exact", "broadcast-bloom", "bucketed-bloom", "cuckoo"]))
+@click.option("--budget-mode", help="Tier page-budget cut",
+              type=click.Choice(["bfs", "host-proportional"]))
 @click.option("--checkpoint-dir", help="Round-snapshot dir for resume",
               type=click.STRING)
 def main(**options):

@@ -220,6 +220,8 @@ class CrawlerFacade:
             rules=loaded_rules_from(settings),
             link_rules=url_finder_rules_from(settings),
             checkpoint_dir=custom.get("checkpoint_dir"),
+            seen_filter=custom.get("seen_filter") or "exact",
+            budget_mode=custom.get("budget_mode") or "bfs",
             # any real fetcher — default HTTP or caller-supplied — honors
             # the politeness schedule on the wall clock; only the
             # deterministic pages-store replay keeps the virtual clock

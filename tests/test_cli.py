@@ -148,6 +148,19 @@ class TestCrawlerFacadeOptions:
         fa.crawler.run(fa.start_urls)
         assert ck.exists() and any(ck.iterdir())  # snapshots written
 
+    def test_seen_filter_and_budget_mode_wired(self, spark):
+        fa = self.facade(
+            spark,
+            {"url": "http://t.test/", "seen_filter": "bucketed-bloom",
+             "budget_mode": "host-proportional"},
+        )
+        assert fa.crawler.seen_filter == "bucketed-bloom"
+        assert fa.crawler.budget_mode == "host-proportional"
+        # defaults stay reference-parity
+        fb = self.facade(spark, {"url": "http://t.test/"})
+        assert fb.crawler.seen_filter == "exact"
+        assert fb.crawler.budget_mode == "bfs"
+
     def test_socks_proxy_rejected(self, spark):
         # the stdlib fetcher cannot speak SOCKS — fail loudly at facade
         # build, never silently return an empty crawl
