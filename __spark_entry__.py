@@ -1639,6 +1639,21 @@ def q_host_budget(spark, sf_dir):
     return allocate_host_budget(demands, 997).orderBy("host")
 
 
+def q_group_quantiles(spark, sf_dir):
+    """Exact per-source length quantiles (stats.grouped_quantiles): the
+    element at rank floor(q·(n−1)) of each source's ascending n_chars —
+    one group-keyed window pass, q-targets matched in an array HOF and
+    exploded, no sketch, no second scan. The oracle joins a rank window
+    against the identical floor(q·(n−1)) targets — values, q labels, and
+    group coverage all bit-gated."""
+    from secretscraper_spark.operators.stats import grouped_quantiles
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return grouped_quantiles(
+        docs, "source", "n_chars", qs=(0.25, 0.5, 0.75)
+    ).orderBy("group", "q")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1721,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crossmodal_neardup": q_crossmodal_neardup,
         "q_curriculum": q_curriculum,
         "q_host_budget": q_host_budget,
+        "q_group_quantiles": q_group_quantiles,
     }
 
 
@@ -2518,6 +2534,24 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE bit_count(xor(ha, hb)) <= 25
             ORDER BY vec_a, vec_b
+        """,
+        # exact per-group quantiles: rank window joined on the identical
+        # floor(q*(n-1)) targets — tie-independent selected values
+        "q_group_quantiles": """
+            WITH r AS (
+              SELECT source AS grp, n_chars AS value,
+                     CAST(row_number() OVER (PARTITION BY source
+                                             ORDER BY n_chars) - 1
+                          AS BIGINT) AS rk,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents),
+            qs AS (
+              SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                             CAST(0.75 AS DOUBLE)]) AS q)
+            SELECT grp AS "group", q, value
+            FROM r JOIN qs
+              ON rk = CAST(floor(q * (n - 1)) AS BIGINT)
+            ORDER BY "group", q
         """,
         # host budget: Hamilton largest-remainder with a row_number
         # window vs Spark's two-phase rank — integer-exact quotas

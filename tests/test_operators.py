@@ -1743,3 +1743,31 @@ def test_curriculum_order_deterministic_under_repartition(spark):
         for r in curriculum_order(df.repartition(7), "score", mode="portable").collect()
     )
     assert a == b
+
+
+def test_grouped_quantiles_exact(spark):
+    """Type-1 quantiles vs numpy's 'lower' interpolation, incl. ties,
+    singleton groups, and duplicate q-targets."""
+    import numpy as np
+
+    from secretscraper_spark.operators.stats import grouped_quantiles
+
+    rows = (
+        [("a", v) for v in [5, 1, 9, 3, 3, 7, 2]]
+        + [("b", v) for v in [10, 20]]
+        + [("c", 42)]
+    )
+    df = spark.createDataFrame(rows, "src string, v long")
+    got = {
+        (r.group, r.q): r.value
+        for r in grouped_quantiles(df, "src", "v", qs=(0.0, 0.25, 0.5, 1.0)).collect()
+    }
+    vals = {"a": [5, 1, 9, 3, 3, 7, 2], "b": [10, 20], "c": [42]}
+    exp = {
+        (g, q): int(np.quantile(np.array(v), q, method="lower"))
+        for g, v in vals.items()
+        for q in (0.0, 0.25, 0.5, 1.0)
+    }
+    assert got == exp
+    # every (group, q) present exactly once
+    assert len(grouped_quantiles(df, "src", "v", qs=(0.0, 0.25, 0.5, 1.0)).collect()) == 12
