@@ -1654,6 +1654,60 @@ def q_group_quantiles(spark, sf_dir):
     ).orderBy("group", "q")
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """First BPE-training iteration's pair statistics (operators/bpe.py):
+    corpus → vocabulary-sized word counts (the ONE corpus scan) →
+    char+EOW symbol arrays → adjacent-pair counts weighted by word
+    frequency, top-50 with the trainer's deterministic tiebreak
+    (pair_count DESC, lhs, rhs). All JVM-side (split/transform/explode/
+    hash-agg with map-side combine); the oracle rebuilds the pairs with
+    character substring + a lateral generate_series — different
+    construction, identical counts."""
+    from secretscraper_spark.operators.bpe import (
+        pair_counts,
+        symbolize,
+        word_table,
+    )
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    syms = word_table(docs).select(symbolize(F.col("word")).alias("syms"), "cnt")
+    return (
+        pair_counts(syms)
+        .orderBy(F.col("pair_count").desc(), F.col("lhs"), F.col("rhs"))
+        .limit(50)
+    )
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training + corpus encoding (operators/
+    bpe.py:train_bpe/bpe_encode): 16 merge iterations over the
+    vocabulary-sized symbol table (pair-count hash agg → 1-row argmax
+    collect → JVM array-fold rewrite, localCheckpoint per iter), then one
+    Arrow-batched encode pass over the corpus with a Zipf-memoized
+    word→tokens cache. Returns per-language token totals + compression vs
+    the char count. Iterative training is not SQL-expressible →
+    rows-only driver check; exact verification against a clean-room
+    Python trainer in tests/test_bpe.py."""
+    from secretscraper_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=16, min_pair_count=2)
+    enc = bpe_encode(docs, merges)
+    return (
+        enc.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("sum_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("sum_bpe_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_bpe_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1737,6 +1791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curriculum": q_curriculum,
         "q_host_budget": q_host_budget,
         "q_group_quantiles": q_group_quantiles,
+        "q_bpe_pairs": q_bpe_pairs,
+        "q_bpe_train": q_bpe_train,
     }
 
 
@@ -3228,6 +3284,32 @@ def oracle_sql() -> dict[str, str]:
         # Spark's two-phase rank — different algorithms, identical
         # integer output
         "q_ar_batches": _ar_batches_oracle(),
+        # BPE pair statistics: characters via substring + lateral
+        # generate_series (Spark builds them with split('')+transform —
+        # different construction, identical UTF-8 character semantics,
+        # probe-verified on multi-byte input)
+        "q_bpe_pairs": r"""
+            WITH w AS (
+              SELECT unnest(string_split_regex(lower(text),
+                                               '[ \t\n\r\f]+')) AS word
+              FROM documents),
+            wc AS (
+              SELECT word, count(*) AS cnt
+              FROM w WHERE word <> '' GROUP BY word),
+            p AS (
+              SELECT substring(word, CAST(i AS INTEGER), 1) AS lhs,
+                     CASE WHEN i = length(word) THEN '</w>'
+                          ELSE substring(word, CAST(i + 1 AS INTEGER), 1)
+                     END AS rhs,
+                     cnt
+              FROM wc, LATERAL unnest(generate_series(1, length(word))) t(i))
+            SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS pair_count
+            FROM p GROUP BY lhs, rhs
+            ORDER BY pair_count DESC, lhs, rhs LIMIT 50
+        """,
+        # q_bpe_train: iterative argmax+rewrite training loop is not
+        # SQL-expressible — rows-only; exact clean-room-trainer gate in
+        # tests/test_bpe.py.
         # q_minhash_dedup / q_simhash_dedup / q_lsh_ann / q_ivf_ann /
         # q_image_verify: the production-hash / binary-codec variants stay
         # rows-only here (xxhash64 / FNV-1a / image decode have no DuckDB

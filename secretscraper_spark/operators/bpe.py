@@ -1,0 +1,280 @@
+"""Distributed BPE tokenizer training and encoding.
+
+Byte-pair-encoding subword tokenizer training (Sennrich, Haddow & Birch,
+ACL 2016 — "Neural Machine Translation of Rare Words with Subword Units"),
+re-expressed as the standard distributed scheme: the 100 TB corpus is
+scanned ONCE into a vocabulary-sized (word, count) aggregate, and every
+merge iteration then runs over that table only — pair counting is a pure
+Catalyst explode+sum with map-side combine, the argmax is a 1-row collect,
+and the merge rewrite is a JVM-side array fold. No corpus re-scan, no
+Python in the training loop.
+
+Scale shape: for web corpora the distinct-word table is ~10^7-10^8 rows
+regardless of corpus size (Heaps' law), so each merge iteration costs one
+small shuffle over a vocabulary-sized table — the same plan a 1000-executor
+cluster would want. The driver holds only the merge list itself
+(n_merges rows — a scalar cost class, like IVF's centroid collect).
+
+Encoding applies the learned merge ranks per word inside an Arrow-batched
+``mapInPandas`` with a per-batch word→tokens memo (Zipf makes the memo hit
+rate ≈1), so the corpus-sized pass is one scan with amortized-O(1) work
+per repeated word.
+
+Reference parity note: the reference (SecretScraper) has no tokenizer —
+this operator is part of the LLM-training-data pipeline suite the engine
+adds on top (token counting in operators/textstats.py is the cheap
+estimator; this is the real trainable tokenizer).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Column, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .textstats import WS_SPLIT_PATTERN
+
+#: end-of-word sentinel appended to every word's symbol sequence so merges
+#: can distinguish word-final from word-internal contexts (Sennrich §3.2).
+EOW = "</w>"
+
+
+def word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → vocabulary-sized (word, cnt) aggregate — the ONE corpus
+    scan in BPE training. Lowercased, whitespace-split with the
+    dialect-portable class (textstats.WS_SPLIT_PATTERN; Java ``\\s`` and
+    RE2 ``\\s`` disagree on \\x0B, so the explicit class keeps the DuckDB
+    oracle byte-identical). Map-side partial combine makes the shuffle
+    carry per-partition word counts, not token occurrences."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), WS_SPLIT_PATTERN), lambda x: x != ""
+    )
+    return (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def symbolize(word: Column) -> Column:
+    """Word → initial BPE symbol sequence: its characters plus the EOW
+    sentinel. ``split(w, '')`` is UTF-8-character-exact in Spark (verified
+    against DuckDB's character ``substring``)."""
+    return F.concat(F.split(word, ""), F.array(F.lit(EOW)))
+
+
+def pair_counts(syms_df: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency —
+    one BPE iteration's statistics. (syms: array<string>, cnt) →
+    (lhs, rhs, pair_count). Pure Catalyst: transform over a sequence
+    builds the pair structs JVM-side, explode + hash-agg with map-side
+    combine does the count. NOTE: counts overlapping occurrences
+    ("aaa" contributes 2 to (a,a)) — the classic Sennrich counter."""
+    s = F.col("syms")
+    pairs = F.when(
+        F.size(s) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(s) - 1),
+            lambda i: F.struct(
+                F.element_at(s, i).alias("lhs"),
+                F.element_at(s, i + 1).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+    return (
+        syms_df.select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+    )
+
+
+def apply_merge(syms: Column, lhs: str, rhs: str) -> Column:
+    """Replace every non-overlapping (lhs, rhs) adjacency with the merged
+    symbol, scanning left-to-right — the Sennrich replacement rule
+    ("aaa" + (a,a) → ["aa","a"]). A JVM-side ``aggregate`` fold: the
+    accumulator is the rewritten prefix; each step either fuses with the
+    accumulator's tail or appends. Words are short, so the per-step array
+    copy is O(word length²) on a ~10-element array — negligible next to
+    the shuffle it avoids."""
+    merged = lhs + rhs
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lhs))
+            & (x == F.lit(rhs)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 1,
+) -> list[dict]:
+    """Train a BPE merge table: ``n_merges`` iterations of
+    count-pairs → argmax → rewrite, over the vocabulary-sized symbol
+    table. Returns the merge list (driver-side — n_merges rows) as
+    ``[{rank, lhs, rhs, merged, pair_count}, ...]``.
+
+    Determinism: the argmax tiebreak is (pair_count DESC, lhs ASC,
+    rhs ASC) — bit-stable across partitionings and engines (value-gated
+    against a clean-room Python trainer in tests/test_bpe.py).
+
+    Early stop: when the best pair's count falls below
+    ``min_pair_count`` (merging singleton pairs memorizes words — the
+    standard cutoff).
+
+    Plan hygiene: each rewrite extends the symbol table's plan by one
+    fold, so the table is ``localCheckpoint``-ed every
+    ``checkpoint_every`` iterations to keep lineage O(1) — the same
+    idiom as plans/ranking.assign_global_seq. The checkpointed table is
+    vocabulary-sized, so the materialization is cheap."""
+    syms_df = word_table(df, text_col).select(
+        symbolize(F.col("word")).alias("syms"), "cnt"
+    )
+    syms_df = syms_df.localCheckpoint(eager=True)
+    merges: list[dict] = []
+    for rank in range(n_merges):
+        top = (
+            pair_counts(syms_df)
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("lhs").asc(),
+                F.col("rhs").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pair_count"] < min_pair_count:
+            break
+        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"]
+        merges.append(
+            {
+                "rank": rank,
+                "lhs": lhs,
+                "rhs": rhs,
+                "merged": lhs + rhs,
+                "pair_count": int(cnt),
+            }
+        )
+        syms_df = syms_df.select(
+            apply_merge(F.col("syms"), lhs, rhs).alias("syms"), "cnt"
+        )
+        if (rank + 1) % checkpoint_every == 0:
+            syms_df = syms_df.localCheckpoint(eager=True)
+    return merges
+
+
+MERGES_SCHEMA = StructType(
+    [
+        StructField("rank", LongType()),
+        StructField("lhs", StringType()),
+        StructField("rhs", StringType()),
+        StructField("merged", StringType()),
+        StructField("pair_count", LongType()),
+    ]
+)
+
+
+def merges_df(spark: SparkSession, merges: list[dict]) -> DataFrame:
+    """Merge list → DataFrame (rank-ordered), for sinks / the entry gate."""
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["lhs"], m["rhs"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        MERGES_SCHEMA,
+    )
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with a trained rank table: repeatedly merge ALL
+    non-overlapping occurrences of the lowest-rank pair present (the
+    Sennrich apply rule — same left-to-right semantics as
+    ``apply_merge``), until no learnable pair remains. Plain Python —
+    called only inside the Arrow-batched encoder below and the tests."""
+    syms = list(word) + [EOW]
+    while len(syms) >= 2:
+        best_rank, best_pair = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        lhs, rhs = best_pair
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == lhs and x == rhs:
+                out[-1] = lhs + rhs
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents with a trained merge table → (doc_id,
+    n_words, n_bpe_tokens). Arrow-batched ``mapInPandas`` whose closure
+    carries only the rank dict (n_merges entries — broadcast-by-closure
+    is fine at that size); a per-task word→length memo makes repeated
+    words (Zipf: most of the corpus) O(1). One corpus scan, no shuffle."""
+    ranks = {(m["lhs"], m["rhs"]): m["rank"] for m in merges}
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_words", LongType()),
+            StructField("n_bpe_tokens", LongType()),
+        ]
+    )
+    import re
+
+    ws_re = re.compile(WS_SPLIT_PATTERN)
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def doc_tokens(text: str) -> tuple[int, int]:
+            words = [w for w in ws_re.split(text.lower()) if w]
+            total = 0
+            for w in words:
+                n = memo.get(w)
+                if n is None:
+                    n = len(encode_word(w, ranks))
+                    memo[w] = n
+                total += n
+            return len(words), total
+
+        for pdf in batches:
+            counts = [doc_tokens(t if t is not None else "") for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_words": [c[0] for c in counts],
+                    "n_bpe_tokens": [c[1] for c in counts],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode_batches, out_schema)

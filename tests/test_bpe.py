@@ -1,0 +1,175 @@
+"""Distributed BPE trainer/encoder vs a clean-room Python reference.
+
+The reference trainer below is the Sennrich et al. 2016 algorithm written
+directly from the paper (count adjacent pairs weighted by word frequency,
+merge the argmax, repeat) — independent of the Spark implementation, so an
+exact match gates both the pair statistics and the deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from secretscraper_spark.operators.bpe import (
+    EOW,
+    apply_merge,
+    bpe_encode,
+    encode_word,
+    pair_counts,
+    symbolize,
+    train_bpe,
+    word_table,
+)
+
+WS = re.compile(r"[ \t\n\r\f]+")
+
+
+def ref_word_counts(texts: list[str]) -> Counter:
+    c: Counter = Counter()
+    for t in texts:
+        for w in WS.split(t.lower()):
+            if w:
+                c[w] += 1
+    return c
+
+
+def ref_pair_counts(vocab: dict[tuple[str, ...], int]) -> Counter:
+    pairs: Counter = Counter()
+    for syms, cnt in vocab.items():
+        for i in range(len(syms) - 1):
+            pairs[(syms[i], syms[i + 1])] += cnt
+    return pairs
+
+
+def ref_apply(syms: tuple[str, ...], lhs: str, rhs: str) -> tuple[str, ...]:
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == lhs and x == rhs:
+            out[-1] = lhs + rhs
+        else:
+            out.append(x)
+    return tuple(out)
+
+
+def ref_train_plain(texts: list[str], n_merges: int, min_pair_count: int = 2):
+    vocab: Counter = Counter(
+        {tuple(list(w) + [EOW]): c for w, c in ref_word_counts(texts).items()}
+    )
+    merges = []
+    for rank in range(n_merges):
+        pairs = ref_pair_counts(vocab)
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append(
+            {"rank": rank, "lhs": lhs, "rhs": rhs, "merged": lhs + rhs,
+             "pair_count": cnt}
+        )
+        nxt: Counter = Counter()
+        for syms, c in vocab.items():
+            nxt[ref_apply(syms, lhs, rhs)] += c
+        vocab = nxt
+    return merges, vocab
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest",
+    "the cat sat on the mat the cat",
+    "aaa aaab aaa aaa",  # overlapping-pair counting + non-overlap merging
+    "héllo héllo wörld",  # multi-byte chars stay character-exact
+]
+
+
+def test_word_table_matches_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                               ["doc_id", "text"])
+    got = {r["word"]: r["cnt"] for r in word_table(df).collect()}
+    assert got == dict(ref_word_counts(CORPUS))
+
+
+def test_pair_counts_match_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                               ["doc_id", "text"])
+    syms_df = word_table(df).select(symbolize(F.col("word")).alias("syms"),
+                                    "cnt")
+    got = {
+        (r["lhs"], r["rhs"]): r["pair_count"]
+        for r in pair_counts(syms_df).collect()
+    }
+    vocab = {
+        tuple(list(w) + [EOW]): c for w, c in ref_word_counts(CORPUS).items()
+    }
+    assert got == dict(ref_pair_counts(vocab))
+
+
+def test_apply_merge_left_to_right_semantics(spark):
+    # "aaaa" with (a,a): non-overlapping left-to-right → [aa, aa, </w>]
+    df = spark.createDataFrame([(["a", "a", "a", "a", EOW],)], ["syms"])
+    out = df.select(apply_merge(F.col("syms"), "a", "a").alias("m")).head()
+    assert out["m"] == ["aa", "aa", EOW]
+    # "aaa" → [aa, a, </w>] (the merged token does not re-merge in-pass)
+    df = spark.createDataFrame([(["a", "a", "a", EOW],)], ["syms"])
+    out = df.select(apply_merge(F.col("syms"), "a", "a").alias("m")).head()
+    assert out["m"] == ["aa", "a", EOW]
+
+
+def test_train_bpe_exact_vs_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                               ["doc_id", "text"])
+    got = train_bpe(df, n_merges=20, min_pair_count=2)
+    want, _ = ref_train_plain(CORPUS, n_merges=20, min_pair_count=2)
+    assert got == want
+    assert len(got) > 5  # the corpus genuinely trains several merges
+
+
+def test_train_bpe_early_stop(spark):
+    df = spark.createDataFrame([(0, "ab cd ef")], ["doc_id", "text"])
+    # every pair is unique → first argmax has count 1 < 2 → no merges
+    assert train_bpe(df, n_merges=5, min_pair_count=2) == []
+
+
+def test_train_bpe_on_documents_table(spark, sf_dir=None):
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").limit(60)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    got = train_bpe(docs, n_merges=12, min_pair_count=2)
+    want, _ = ref_train_plain(texts, n_merges=12, min_pair_count=2)
+    assert got == want
+
+
+def test_encode_word_consumes_training_merges(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                               ["doc_id", "text"])
+    merges = train_bpe(df, n_merges=15, min_pair_count=2)
+    ranks = {(m["lhs"], m["rhs"]): m["rank"] for m in merges}
+    # a fully-trained frequent word collapses to few symbols
+    assert len(encode_word("low", ranks)) < 4
+    # round-trip: concatenating the encoded symbols reproduces word+EOW
+    for w in ["low", "lower", "newest", "aaa", "héllo", "zebra"]:
+        assert "".join(encode_word(w, ranks)) == w + EOW
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                               ["doc_id", "text"])
+    merges = train_bpe(df, n_merges=15, min_pair_count=2)
+    ranks = {(m["lhs"], m["rhs"]): m["rank"] for m in merges}
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode(df, merges).collect()
+    }
+    for i, t in enumerate(CORPUS):
+        words = [w for w in WS.split(t.lower()) if w]
+        want = sum(len(encode_word(w, ranks)) for w in words)
+        assert got[i] == (len(words), want)
