@@ -180,6 +180,91 @@ def train_bpe(
     return merges
 
 
+def train_bpe_batched(
+    df: DataFrame,
+    n_merges: int,
+    batch_k: int = 64,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[dict]:
+    """Cluster-scale BPE training: apply up to ``batch_k`` merges per
+    round instead of one. A 32k-vocab tokenizer with the classic loop is
+    32k sequential (shuffle + collect) rounds — driver latency, not data
+    volume, dominates on a real cluster. Batching cuts rounds by ~batch_k
+    at the cost of the standard, well-understood approximation every
+    distributed BPE trainer makes.
+
+    Exactness contract: within a round, candidates are taken in the
+    trainer's deterministic order (count DESC, lhs, rhs) and a candidate
+    is kept only if its symbols are DISJOINT from every symbol already
+    chosen this round. Merging (a,b) can only change counts of pairs
+    that mention a or b, so the kept candidates' counts are all still
+    correct when they are applied — the batch equals ``batch_k``
+    *individually valid* merges; only their ranks can differ from the
+    sequential trainer's (a new pair created mid-batch could have
+    out-ranked a later candidate). ``batch_k=1`` is EXACTLY
+    ``train_bpe`` (tested). Rewrites apply the round's merges in rank
+    order inside ONE fold chain, so the round costs one vocabulary-sized
+    job regardless of batch_k.
+
+    Early stop mirrors ``train_bpe``: candidates below
+    ``min_pair_count`` are never selected; training ends when a round
+    selects nothing."""
+    syms_df = word_table(df, text_col).select(
+        symbolize(F.col("word")).alias("syms"), "cnt"
+    )
+    syms_df = syms_df.localCheckpoint(eager=True)
+    merges: list[dict] = []
+    while len(merges) < n_merges:
+        k = min(batch_k, n_merges - len(merges))
+        # candidate pool: enough rows that k disjoint pairs survive the
+        # conflict filter (each kept pair blocks at most its 2 symbols)
+        top = (
+            pair_counts(syms_df)
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("lhs").asc(),
+                F.col("rhs").asc(),
+            )
+            .limit(max(4 * k, 16))
+            .collect()
+        )
+        used: set[str] = set()
+        chosen: list[tuple[str, str, int]] = []
+        for r in top:
+            if r["pair_count"] < min_pair_count:
+                break
+            if len(chosen) >= k:
+                break
+            if r["lhs"] in used or r["rhs"] in used:
+                continue
+            # the merged symbol must be fresh too: if 'lhs+rhs' already
+            # exists as a symbol, applying the merge would alias two
+            # populations and invalidate the disjointness argument
+            if (r["lhs"] + r["rhs"]) in used:
+                continue
+            chosen.append((r["lhs"], r["rhs"], int(r["pair_count"])))
+            used.update((r["lhs"], r["rhs"], r["lhs"] + r["rhs"]))
+        if not chosen:
+            break
+        col = F.col("syms")
+        for lhs, rhs, cnt in chosen:
+            merges.append(
+                {
+                    "rank": len(merges),
+                    "lhs": lhs,
+                    "rhs": rhs,
+                    "merged": lhs + rhs,
+                    "pair_count": cnt,
+                }
+            )
+            col = apply_merge(col, lhs, rhs)
+        syms_df = syms_df.select(col.alias("syms"), "cnt").localCheckpoint(
+            eager=True
+        )
+    return merges
+
+
 MERGES_SCHEMA = StructType(
     [
         StructField("rank", LongType()),

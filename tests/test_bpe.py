@@ -160,6 +160,38 @@ def test_encode_word_consumes_training_merges(spark):
         assert "".join(encode_word(w, ranks)) == w + EOW
 
 
+def test_train_bpe_batched_k1_is_exact(spark):
+    from secretscraper_spark.operators.bpe import train_bpe_batched
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                               ["doc_id", "text"])
+    want = train_bpe(df, n_merges=12, min_pair_count=2)
+    got = train_bpe_batched(df, n_merges=12, batch_k=1, min_pair_count=2)
+    assert got == want
+
+
+def test_train_bpe_batched_valid_and_deterministic(spark):
+    from secretscraper_spark.operators.bpe import train_bpe_batched
+
+    rows = [(i, t) for i, t in enumerate(CORPUS)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = train_bpe_batched(df, n_merges=16, batch_k=8, min_pair_count=2)
+    # sequential ranks, counts above the floor, within-batch disjointness
+    assert [m["rank"] for m in got] == list(range(len(got)))
+    assert all(m["pair_count"] >= 2 for m in got)
+    assert all(m["merged"] == m["lhs"] + m["rhs"] for m in got)
+    # deterministic under a different partition layout
+    again = train_bpe_batched(
+        df.repartition(7, "doc_id"), n_merges=16, batch_k=8,
+        min_pair_count=2,
+    )
+    assert again == got
+    # the batched merge table still encodes: round-trip property holds
+    ranks = {(m["lhs"], m["rhs"]): m["rank"] for m in got}
+    for w in ["low", "newest", "aaa", "héllo", "unseen"]:
+        assert "".join(encode_word(w, ranks)) == w + EOW
+
+
 def test_bpe_encode_matches_python_reference(spark):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
                                ["doc_id", "text"])
