@@ -1654,6 +1654,38 @@ def q_group_quantiles(spark, sf_dir):
     ).orderBy("group", "q")
 
 
+# deterministic multilingual tails for q_script_mix — the corpus is
+# Latin-only lorem, so each doc_id residue class gets a different-script
+# suffix to exercise every detector branch (same literal strings are
+# rendered into the DuckDB oracle)
+_SCRIPT_TAILS = {
+    1: " привет мир тест",
+    2: " 日本語のテキスト",
+    3: " مرحبا بالعالم",
+    4: " αβγδε नमस्ते",
+}
+
+
+def q_script_mix(spark, sf_dir):
+    """Per-document Unicode script profile (textstats.script_profile):
+    per-script character counts via length-minus-stripped regexp_replace
+    (one codegen'd replace per script, BMP-literal classes so Java regex
+    and RE2 agree byte-for-byte), dominant script with the lang_id
+    tie order, dominant share of script characters. Deterministic
+    multilingual tails appended by doc_id residue exercise every branch.
+    ONE projection over the scan — no UDF, no shuffle."""
+    from secretscraper_spark.operators.textstats import script_profile
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    tail = F.lit("")
+    for k, s in _SCRIPT_TAILS.items():
+        tail = F.when(F.col("doc_id") % 5 == k, F.lit(s)).otherwise(tail)
+    mixed = docs.select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text")
+    )
+    return script_profile(mixed).orderBy("doc_id")
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE-training iteration's pair statistics (operators/bpe.py):
     corpus → vocabulary-sized word counts (the ONE corpus scan) →
@@ -1793,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_quantiles": q_group_quantiles,
         "q_bpe_pairs": q_bpe_pairs,
         "q_bpe_train": q_bpe_train,
+        "q_script_mix": q_script_mix,
     }
 
 
@@ -3307,6 +3340,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY lhs, rhs
             ORDER BY pair_count DESC, lhs, rhs LIMIT 50
         """,
+        "q_script_mix": _script_oracle(),
         # q_bpe_train: iterative argmax+rewrite training loop is not
         # SQL-expressible — rows-only; exact clean-room-trainer gate in
         # tests/test_bpe.py.
@@ -3317,6 +3351,48 @@ def oracle_sql() -> dict[str, str]:
         # twins above plus exact pytest verification
         # (tests/test_operators.py).
     }
+
+
+def _script_oracle() -> str:
+    """DuckDB side of q_script_mix: the same chr()-rendered literal
+    classes and tail strings the Spark side compiles, counts via
+    length − length(stripped), dominant via the identical CASE order."""
+    from secretscraper_spark.operators.textstats import (
+        SCRIPT_RANGES,
+        _script_class,
+    )
+
+    tails = " ".join(
+        f"WHEN {k} THEN '{s}'" for k, s in _SCRIPT_TAILS.items()
+    )
+    counts = ",\n                   ".join(
+        f"CAST(length(t) - length(regexp_replace(t, '{_script_class(n)}',"
+        f" '', 'g')) AS BIGINT) AS n_{n}"
+        for n in SCRIPT_RANGES
+    )
+    names = list(SCRIPT_RANGES)
+    total = " + ".join(f"n_{n}" for n in names)
+    best = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dominant = " ".join(
+        f"WHEN n_{n} > 0 AND n_{n} = {best} THEN '{n}'" for n in names
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE CAST(doc_id % 5 AS INTEGER) {tails}
+                         ELSE '' END AS t
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                   {counts}
+          FROM d)
+        SELECT doc_id, {', '.join('n_' + n for n in names)},
+               CASE {dominant} ELSE 'unknown' END AS script,
+               round(CAST({best} AS DOUBLE)
+                     / CAST(greatest({total}, 1) AS DOUBLE), 6)
+                 AS script_frac
+        FROM c ORDER BY doc_id
+    """
 
 
 def _h_sql(expr: str) -> str:

@@ -154,6 +154,73 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+# Unicode script ranges (BMP-only, so Java regex and RE2 agree without
+# surrogate handling). Built with chr() so the literal pattern BYTES are
+# identical in both engines — no \uXXXX vs \x{XXXX} dialect divergence.
+SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
+    "latin": [(0x0041, 0x005A), (0x0061, 0x007A), (0x00C0, 0x024F)],
+    "cyrillic": [(0x0400, 0x04FF)],
+    "greek": [(0x0370, 0x03FF)],
+    "arabic": [(0x0600, 0x06FF)],
+    "devanagari": [(0x0900, 0x097F)],
+    "cjk": [(0x3040, 0x30FF), (0x4E00, 0x9FFF), (0xAC00, 0xD7AF)],
+}
+
+
+def _script_class(name: str) -> str:
+    return "[" + "".join(
+        f"{chr(lo)}-{chr(hi)}" for lo, hi in SCRIPT_RANGES[name]
+    ) + "]"
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script character counts — ``length(x) − length(x with the
+    class removed)``, one codegen'd regexp_replace per script, no UDF.
+    The routing signal every multilingual curation pipeline needs before
+    language-ID (stopword voting is script-blind: a Cyrillic page scores
+    0 on every Latin stopword list)."""
+    return {
+        name: F.length(text) - F.length(
+            F.regexp_replace(text, _script_class(name), "")
+        )
+        for name in SCRIPT_RANGES
+    }
+
+
+def dominant_script(text: Column) -> Column:
+    """Script with the most characters → its name, or 'unknown' when no
+    script character occurs. Ties break by SCRIPT_RANGES order (earlier
+    wins — same reversed-when-chain idiom as lang_id)."""
+    counts = script_counts(text)
+    best = F.greatest(*counts.values())
+    expr = F.lit("unknown")
+    for name in reversed(list(SCRIPT_RANGES)):
+        expr = F.when(
+            (counts[name] > 0) & (counts[name] == best), F.lit(name)
+        ).otherwise(expr)
+    return expr
+
+
+def script_profile(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document script profile: each script's character count, the
+    dominant script, and its share of all script characters (round 6).
+    One projection — every column derives from the same let-bound text,
+    all JVM-side."""
+    t = F.col(text_col)
+    counts = script_counts(t)
+    total = sum(counts.values(), F.lit(0))
+    cols = {f"n_{name}": c.cast("long") for name, c in counts.items()}
+    cols["script"] = dominant_script(t)
+    cols["script_frac"] = F.round(
+        F.greatest(*counts.values()).cast("double")
+        / F.greatest(total, F.lit(1)).cast("double"),
+        6,
+    )
+    return df.select(F.col(id_col).alias("doc_id"),
+                     *[c.alias(n) for n, c in cols.items()])
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (portable to the DuckDB oracle; a rolling/simhash variant lives in

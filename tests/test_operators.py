@@ -1771,3 +1771,49 @@ def test_grouped_quantiles_exact(spark):
     assert got == exp
     # every (group, q) present exactly once
     assert len(grouped_quantiles(df, "src", "v", qs=(0.0, 0.25, 0.5, 1.0)).collect()) == 12
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from secretscraper_spark.operators.textstats import (
+        SCRIPT_RANGES,
+        script_profile,
+    )
+
+    rows = [
+        (0, "hello world"),                      # pure latin
+        (1, "привет мир"),                       # cyrillic
+        (2, "日本語のテキスト"),                   # cjk (kana + han)
+        (3, "مرحبا بالعالم"),                     # arabic
+        (4, "αβγ δε"),                            # greek
+        (5, "नमस्ते दुनिया"),                      # devanagari
+        (6, "hello мир mixed привет text"),       # latin-majority mix
+        (7, "1234 .,!? \t"),                      # no script chars
+        (8, "abcde абвгд"),                       # 5-5 tie -> latin (order)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in script_profile(df).collect()}
+
+    def ref_counts(t):
+        return {
+            name: sum(
+                1 for ch in t
+                if any(lo <= ord(ch) <= hi for lo, hi in rng)
+            )
+            for name, rng in SCRIPT_RANGES.items()
+        }
+
+    for i, t in rows:
+        want = ref_counts(t)
+        for name, cnt in want.items():
+            assert got[i][f"n_{name}"] == cnt, (i, name)
+        best = max(want.values())
+        if best == 0:
+            assert got[i]["script"] == "unknown"
+            assert got[i]["script_frac"] == 0.0
+        else:
+            winners = [n for n, c in want.items() if c == best]
+            first = next(n for n in SCRIPT_RANGES if n in winners)
+            assert got[i]["script"] == first, (i, winners)
+            assert got[i]["script_frac"] == round(
+                best / sum(want.values()), 6
+            )
