@@ -1654,6 +1654,56 @@ def q_group_quantiles(spark, sf_dir):
     ).orderBy("group", "q")
 
 
+def q_region_revenue(spark, sf_dir):
+    """Local-supplier revenue per nation in one region (TPC-H Q5 shape,
+    plus a part-dimension gate) — the multi-way dim-join health check the
+    crawl reports' join paths rely on. Join strategy at scale: region ⋈
+    nation is an explicitly-broadcast 25-row dim chain; customer /
+    supplier / part scale with the fact table and stay shuffle joins
+    (AQE converts them when a filtered side fits). Revenue is summed in
+    FIXED-POINT (cents × (10000 − discount-bp) BIGINTs — the BM25
+    convention) so partition layout and engine cannot drift the hash
+    gate; the double rendering divides ONCE after the exact sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+
+    asia_nations = F.broadcast(
+        nat.join(
+            F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    rev_fp = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(10000) - F.round(F.col("l_discount") * 10000).cast("long"))
+    )
+    joined = (
+        li.join(part.filter(F.col("p_size") <= 25), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(asia_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(rev_fp).cast("long").alias("revenue_fp"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .withColumn(
+            "revenue",
+            F.round(F.col("revenue_fp").cast("double") / 1e6, 2),
+        )
+        .orderBy(F.col("revenue_fp").desc(), F.col("n_name"))
+    )
+
+
 # deterministic multilingual tails for q_script_mix — the corpus is
 # Latin-only lorem, so each doc_id residue class gets a different-script
 # suffix to exercise every detector branch (same literal strings are
@@ -1826,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_pairs": q_bpe_pairs,
         "q_bpe_train": q_bpe_train,
         "q_script_mix": q_script_mix,
+        "q_region_revenue": q_region_revenue,
     }
 
 
@@ -3341,6 +3392,31 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pair_count DESC, lhs, rhs LIMIT 50
         """,
         "q_script_mix": _script_oracle(),
+        # Q5-shape join chain: identical fixed-point revenue integers
+        "q_region_revenue": r"""
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (10000 - CAST(round(l_discount * 10000)
+                                            AS BIGINT))) AS BIGINT)
+                     AS revenue_fp,
+                   count(*) AS n_items,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT)
+                                  * (10000 - CAST(round(l_discount * 10000)
+                                                  AS BIGINT)))
+                              AS DOUBLE) / 1e6, 2) AS revenue
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey AND p_size <= 25
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+                         AND r_name = 'ASIA'
+            GROUP BY n_name
+            ORDER BY revenue_fp DESC, n_name
+        """,
         # q_bpe_train: iterative argmax+rewrite training loop is not
         # SQL-expressible — rows-only; exact clean-room-trainer gate in
         # tests/test_bpe.py.
