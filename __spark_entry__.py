@@ -1654,6 +1654,20 @@ def q_group_quantiles(spark, sf_dir):
     ).orderBy("group", "q")
 
 
+def q_char_entropy(spark, sf_dir):
+    """Per-document Shannon character entropy (textstats.char_entropy) —
+    the Gopher-family gibberish/compression-junk signal. The inner
+    Σ c·ln(c) is carried as round-1e-6 fixed-point BIGINTs so partition
+    layout and engine libm summation order cannot drift the hash gate;
+    plan is two map-side-combined hash aggs (the repetition_features
+    cost class). Oracle rebuilds characters with substring +
+    generate_series (the q_bpe_pairs idiom)."""
+    from secretscraper_spark.operators.textstats import char_entropy
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return char_entropy(docs).orderBy("doc_id")
+
+
 def q_region_revenue(spark, sf_dir):
     """Local-supplier revenue per nation in one region (TPC-H Q5 shape,
     plus a part-dimension gate) — the multi-way dim-join health check the
@@ -1877,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_train": q_bpe_train,
         "q_script_mix": q_script_mix,
         "q_region_revenue": q_region_revenue,
+        "q_char_entropy": q_char_entropy,
     }
 
 
@@ -3392,6 +3407,30 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pair_count DESC, lhs, rhs LIMIT 50
         """,
         "q_script_mix": _script_oracle(),
+        # char entropy: chars via substring+generate_series; the inner
+        # sum is the SAME round-1e-6 fixed-point BIGINT accumulation
+        "q_char_entropy": r"""
+            WITH ch AS (
+              SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS c
+              FROM documents,
+                   LATERAL unnest(generate_series(1, length(text))) t(i)),
+            cnt AS (
+              SELECT doc_id, c, count(*) AS k
+              FROM ch GROUP BY doc_id, c),
+            agg AS (
+              SELECT doc_id,
+                     CAST(sum(k) AS BIGINT) AS n_chars,
+                     CAST(count(*) AS BIGINT) AS n_distinct_chars,
+                     CAST(sum(k * CAST(round(ln(CAST(k AS DOUBLE)) * 1e6)
+                                       AS BIGINT)) AS BIGINT) AS s_fp
+              FROM cnt GROUP BY doc_id)
+            SELECT doc_id, n_chars, n_distinct_chars,
+                   round(ln(CAST(n_chars AS DOUBLE))
+                         - CAST(s_fp AS DOUBLE)
+                           / (CAST(n_chars AS DOUBLE) * 1e6), 6)
+                     AS char_entropy
+            FROM agg ORDER BY doc_id
+        """,
         # Q5-shape join chain: identical fixed-point revenue integers
         "q_region_revenue": r"""
             SELECT n_name,

@@ -154,6 +154,47 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+def char_entropy(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document Shannon character entropy (bits of surprise per
+    character, natural-log units) — the Gopher-family gibberish /
+    compression-junk detector: base64 blobs and minified assets score
+    high, keyboard-mash and repeated-char spam score near zero, natural
+    language sits in a tight band.
+
+    H = ln(n) − (Σ_ch c·ln(c)) / n over exact character counts. The
+    inner Σ is accumulated in FIXED-POINT: each ln(c) is rounded to 1e-6
+    and carried as a BIGINT, so the corpus-scale sum is exact integer
+    arithmetic — partition layout, executor count, and engine (libm on
+    the same integer inputs) cannot drift the result; the only float ops
+    are one ln(n) and one division per document, after the sum.
+
+    Plan shape: explode chars → (doc, char) hash-agg → per-doc rollup,
+    both map-side combined (executor state is bounded by per-partition
+    distinct (doc, char) pairs — alphabet-sized per doc), the
+    repetition_features cost class. Docs with no characters yield no row
+    (both engines agree)."""
+    chars = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    lnc_fp = F.round(F.log(F.col("c").cast("double")) * 1e6).cast("long")
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.sum(F.col("c") * lnc_fp).alias("s_fp"),
+    )
+    h = F.log(F.col("n_chars").cast("double")) - (
+        F.col("s_fp").cast("double")
+        / (F.col("n_chars").cast("double") * 1e6)
+    )
+    return agg.select(
+        "doc_id", "n_chars", "n_distinct_chars",
+        F.round(h, 6).alias("char_entropy"),
+    )
+
+
 # Unicode script ranges (BMP-only, so Java regex and RE2 agree without
 # surrogate handling). Built with chr() so the literal pattern BYTES are
 # identical in both engines — no \uXXXX vs \x{XXXX} dialect divergence.

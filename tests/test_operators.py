@@ -1817,3 +1817,39 @@ def test_script_profile_counts_and_dominant(spark):
             assert got[i]["script_frac"] == round(
                 best / sum(want.values()), 6
             )
+
+
+def test_char_entropy_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    from secretscraper_spark.operators.textstats import char_entropy
+
+    rows = [
+        (0, "aaaaaaaa"),                 # zero entropy
+        (1, "abcdefgh"),                 # maximal for n=8: ln(8)
+        (2, "hello world, hello"),
+        (3, "日本語 mixed текст"),        # multi-byte chars count once each
+        (4, ""),                         # no chars -> no row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in char_entropy(df).collect()}
+    assert 4 not in got
+    for i, t in rows:
+        if not t:
+            continue
+        counts = Counter(t)
+        n = len(t)
+        s_fp = sum(c * round(math.log(c) * 1e6) for c in counts.values())
+        want = round(math.log(n) - s_fp / (n * 1e6), 6)
+        assert got[i]["n_chars"] == n
+        assert got[i]["n_distinct_chars"] == len(counts)
+        assert got[i]["char_entropy"] == want, (i, got[i], want)
+    assert got[0]["char_entropy"] == 0.0
+    assert got[1]["char_entropy"] == round(math.log(8), 6)
+    # partition-layout invariance (the fixed-point sum's whole point)
+    again = {
+        r["doc_id"]: r["char_entropy"]
+        for r in char_entropy(df.repartition(7)).collect()
+    }
+    assert again == {k: v["char_entropy"] for k, v in got.items()}
