@@ -1654,6 +1654,57 @@ def q_group_quantiles(spark, sf_dir):
     ).orderBy("group", "q")
 
 
+def q_curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel (curation.funnel_counts composing
+    quality_gate → lang_id → char_entropy band → exact-dedup canonical):
+    per-stage attrition counts in ONE aggregation pass — the operational
+    table a production corpus pipeline is monitored by. Signals join
+    once (entropy left-joined and coalesced: no-char docs fail the band),
+    the dedup stage keeps each fingerprint's min doc_id via one window,
+    and the cumulative keeps are conditional sums in a single map-side-
+    combined hash agg. The oracle rebuilds every stage from its own
+    already-gated SQL idioms and UNION ALLs the four rows."""
+    from pyspark.sql import Window
+
+    from secretscraper_spark.operators.curation import funnel_counts
+    from secretscraper_spark.operators.textstats import (
+        char_entropy,
+        fingerprint,
+        lang_id,
+        quality_gate,
+    )
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    qg = quality_gate(docs).select("doc_id", "keep")
+    ce = char_entropy(docs).select("doc_id", "char_entropy")
+    sig = docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lid"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    j = (
+        sig.join(qg, "doc_id")
+        .join(ce, "doc_id", "left")
+        .withColumn(
+            "first_id", F.min("doc_id").over(Window.partitionBy("fp"))
+        )
+    )
+    return funnel_counts(
+        j,
+        [
+            ("quality", F.col("keep")),
+            ("english", F.col("lid") == "en"),
+            (
+                "entropy",
+                F.coalesce(
+                    F.col("char_entropy").between(2.6, 3.2), F.lit(False)
+                ),
+            ),
+            ("dedup_canonical", F.col("doc_id") == F.col("first_id")),
+        ],
+    ).orderBy("stage_idx")
+
+
 def q_char_entropy(spark, sf_dir):
     """Per-document Shannon character entropy (textstats.char_entropy) —
     the Gopher-family gibberish/compression-junk signal. The inner
@@ -1892,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_script_mix": q_script_mix,
         "q_region_revenue": q_region_revenue,
         "q_char_entropy": q_char_entropy,
+        "q_curation_funnel": q_curation_funnel,
     }
 
 
@@ -3407,6 +3459,81 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pair_count DESC, lhs, rhs LIMIT 50
         """,
         "q_script_mix": _script_oracle(),
+        # curation funnel: each stage rebuilt from its own gated SQL
+        # idiom (quality CTE, lang_case vote, fixed-point entropy,
+        # md5 fingerprint window), cumulative conditional sums, 4 rows
+        "q_curation_funnel": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(tk) AS INTEGER) AS n_tokens,
+                     round(coalesce(list_sum(list_transform(tk,
+                             x -> length(x))), 0)
+                           * 1.0 / greatest(len(tk), 1), 6) AS mwl,
+                     round(length(regexp_replace(text, '[a-zA-Z0-9 ]',
+                             '', 'g'))
+                           * 1.0 / greatest(length(text), 1), 6) AS sym,
+                     CAST(len(regexp_extract_all(lower(text),
+                          '{_EN_STOP}')) AS INTEGER) AS stop_en
+              FROM t),
+            q AS (
+              SELECT doc_id,
+                     NOT (n_tokens < 5 OR n_tokens > 100000
+                          OR mwl < 3.0 OR mwl > 10.0
+                          OR sym > 0.1 OR stop_en < 1) AS keep
+              FROM m),
+            ch AS (
+              SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS c
+              FROM documents,
+                   LATERAL unnest(generate_series(1, length(text))) t(i)),
+            cnt AS (
+              SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+            ce AS (
+              SELECT doc_id,
+                     round(ln(CAST(sum(k) AS DOUBLE))
+                           - CAST(sum(k * CAST(round(ln(CAST(k AS DOUBLE))
+                                                     * 1e6) AS BIGINT))
+                                  AS DOUBLE)
+                             / (CAST(sum(k) AS DOUBLE) * 1e6), 6) AS ent
+              FROM cnt GROUP BY doc_id),
+            sig AS (
+              SELECT doc_id, {{lang_case}} AS lid,
+                     md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                       AS fp
+              FROM documents),
+            j AS (
+              SELECT s.doc_id, q.keep, s.lid, ce.ent,
+                     min(s.doc_id) OVER (PARTITION BY s.fp) AS first_id
+              FROM sig s
+              JOIN q USING (doc_id)
+              LEFT JOIN ce USING (doc_id)),
+            flags AS (
+              SELECT keep AS c0,
+                     keep AND lid = 'en' AS c1,
+                     keep AND lid = 'en'
+                       AND coalesce(ent BETWEEN 2.6 AND 3.2, false) AS c2,
+                     keep AND lid = 'en'
+                       AND coalesce(ent BETWEEN 2.6 AND 3.2, false)
+                       AND doc_id = first_id AS c3
+              FROM j),
+            a AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_total,
+                     CAST(sum(CASE WHEN c0 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+                     CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+                     CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+                     CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS k3
+              FROM flags)
+            SELECT CAST(0 AS BIGINT) AS stage_idx, 'quality' AS stage,
+                   n_total AS n_in, k0 AS n_kept FROM a
+            UNION ALL SELECT 1, 'english', k0, k1 FROM a
+            UNION ALL SELECT 2, 'entropy', k1, k2 FROM a
+            UNION ALL SELECT 3, 'dedup_canonical', k2, k3 FROM a
+            ORDER BY stage_idx
+        """.replace("{lang_case}", lang_case),
         # char entropy: chars via substring+generate_series; the inner
         # sum is the SAME round-1e-6 fixed-point BIGINT accumulation
         "q_char_entropy": r"""

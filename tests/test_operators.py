@@ -1853,3 +1853,27 @@ def test_char_entropy_matches_reference(spark):
         for r in char_entropy(df.repartition(7)).collect()
     }
     assert again == {k: v["char_entropy"] for k, v in got.items()}
+
+
+def test_funnel_counts_chaining(spark):
+    from pyspark.sql import functions as F
+
+    from secretscraper_spark.operators.curation import funnel_counts
+
+    rows = [(i, i % 2 == 0, i % 3 == 0, None if i == 6 else i < 8)
+            for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "a", "b", "c"])
+    out = funnel_counts(
+        df,
+        [
+            ("a", F.col("a")),
+            ("b", F.col("b")),
+            ("c", F.coalesce(F.col("c"), F.lit(False))),
+        ],
+    ).collect()
+    got = [(r["stage_idx"], r["stage"], r["n_in"], r["n_kept"]) for r in out]
+    # a: evens -> 6; b: evens & %3 -> {0,6} -> 2; c: <8, 6 is NULL->False -> {0}
+    assert got == [(0, "a", 12, 6), (1, "b", 6, 2), (2, "c", 2, 1)]
+    # chaining invariant holds by construction
+    for (_, _, n_in, _), (_, _, _, prev_kept) in zip(got[1:], got[:-1]):
+        assert n_in == prev_kept
