@@ -1705,6 +1705,62 @@ def q_curation_funnel(spark, sf_dir):
     ).orderBy("stage_idx")
 
 
+def q_image_funnel(spark, sf_dir):
+    """Image+caption curation funnel (curation.funnel_counts on the
+    input-hint table shape): LAION/DataComp-style metadata gates
+    (filter_images: size / aspect / bytes-per-pixel / caption) →
+    caption token floor → phash-bucket canonical dedup (min image_id
+    per bucket; buckets synthesized with forced collisions so the
+    dedup stage has real attrition). Same one-agg funnel plan as
+    q_curation_funnel, exercised on the multimodal axis — all gates
+    are metadata Column exprs, zero decode."""
+    from pyspark.sql import Window
+
+    from secretscraper_spark.operators.curation import funnel_counts
+    from secretscraper_spark.operators.dedup import portable_hash64
+    from secretscraper_spark.operators.multimodal import filter_images
+    from secretscraper_spark.operators.textstats import WS_SPLIT_PATTERN
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    # dims sized so the synthetic text payload yields a MIXED
+    # bytes-per-pixel outcome (~272/500 keep at the shipped floors)
+    imgs = docs.select(
+        F.col("doc_id").alias("image_id"),
+        (F.lit(16) + portable_hash64(F.col("doc_id"), seed=1) % 260)
+        .cast("int").alias("w"),
+        (F.lit(16) + portable_hash64(F.col("doc_id"), seed=2) % 260)
+        .cast("int").alias("h"),
+        F.col("text").alias("bytes"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(""))
+        .otherwise(F.col("text")).alias("caption"),
+        (portable_hash64(F.col("doc_id"), seed=3) % 97).alias("phash_b"),
+    )
+    fi = filter_images(imgs, min_bytes_per_pixel=0.005).select(
+        "image_id", "keep"
+    )
+    n_cap_toks = F.size(
+        F.filter(
+            F.split(F.col("caption"), WS_SPLIT_PATTERN), lambda x: x != ""
+        )
+    )
+    j = (
+        imgs.join(fi, "image_id")
+        .withColumn(
+            "first_id",
+            F.min("image_id").over(Window.partitionBy("phash_b")),
+        )
+        .withColumn("n_cap_toks", n_cap_toks)
+    )
+    return funnel_counts(
+        j,
+        [
+            ("image_gates", F.col("keep")),
+            ("caption_tokens", F.col("n_cap_toks") >= 40),
+            ("phash_canonical", F.col("image_id") == F.col("first_id")),
+        ],
+    ).orderBy("stage_idx")
+
+
 def q_char_entropy(spark, sf_dir):
     """Per-document Shannon character entropy (textstats.char_entropy) —
     the Gopher-family gibberish/compression-junk signal. The inner
@@ -1944,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_region_revenue": q_region_revenue,
         "q_char_entropy": q_char_entropy,
         "q_curation_funnel": q_curation_funnel,
+        "q_image_funnel": q_image_funnel,
     }
 
 
@@ -3534,6 +3591,51 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 3, 'dedup_canonical', k2, k3 FROM a
             ORDER BY stage_idx
         """.replace("{lang_case}", lang_case),
+        # image funnel: same synthesized table as q_image_filter plus a
+        # forced-collision phash bucket; stages composed like
+        # q_curation_funnel
+        "q_image_funnel": f"""
+            WITH img AS (
+              SELECT doc_id AS image_id,
+                     CAST(16 + ({_h_sql("CAST(doc_id AS VARCHAR) || chr(1) || '1'")} % 260) AS DOUBLE) AS wd,
+                     CAST(16 + ({_h_sql("CAST(doc_id AS VARCHAR) || chr(1) || '2'")} % 260) AS DOUBLE) AS hd,
+                     strlen(text) AS nbytes,
+                     CASE WHEN doc_id % 7 = 0 THEN '' ELSE text END AS caption,
+                     {_h_sql("CAST(doc_id AS VARCHAR) || chr(1) || '3'")} % 97 AS phash_b
+              FROM documents),
+            g AS (
+              SELECT image_id, caption, phash_b,
+                     NOT ((wd * hd < 4096)
+                          OR (greatest(wd / hd, hd / wd)
+                              > CAST(4.0 AS DOUBLE))
+                          OR (nbytes / (wd * hd) < CAST(0.005 AS DOUBLE))
+                          OR (caption IS NULL
+                              OR length(trim(caption)) < 5)) AS keep
+              FROM img),
+            j AS (
+              SELECT image_id, keep,
+                     len(list_filter(regexp_split_to_array(caption,
+                         '[ \t\n\r\f]+'), x -> x <> '')) AS n_cap_toks,
+                     min(image_id) OVER (PARTITION BY phash_b) AS first_id
+              FROM g),
+            flags AS (
+              SELECT keep AS c0,
+                     keep AND n_cap_toks >= 40 AS c1,
+                     keep AND n_cap_toks >= 40
+                       AND image_id = first_id AS c2
+              FROM j),
+            a AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_total,
+                     CAST(sum(CASE WHEN c0 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+                     CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+                     CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS k2
+              FROM flags)
+            SELECT CAST(0 AS BIGINT) AS stage_idx, 'image_gates' AS stage,
+                   n_total AS n_in, k0 AS n_kept FROM a
+            UNION ALL SELECT 1, 'caption_tokens', k0, k1 FROM a
+            UNION ALL SELECT 2, 'phash_canonical', k1, k2 FROM a
+            ORDER BY stage_idx
+        """,
         # char entropy: chars via substring+generate_series; the inner
         # sum is the SAME round-1e-6 fixed-point BIGINT accumulation
         "q_char_entropy": r"""
