@@ -1705,6 +1705,19 @@ def q_curation_funnel(spark, sf_dir):
     ).orderBy("stage_idx")
 
 
+def q_ngram_repetition(spark, sf_dir):
+    """Gopher duplicate-3-gram metrics (textstats.ngram_repetition):
+    per-doc char mass of the top 3-gram and of all repeated 3-grams over
+    the space-joined token stream — phrase-level repetition the word
+    metrics (q_repetition) miss. JVM HOF grams, one (doc, gram) hash
+    agg, one doc window; lexicographic top-gram tiebreak mirrored by the
+    oracle's row_number."""
+    from secretscraper_spark.operators.textstats import ngram_repetition
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return ngram_repetition(docs, n=3).orderBy("doc_id")
+
+
 def q_image_funnel(spark, sf_dir):
     """Image+caption curation funnel (curation.funnel_counts on the
     input-hint table shape): LAION/DataComp-style metadata gates
@@ -2001,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_char_entropy": q_char_entropy,
         "q_curation_funnel": q_curation_funnel,
         "q_image_funnel": q_image_funnel,
+        "q_ngram_repetition": q_ngram_repetition,
     }
 
 
@@ -3591,6 +3605,48 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 3, 'dedup_canonical', k2, k3 FROM a
             ORDER BY stage_idx
         """.replace("{lang_case}", lang_case),
+        # duplicate-3-gram metrics: grams via list_slice + lateral range,
+        # identical top-gram tiebreak via row_number
+        "q_ngram_repetition": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                 '[ \t\n\r\f]+'), x -> x <> '') AS tk
+              FROM documents),
+            base AS (
+              SELECT doc_id, tk,
+                     CAST(coalesce(list_sum(list_transform(tk,
+                            x -> length(x))), 0)
+                          + greatest(len(tk) - 1, 0) AS BIGINT)
+                       AS total_chars
+              FROM t WHERE len(tk) >= 3),
+            g AS (
+              SELECT doc_id, total_chars,
+                     array_to_string(list_slice(tk, i.i, i.i + 2), ' ')
+                       AS gram
+              FROM base, LATERAL (
+                SELECT unnest(range(1, len(tk) - 1)) AS i) i),
+            c AS (
+              SELECT doc_id, total_chars, gram, count(*) AS cnt
+              FROM g GROUP BY doc_id, total_chars, gram),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY cnt DESC, gram ASC) AS rk
+              FROM c)
+            SELECT doc_id, total_chars,
+                   CAST(sum(cnt) AS BIGINT) AS n_grams,
+                   max(CASE WHEN rk = 1 THEN gram END) AS top_gram,
+                   CAST(max(CASE WHEN rk = 1 THEN cnt END) AS BIGINT)
+                     AS top_cnt,
+                   round(sum(CASE WHEN rk = 1 THEN cnt * length(gram)
+                                  ELSE 0 END)
+                         / CAST(total_chars AS DOUBLE), 6) AS top_frac,
+                   round(sum(CASE WHEN cnt > 1 THEN cnt * length(gram)
+                                  ELSE 0 END)
+                         / CAST(total_chars AS DOUBLE), 6) AS dup_frac
+            FROM r GROUP BY doc_id, total_chars ORDER BY doc_id
+        """,
         # image funnel: same synthesized table as q_image_filter plus a
         # forced-collision phash bucket; stages composed like
         # q_curation_funnel

@@ -561,6 +561,97 @@ def repetition_features(
     )
 
 
+def ngram_repetition(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style duplicate word-n-gram metrics (Rae et al. 2021 §A1.1):
+    per document, the character mass of the single most frequent n-gram
+    (``top_frac``) and of ALL n-grams occurring more than once
+    (``dup_frac``), as fractions of the normalized character stream.
+    Templated spam and keyword-stuffing score high on both; the n-gram
+    family catches phrase-level repetition the word-level
+    ``repetition_features`` cannot.
+
+    Definitions (mirrored exactly by the DuckDB oracle): tokens are the
+    lowercased whitespace split; an n-gram's char mass is the length of
+    its space-joined string times its occurrence count (OVERLAPPING
+    occurrences counted — the cheap exact variant; interval-de-overlapped
+    coverage is what `dedup.duplicate_spans` computes); the denominator
+    is the space-joined token stream's length. Ties for the top gram
+    break lexicographically. Docs with fewer than n tokens yield no row.
+
+    Plan shape: gram construction is a JVM HOF over the token array (no
+    shuffle), then one (doc, gram) hash agg and one doc-keyed window +
+    rollup — all map-side combined, the repetition_features cost class."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), WS_SPLIT_PATTERN),
+        lambda x: x != "",
+    )
+
+    def _grams(arr: Column) -> Column:
+        return F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(arr, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def _total_chars(arr: Column) -> Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ) + F.greatest(F.size(arr) - 1, F.lit(0)).cast("long")
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        _grams(toks).alias("grams"),
+        _total_chars(toks).alias("total_chars"),
+    )
+    counts = base.select(
+        "doc_id", "total_chars", F.explode("grams").alias("gram")
+    ).groupBy("doc_id", "total_chars", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    tc = F.col("total_chars").cast("double")
+    return (
+        ranked.groupBy("doc_id", "total_chars")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.max(F.when(F.col("rk") == 1, F.col("gram"))).alias("top_gram"),
+            F.max(F.when(F.col("rk") == 1, F.col("cnt")))
+            .cast("long").alias("top_cnt"),
+            F.sum(
+                F.when(F.col("rk") == 1, F.col("cnt") * F.length("gram"))
+                .otherwise(F.lit(0))
+            ).alias("top_mass"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram"))
+                .otherwise(F.lit(0))
+            ).alias("dup_mass"),
+        )
+        .select(
+            "doc_id",
+            F.col("total_chars").cast("long").alias("total_chars"),
+            "n_grams",
+            "top_gram",
+            "top_cnt",
+            F.round(F.col("top_mass") / tc, 6).alias("top_frac"),
+            F.round(F.col("dup_mass") / tc, 6).alias("dup_frac"),
+        )
+    )
+
+
 def quality_gate(
     df: DataFrame,
     id_col: str = "doc_id",

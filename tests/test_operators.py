@@ -1877,3 +1877,43 @@ def test_funnel_counts_chaining(spark):
     # chaining invariant holds by construction
     for (_, _, n_in, _), (_, _, _, prev_kept) in zip(got[1:], got[:-1]):
         assert n_in == prev_kept
+
+
+def test_ngram_repetition_matches_reference(spark):
+    import re as _re
+    from collections import Counter
+
+    from secretscraper_spark.operators.textstats import ngram_repetition
+
+    rows = [
+        (0, "the cat sat on the cat sat on the cat"),
+        (1, "a b a b a b a b"),
+        (2, "all words unique here today friend"),
+        (3, "x y"),                      # < n tokens -> no row
+        (4, "Spam spam SPAM spam spam"),  # case folding
+    ]
+    n = 3
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in ngram_repetition(df, n=n).collect()}
+    assert 3 not in got
+    for i, t in rows:
+        toks = [w for w in _re.split(r"[ \t\n\r\f]+", t.lower()) if w]
+        if len(toks) < n:
+            continue
+        grams = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        total = sum(len(w) for w in toks) + max(len(toks) - 1, 0)
+        top_gram = min(c, key=lambda g: (-c[g], g))
+        top_frac = round(c[top_gram] * len(top_gram) / total, 6)
+        dup_frac = round(
+            sum(k * len(g) for g, k in c.items() if k > 1) / total, 6
+        )
+        r = got[i]
+        assert r["n_grams"] == len(grams)
+        assert r["total_chars"] == total
+        assert (r["top_gram"], r["top_cnt"]) == (top_gram, c[top_gram])
+        assert r["top_frac"] == top_frac, (i, r, top_frac)
+        assert r["dup_frac"] == dup_frac, (i, r, dup_frac)
+    # sanity: templated doc scores high, unique doc scores 0 dup mass
+    assert got[1]["dup_frac"] > 1.0  # overlapping counts can exceed 1
+    assert got[2]["dup_frac"] == 0.0
