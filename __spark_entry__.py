@@ -1705,6 +1705,25 @@ def q_curation_funnel(spark, sf_dir):
     ).orderBy("stage_idx")
 
 
+def q_payload_entropy(spark, sf_dir):
+    """Per-payload byte entropy (multimodal.payload_entropy): the
+    zero-decode corrupt/blank detector for the image table's binary
+    column. Text stands in for the payload (both engines hex the same
+    UTF-8 bytes); symbols are hex pairs via regexp_extract_all('..'),
+    rollup is the shared fixed-point entropy path — layout/engine-exact.
+    Synthetic blanks (doc_id%11==0 → one repeated byte) pin the
+    zero-entropy arm."""
+    from secretscraper_spark.operators.multimodal import payload_entropy
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    imgs = docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.when(F.col("doc_id") % 11 == 0, F.repeat(F.lit("x"), 64))
+        .otherwise(F.col("text")).alias("bytes"),
+    )
+    return payload_entropy(imgs).orderBy("image_id")
+
+
 def q_ngram_repetition(spark, sf_dir):
     """Gopher duplicate-3-gram metrics (textstats.ngram_repetition):
     per-doc char mass of the top 3-gram and of all repeated 3-grams over
@@ -2015,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_funnel": q_curation_funnel,
         "q_image_funnel": q_image_funnel,
         "q_ngram_repetition": q_ngram_repetition,
+        "q_payload_entropy": q_payload_entropy,
     }
 
 
@@ -3605,6 +3625,33 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 3, 'dedup_canonical', k2, k3 FROM a
             ORDER BY stage_idx
         """.replace("{lang_case}", lang_case),
+        # payload byte entropy: hex pairs + the fixed-point entropy sum
+        "q_payload_entropy": r"""
+            WITH img AS (
+              SELECT doc_id AS image_id,
+                     CASE WHEN doc_id % 11 = 0 THEN repeat('x', 64)
+                          ELSE text END AS b
+              FROM documents),
+            sym AS (
+              SELECT image_id, unnest(regexp_extract_all(hex(b), '..')) AS s
+              FROM img),
+            cnt AS (
+              SELECT image_id, s, count(*) AS k
+              FROM sym GROUP BY image_id, s),
+            agg AS (
+              SELECT image_id,
+                     CAST(sum(k) AS BIGINT) AS n_bytes,
+                     CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+                     CAST(sum(k * CAST(round(ln(CAST(k AS DOUBLE)) * 1e6)
+                                       AS BIGINT)) AS BIGINT) AS s_fp
+              FROM cnt GROUP BY image_id)
+            SELECT image_id, n_bytes, n_distinct_bytes,
+                   round(ln(CAST(n_bytes AS DOUBLE))
+                         - CAST(s_fp AS DOUBLE)
+                           / (CAST(n_bytes AS DOUBLE) * 1e6), 6)
+                     AS byte_entropy
+            FROM agg ORDER BY image_id
+        """,
         # duplicate-3-gram metrics: grams via list_slice + lateral range,
         # identical top-gram tiebreak via row_number
         "q_ngram_repetition": r"""

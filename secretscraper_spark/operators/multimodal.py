@@ -286,6 +286,41 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
+def payload_entropy(
+    pages: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Per-payload Shannon BYTE entropy — the zero-decode corrupt/blank
+    detector for binary columns: solid-color placeholders and truncated
+    payloads sit near 0, healthy compressed image data near ln(256)≈5.55,
+    so a band filter catches both failure modes without touching a codec
+    (complements filter_images' bytes-per-pixel gate, which needs only
+    metadata, and verify_pixels, which needs a full decode).
+
+    Bytes become symbols JVM-side as ``hex(bytes)`` split into pairs by
+    ``regexp_extract_all('..')`` (non-overlapping, in order — no HOF, no
+    Python, and a VARCHAR stand-in column hexes its UTF-8 bytes
+    identically in Spark and DuckDB, which is what lets the oracle gate
+    this on the synthesized table). The rollup is the SAME fixed-point
+    path as textstats.char_entropy (entropy_over_symbols) — exact BIGINT
+    accumulation, layout/engine-invariant. Output: (id, n_bytes,
+    n_distinct_bytes, byte_entropy); empty payloads yield no row."""
+    from .textstats import entropy_over_symbols
+
+    syms = pages.select(
+        F.col(id_col).alias(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.hex(F.col(bytes_col)), F.lit(".."), F.lit(0)
+            )
+        ).alias("sym"),
+    )
+    return entropy_over_symbols(
+        syms, id_col=id_col, out_prefix="byte"
+    )
+
+
 def image_text_metadata(
     pages: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes",
     fmt_col: str = "fmt",

@@ -154,6 +154,38 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+def entropy_over_symbols(
+    sym_df: DataFrame,
+    id_col: str = "doc_id",
+    sym_col: str = "sym",
+    out_prefix: str = "char",
+) -> DataFrame:
+    """Shared fixed-point Shannon-entropy rollup over an exploded
+    (id, symbol) frame — the engine room of ``char_entropy`` and
+    multimodal ``payload_entropy``. See char_entropy for the fixed-point
+    exactness argument; output columns are ``n_<prefix>s``,
+    ``n_distinct_<prefix>s``, ``<prefix>_entropy``."""
+    counts = sym_df.groupBy(
+        F.col(id_col).alias("doc_id"), F.col(sym_col).alias("sym")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    lnc_fp = F.round(F.log(F.col("c").cast("double")) * 1e6).cast("long")
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_sym"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * lnc_fp).alias("s_fp"),
+    )
+    h = F.log(F.col("n_sym").cast("double")) - (
+        F.col("s_fp").cast("double")
+        / (F.col("n_sym").cast("double") * 1e6)
+    )
+    return agg.select(
+        F.col("doc_id").alias(id_col),
+        F.col("n_sym").alias(f"n_{out_prefix}s"),
+        F.col("n_distinct").alias(f"n_distinct_{out_prefix}s"),
+        F.round(h, 6).alias(f"{out_prefix}_entropy"),
+    )
+
+
 def char_entropy(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Per-document Shannon character entropy (bits of surprise per
@@ -176,23 +208,9 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id",
     (both engines agree)."""
     chars = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), "")).alias("ch"),
-    ).filter(F.col("ch") != "")
-    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
-    lnc_fp = F.round(F.log(F.col("c").cast("double")) * 1e6).cast("long")
-    agg = counts.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_chars"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
-        F.sum(F.col("c") * lnc_fp).alias("s_fp"),
-    )
-    h = F.log(F.col("n_chars").cast("double")) - (
-        F.col("s_fp").cast("double")
-        / (F.col("n_chars").cast("double") * 1e6)
-    )
-    return agg.select(
-        "doc_id", "n_chars", "n_distinct_chars",
-        F.round(h, 6).alias("char_entropy"),
-    )
+        F.explode(F.split(F.col(text_col), "")).alias("sym"),
+    ).filter(F.col("sym") != "")
+    return entropy_over_symbols(chars, out_prefix="char")
 
 
 # Unicode script ranges (BMP-only, so Java regex and RE2 agree without

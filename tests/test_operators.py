@@ -1917,3 +1917,37 @@ def test_ngram_repetition_matches_reference(spark):
     # sanity: templated doc scores high, unique doc scores 0 dup mass
     assert got[1]["dup_frac"] > 1.0  # overlapping counts can exceed 1
     assert got[2]["dup_frac"] == 0.0
+
+
+def test_payload_entropy_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    from secretscraper_spark.operators.multimodal import payload_entropy
+
+    rows = [
+        ("a", bytes([0] * 64)),                    # solid -> 0 entropy
+        ("b", bytes(range(256))),                  # uniform -> ln(256)
+        ("c", b"\x89PNG\r\n\x1a\n" + bytes([7, 7, 9]) * 5),
+        ("d", b""),                                # empty -> no row
+        ("e", None),                               # NULL -> no row
+    ]
+    df = spark.createDataFrame(rows, ["image_id", "bytes"])
+    got = {r["image_id"]: r.asDict() for r in payload_entropy(df).collect()}
+    assert set(got) == {"a", "b", "c"}
+    for iid, payload in rows:
+        if not payload:
+            continue
+        counts = Counter(payload)
+        n = len(payload)
+        s_fp = sum(c * round(math.log(c) * 1e6) for c in counts.values())
+        want = round(math.log(n) - s_fp / (n * 1e6), 6)
+        r = got[iid]
+        assert (r["n_bytes"], r["n_distinct_bytes"]) == (n, len(counts))
+        assert r["byte_entropy"] == want, (iid, r, want)
+    assert got["a"]["byte_entropy"] == 0.0
+    assert got["b"]["byte_entropy"] == round(math.log(256), 6)
+    # string stand-in column hexes its UTF-8 bytes (the oracle path)
+    sdf = spark.createDataFrame([("s", "aab")], ["image_id", "bytes"])
+    r = payload_entropy(sdf).head()
+    assert (r["n_bytes"], r["n_distinct_bytes"]) == (3, 2)
