@@ -1705,6 +1705,28 @@ def q_curation_funnel(spark, sf_dir):
     ).orderBy("stage_idx")
 
 
+def q_line_features(spark, sf_dir):
+    """Gopher line-format rules (textstats.line_features): bullet /
+    ellipsis / blank line fractions over newline-split lines — one
+    let-bound JVM filter per predicate, no explode, no shuffle. The
+    corpus is single-line, so deterministic multi-line tails by doc_id
+    residue exercise every predicate arm; both engines see identical
+    strings and anchored-regex dialects agree on these patterns."""
+    from secretscraper_spark.operators.textstats import line_features
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    tail = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("- alpha\n- beta\n* gamma"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("truncated one...\nkept\nmore…"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("   \n\nnext"))
+        .otherwise(F.lit("plain tail"))
+    )
+    lined = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit("\n"), tail).alias("text")
+    )
+    return line_features(lined).orderBy("doc_id")
+
+
 def q_payload_entropy(spark, sf_dir):
     """Per-payload byte entropy (multimodal.payload_entropy): the
     zero-decode corrupt/blank detector for the image table's binary
@@ -2035,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_funnel": q_image_funnel,
         "q_ngram_repetition": q_ngram_repetition,
         "q_payload_entropy": q_payload_entropy,
+        "q_line_features": q_line_features,
     }
 
 
@@ -3625,6 +3648,38 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 3, 'dedup_canonical', k2, k3 FROM a
             ORDER BY stage_idx
         """.replace("{lang_case}", lang_case),
+        # line-format rules: identical tails, list_filter + anchored
+        # regexes (both dialects agree on these constructs)
+        "q_line_features": r"""
+            WITH lined AS (
+              SELECT doc_id,
+                     text || chr(10) ||
+                     CASE CAST(doc_id % 4 AS INTEGER)
+                       WHEN 0 THEN '- alpha' || chr(10) || '- beta'
+                                   || chr(10) || '* gamma'
+                       WHEN 1 THEN 'truncated one...' || chr(10) || 'kept'
+                                   || chr(10) || 'more…'
+                       WHEN 2 THEN '   ' || chr(10) || chr(10) || 'next'
+                       ELSE 'plain tail' END AS t
+              FROM documents),
+            l AS (
+              SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined)
+            SELECT doc_id,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   round(len(list_filter(ls,
+                           x -> regexp_matches(x, '^[ \t]*[-*•]')))
+                         / CAST(greatest(len(ls), 1) AS DOUBLE), 6)
+                     AS bullet_frac,
+                   round(len(list_filter(ls,
+                           x -> regexp_matches(x, '(\.\.\.|…)[ \t]*$')))
+                         / CAST(greatest(len(ls), 1) AS DOUBLE), 6)
+                     AS ellipsis_frac,
+                   round(len(list_filter(ls,
+                           x -> regexp_matches(x, '^[ \t]*$')))
+                         / CAST(greatest(len(ls), 1) AS DOUBLE), 6)
+                     AS blank_frac
+            FROM l ORDER BY doc_id
+        """,
         # payload byte entropy: hex pairs + the fixed-point entropy sum
         "q_payload_entropy": r"""
             WITH img AS (

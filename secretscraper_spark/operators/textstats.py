@@ -579,6 +579,40 @@ def repetition_features(
     )
 
 
+def line_features(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Gopher line-format rules (Rae et al. 2021 §A1.1): fraction of
+    lines that start with a bullet glyph, end with an ellipsis, or are
+    blank — the boilerplate-list / truncated-snippet detectors that
+    token-level stats miss (nav menus are bullet walls, search-result
+    scrapes end every line with '...'). Gopher's shipped cutoffs: reject
+    at >90% bullet lines or >30% ellipsis lines.
+
+    Lines are a plain ``split('\\n')`` (empties kept — blank lines are a
+    signal); predicates are per-line regexes inside ONE let-bound
+    ``filter`` each, so the whole profile is a single JVM projection —
+    no explode, no shuffle, line arrays never leave the row."""
+    lines = F.split(F.col(text_col), "\n")
+    n = F.size(lines)
+
+    def frac(pred) -> Column:
+        return F.round(
+            F.size(F.filter(lines, pred)).cast("double")
+            / F.greatest(n, F.lit(1)).cast("double"),
+            6,
+        )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_lines"),
+        frac(lambda x: x.rlike(r"^[ \t]*[-*•]")).alias("bullet_frac"),
+        frac(
+            lambda x: x.rlike(r"(\.\.\.|…)[ \t]*$")
+        ).alias("ellipsis_frac"),
+        frac(lambda x: x.rlike(r"^[ \t]*$")).alias("blank_frac"),
+    )
+
+
 def ngram_repetition(
     df: DataFrame,
     n: int = 3,

@@ -1951,3 +1951,37 @@ def test_payload_entropy_matches_reference(spark):
     sdf = spark.createDataFrame([("s", "aab")], ["image_id", "bytes"])
     r = payload_entropy(sdf).head()
     assert (r["n_bytes"], r["n_distinct_bytes"]) == (3, 2)
+
+
+def test_line_features_matches_reference(spark):
+    import re as _re
+
+    from secretscraper_spark.operators.textstats import line_features
+
+    rows = [
+        (0, "- one\n- two\n- three"),                      # bullet wall
+        (1, "intro\nresult one...\nresult two…\nend"),     # ellipses
+        (2, "a\n\n   \nb"),                                # blanks
+        (3, "plain single line"),
+        (4, "\t* starred\n  • dotted\nnormal... \nx"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in line_features(df).collect()}
+    for i, t in rows:
+        ls = t.split("\n")
+        n = len(ls)
+        want = {
+            "n_lines": n,
+            "bullet_frac": round(
+                sum(bool(_re.match(r"^[ \t]*[-*•]", x)) for x in ls) / n, 6),
+            "ellipsis_frac": round(
+                sum(bool(_re.search(r"(\.\.\.|…)[ \t]*$", x)) for x in ls) / n, 6),
+            "blank_frac": round(
+                sum(bool(_re.match(r"^[ \t]*$", x)) for x in ls) / n, 6),
+        }
+        r = got[i]
+        for k, v in want.items():
+            assert r[k] == v, (i, k, r[k], v)
+    assert got[0]["bullet_frac"] == 1.0
+    assert got[1]["ellipsis_frac"] == 0.5
+    assert got[2]["blank_frac"] == 0.5
