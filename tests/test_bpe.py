@@ -205,3 +205,59 @@ def test_bpe_encode_matches_python_reference(spark):
         words = [w for w in WS.split(t.lower()) if w]
         want = sum(len(encode_word(w, ranks)) for w in words)
         assert got[i] == (len(words), want)
+
+
+def test_apply_merge_randomized_parity(spark):
+    """200 seeded random (symbol-list, pair) cases in ONE DataFrame,
+    fold output compared against the clean-room ref_apply — property-
+    level coverage of the rewrite kernel without per-example JVM trips."""
+    import random
+
+    rng = random.Random(20260818)
+    alpha = ["a", "b", "c", "ab", "bc", EOW]
+    cases = []
+    for i in range(200):
+        syms = [rng.choice(alpha) for _ in range(rng.randint(1, 12))]
+        lhs, rhs = rng.choice(alpha[:5]), rng.choice(alpha[:5])
+        cases.append((i, syms, lhs, rhs))
+    df = spark.createDataFrame(cases, ["i", "syms", "lhs", "rhs"])
+    # pairs vary per row, so group rows by (lhs, rhs) and apply per group
+    got = {}
+    for (lhs, rhs), grp in __import__("itertools").groupby(
+        sorted(cases, key=lambda c: (c[2], c[3])), key=lambda c: (c[2], c[3])
+    ):
+        idx = [c[0] for c in grp]
+        sub = df.filter(F.col("i").isin(idx)).select(
+            "i", apply_merge(F.col("syms"), lhs, rhs).alias("m")
+        )
+        got.update({r["i"]: r["m"] for r in sub.collect()})
+    for i, syms, lhs, rhs in cases:
+        assert got[i] == list(ref_apply(tuple(syms), lhs, rhs)), (
+            i, syms, lhs, rhs, got[i])
+
+
+def test_pair_counts_randomized_parity(spark):
+    """Random word/count tables: pair statistics must equal the Counter
+    reference exactly, including multi-byte symbols and count weighting."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(99)
+    chars = "abéc日x"
+    vocab = {}
+    for _ in range(150):
+        w = "".join(rng.choice(chars) for _ in range(rng.randint(1, 9)))
+        vocab[w] = rng.randint(1, 50)
+    df = spark.createDataFrame(
+        [(list(w) + [EOW], c) for w, c in vocab.items()], ["syms", "cnt"]
+    )
+    got = {
+        (r["lhs"], r["rhs"]): r["pair_count"]
+        for r in pair_counts(df).collect()
+    }
+    want: Counter = Counter()
+    for w, c in vocab.items():
+        syms = list(w) + [EOW]
+        for i in range(len(syms) - 1):
+            want[(syms[i], syms[i + 1])] += c
+    assert got == dict(want)
