@@ -1705,6 +1705,28 @@ def q_curation_funnel(spark, sf_dir):
     ).orderBy("stage_idx")
 
 
+def q_mirror_hosts(spark, sf_dir):
+    """Cross-host mirror detection (dedup.mirror_hosts): exact Jaccard
+    between hosts' content-fingerprint sets via the inverted-index
+    self-join (postings² per fingerprint — posting lists are HOST
+    counts, not doc counts). The corpus has no cross-source dupes, so
+    host/content are synthesized deterministically (host = doc_id%7,
+    content = doc_id//2): each content lands on an adjacent host pair,
+    giving a real mirror-overlap structure both engines rebuild
+    identically."""
+    from secretscraper_spark.operators.dedup import mirror_hosts
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    posted = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+        .alias("host"),
+        F.floor(F.col("doc_id") / 2).cast("long").alias("content"),
+    )
+    return mirror_hosts(
+        posted, host_col="host", fp_col="content", min_jaccard=0.05
+    ).orderBy("host_a", "host_b")
+
+
 def q_line_features(spark, sf_dir):
     """Gopher line-format rules (textstats.line_features): bullet /
     ellipsis / blank line fractions over newline-split lines — one
@@ -2058,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_repetition": q_ngram_repetition,
         "q_payload_entropy": q_payload_entropy,
         "q_line_features": q_line_features,
+        "q_mirror_hosts": q_mirror_hosts,
     }
 
 
@@ -3648,6 +3671,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 3, 'dedup_canonical', k2, k3 FROM a
             ORDER BY stage_idx
         """.replace("{lang_case}", lang_case),
+        # mirror hosts: identical synthesized postings, inverted-index
+        # self-join, exact jaccard
+        "q_mirror_hosts": r"""
+            WITH p AS (
+              SELECT DISTINCT
+                     'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                     CAST(doc_id // 2 AS BIGINT) AS content
+              FROM documents),
+            sizes AS (
+              SELECT host, count(*) AS n FROM p GROUP BY host),
+            inter AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     count(*) AS n_inter
+              FROM p a JOIN p b ON a.content = b.content
+                              AND a.host < b.host
+              GROUP BY a.host, b.host)
+            SELECT host_a, host_b,
+                   CAST(n_inter AS BIGINT) AS n_inter,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6)
+                     AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.host = host_a
+            JOIN sizes sb ON sb.host = host_b
+            WHERE round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6)
+                  >= 0.05
+            ORDER BY host_a, host_b
+        """,
         # line-format rules: identical tails, list_filter + anchored
         # regexes (both dialects agree on these constructs)
         "q_line_features": r"""

@@ -307,6 +307,84 @@ def exact_jaccard_pairs(
     )
 
 
+def mirror_hosts(
+    df: DataFrame,
+    host_col: str = "source",
+    fp_col: str | None = None,
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-host mirror detection: host pairs whose CONTENT fingerprint
+    sets overlap by Jaccard ≥ *min_jaccard* — mirror farms and scraped
+    re-hosts are host-level phenomena (the within-host signal is
+    `textstats.source_reputation`'s dup_frac; this is the across-host
+    complement every crawl-curation pass needs before counting a
+    "source" as independent).
+
+    Plan shape (the ngram-jaccard inverted-index scheme, host-keyed):
+    distinct (host, fp) postings → self-join on fp with ``host_a <
+    host_b`` → per-pair intersection count → broadcast-join each side's
+    set size → exact ``|∩| / (|A|+|B|−|∩|)``. Cost is Σ postings² per
+    fingerprint — fine because a fingerprint's posting list is the
+    number of HOSTS carrying that content; ``max_df`` drops
+    boilerplate fingerprints carried by more than *max_df* hosts (the
+    standard skew guard, same contract as ngram candidates). Output:
+    (host_a, host_b, n_inter, n_a, n_b, jaccard round 6).
+
+    *fp_col* names a precomputed fingerprint column; default derives
+    `textstats.fingerprint` (whitespace-normalized md5) from *text_col*."""
+    if fp_col is None:
+        from .textstats import fingerprint
+
+        postings = df.select(
+            F.col(host_col).alias("host"),
+            fingerprint(F.col(text_col)).alias("fp"),
+        )
+    else:
+        postings = df.select(
+            F.col(host_col).alias("host"), F.col(fp_col).alias("fp")
+        )
+    postings = postings.distinct()
+    if max_df is not None:
+        hot = (
+            postings.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("fp")
+        )
+        postings = postings.join(F.broadcast(hot), "fp", "left_anti")
+    # sizes AFTER the prune: jaccard stays exact over the (optionally
+    # pruned) fingerprint universe rather than mixing universes
+    sizes = postings.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+    a = postings.select(F.col("host").alias("host_a"), "fp")
+    b = postings.select(F.col("host").alias("host_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("host").alias("host_a"),
+                                     F.col("n").alias("n_a"))),
+            "host_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("host").alias("host_b"),
+                                     F.col("n").alias("n_b"))),
+            "host_b",
+        )
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("host_a", "host_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     sh: DataFrame, candidates: DataFrame
 ) -> DataFrame:

@@ -1985,3 +1985,43 @@ def test_line_features_matches_reference(spark):
     assert got[0]["bullet_frac"] == 1.0
     assert got[1]["ellipsis_frac"] == 0.5
     assert got[2]["blank_frac"] == 0.5
+
+
+def test_mirror_hosts_exact_jaccard(spark):
+    from secretscraper_spark.operators.dedup import mirror_hosts
+
+    # h1 {1,2,3,4}, h2 {3,4,5,6}, h3 {1,2,3,4} (full mirror of h1),
+    # h4 {9} (disjoint); fp 3 appears on 3 hosts (max_df target)
+    rows = [
+        ("h1", 1), ("h1", 2), ("h1", 3), ("h1", 4),
+        ("h2", 3), ("h2", 4), ("h2", 5), ("h2", 6),
+        ("h3", 1), ("h3", 2), ("h3", 3), ("h3", 4),
+        ("h4", 9),
+        ("h1", 1),  # duplicate posting must collapse
+    ]
+    df = spark.createDataFrame(rows, ["host", "fpk"])
+    got = {
+        (r["host_a"], r["host_b"]): r.asDict()
+        for r in mirror_hosts(
+            df, host_col="host", fp_col="fpk", min_jaccard=0.0
+        ).collect()
+    }
+    assert got[("h1", "h3")]["jaccard"] == 1.0
+    assert got[("h1", "h2")]["jaccard"] == round(2 / 6, 6)
+    assert got[("h2", "h3")]["jaccard"] == round(2 / 6, 6)
+    assert ("h1", "h4") not in got  # zero intersection yields no row
+    assert got[("h1", "h3")]["n_inter"] == 4
+    # threshold filters
+    hi = mirror_hosts(df, host_col="host", fp_col="fpk", min_jaccard=0.9)
+    assert [(r["host_a"], r["host_b"]) for r in hi.collect()] == [("h1", "h3")]
+    # max_df=2 drops fps 3 AND 4 (each on 3 hosts); sizes shrink with
+    # the prune so jaccard stays exact over the pruned universe
+    pruned = {
+        (r["host_a"], r["host_b"]): r.asDict()
+        for r in mirror_hosts(
+            df, host_col="host", fp_col="fpk", min_jaccard=0.0, max_df=2
+        ).collect()
+    }
+    assert pruned[("h1", "h3")]["jaccard"] == 1.0
+    assert pruned[("h1", "h3")]["n_a"] == 2
+    assert ("h1", "h2") not in pruned  # shared fps were all boilerplate
