@@ -1705,6 +1705,64 @@ def q_curation_funnel(spark, sf_dir):
     ).orderBy("stage_idx")
 
 
+def q_sniff_audit(spark, sf_dir):
+    """Zero-decode header audit (imagesniff.metadata_mismatches): REAL
+    container bytes are built executor-side per doc_id (GIF/BMP headers,
+    plus corrupt and dims-lying arms by residue), the Spark side PARSES
+    them back, and the DuckDB oracle computes the expected verdicts in
+    CLOSED FORM from the same residue arithmetic — a genuine value gate
+    on the parser without DuckDB ever touching binary (the
+    audio/video-oracle pattern). Map-only: one synth pass + one sniff
+    pass + an id join."""
+    import struct as _struct
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    from secretscraper_spark.operators.imagesniff import metadata_mismatches
+
+    docs = _t_cpu(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType([
+        T.StructField("image_id", T.LongType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+    ])
+
+    def synth(it):
+        def gif(w, h):
+            return b"GIF89a" + _struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+        def bmp(w, h):
+            return b"BM" + b"\x00" * 16 + _struct.pack("<ii", w, h) + b"\x00" * 8
+
+        for pdf in it:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 10 + d % 20, 5 + d % 10
+                arm = d % 5
+                if arm == 3:        # corrupt payload
+                    payload = b"xx"
+                elif arm == 1:      # header dims disagree with metadata
+                    payload = gif(w + 1, h)
+                elif arm == 2:      # declared gif, actually bmp
+                    payload = bmp(w, h)
+                else:               # clean
+                    payload = gif(w, h)
+                out.append((d, payload, "gif", w, h))
+            yield _pd.DataFrame(
+                out, columns=["image_id", "bytes", "fmt", "w", "h"]
+            )
+
+    imgs = docs.mapInPandas(synth, schema)
+    return metadata_mismatches(imgs).select(
+        "image_id", "sniff_fmt", "sniff_w",
+        "header_ok", "dims_ok", "fmt_ok",
+    ).orderBy("image_id")
+
+
 def q_mirror_hosts(spark, sf_dir):
     """Cross-host mirror detection (dedup.mirror_hosts): exact Jaccard
     between hosts' content-fingerprint sets via the inverted-index
@@ -2081,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_payload_entropy": q_payload_entropy,
         "q_line_features": q_line_features,
         "q_mirror_hosts": q_mirror_hosts,
+        "q_sniff_audit": q_sniff_audit,
     }
 
 
@@ -3671,6 +3730,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 3, 'dedup_canonical', k2, k3 FROM a
             ORDER BY stage_idx
         """.replace("{lang_case}", lang_case),
+        # sniff audit: Spark PARSES real container bytes; the oracle
+        # derives the expected verdicts in closed form from the same
+        # doc_id residue arithmetic (no binary in DuckDB)
+        "q_sniff_audit": r"""
+            SELECT doc_id AS image_id,
+                   CASE CAST(doc_id % 5 AS INTEGER)
+                     WHEN 3 THEN NULL
+                     WHEN 2 THEN 'bmp'
+                     ELSE 'gif' END AS sniff_fmt,
+                   CASE CAST(doc_id % 5 AS INTEGER)
+                     WHEN 3 THEN NULL
+                     WHEN 1 THEN CAST(10 + doc_id % 20 + 1 AS INTEGER)
+                     ELSE CAST(10 + doc_id % 20 AS INTEGER)
+                   END AS sniff_w,
+                   (doc_id % 5 <> 3) AS header_ok,
+                   CASE CAST(doc_id % 5 AS INTEGER)
+                     WHEN 3 THEN NULL
+                     WHEN 1 THEN false
+                     ELSE true END AS dims_ok,
+                   CASE CAST(doc_id % 5 AS INTEGER)
+                     WHEN 3 THEN NULL
+                     WHEN 2 THEN false
+                     ELSE true END AS fmt_ok
+            FROM documents ORDER BY image_id
+        """,
         # mirror hosts: identical synthesized postings, inverted-index
         # self-join, exact jaccard
         "q_mirror_hosts": r"""
