@@ -212,3 +212,65 @@ def test_stream_audio_features_matches_batch(spark, tmp_path_factory):
         for r in audio.audio_features(spark.read.schema(schema).parquet(d)).collect()
     }
     assert got == batch and len(got) == 50
+
+
+def test_stream_curation_funnel_matches_batch(spark, tmp_path):
+    """availableNow streamed funnel (2 micro-batches) rolled up ==
+    one-shot batch funnel over the same documents — valid because every
+    streamed stage is per-doc independent."""
+    from pyspark.sql import functions as F
+
+    from secretscraper_spark.operators.curation import funnel_counts
+    from secretscraper_spark.operators.textstats import lang_id, quality_gate
+    from secretscraper_spark.streaming.curate_stream import (
+        rollup_funnel,
+        stream_curation_funnel,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    ddir = tmp_path / "docs"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(ddir))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(ddir))
+
+    def prepare(batch_df):
+        qg = quality_gate(batch_df).select("doc_id", "keep")
+        return batch_df.select(
+            "doc_id", lang_id(F.col("text")).alias("lid")
+        ).join(qg, "doc_id")
+
+    def stages():
+        return [
+            ("quality", F.col("keep")),
+            ("english", F.col("lid") == "en"),
+        ]
+
+    st = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ddir))
+    )
+    q = stream_curation_funnel(
+        st, prepare, stages, str(tmp_path / "funnel"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(600), "funnel stream did not finish"
+
+    raw = spark.read.parquet(str(tmp_path / "funnel"))
+    assert raw.select("batch_id").distinct().count() >= 2
+
+    got = [
+        (r["stage_idx"], r["stage"], r["n_in"], r["n_kept"])
+        for r in rollup_funnel(spark, str(tmp_path / "funnel")).collect()
+    ]
+    want = [
+        (r["stage_idx"], r["stage"], r["n_in"], r["n_kept"])
+        for r in funnel_counts(prepare(docs), stages())
+        .orderBy("stage_idx").collect()
+    ]
+    assert got == want
+    assert got[0][2] == 500
