@@ -1705,6 +1705,21 @@ def q_curation_funnel(spark, sf_dir):
     ).orderBy("stage_idx")
 
 
+def q_politeness_audit(spark, sf_dir):
+    """Per-host politeness compliance audit (politeness.politeness_audit)
+    over the events table as a fetch log (user_id → host, ts → fetch
+    time): smallest inter-fetch gap and budget violations per host in
+    exact MICROSECOND BIGINTs (unix_micros ↔ epoch_us) — no float time
+    math, bit-exact across engines. One host window + one rollup."""
+    from secretscraper_spark.plans.politeness import politeness_audit
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), F.col("user_id").cast("string")).alias("host"),
+        F.col("ts"),
+    )
+    return politeness_audit(ev, "host", "ts", 600.0).orderBy("host")
+
+
 def q_sniff_audit(spark, sf_dir):
     """Zero-decode header audit (imagesniff.metadata_mismatches): REAL
     container bytes are built executor-side per doc_id (GIF/BMP headers,
@@ -2140,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_features": q_line_features,
         "q_mirror_hosts": q_mirror_hosts,
         "q_sniff_audit": q_sniff_audit,
+        "q_politeness_audit": q_politeness_audit,
     }
 
 
@@ -3730,6 +3746,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 3, 'dedup_canonical', k2, k3 FROM a
             ORDER BY stage_idx
         """.replace("{lang_case}", lang_case),
+        # politeness audit: exact microsecond gaps (unix_micros ↔
+        # epoch_us), tie-invariant aggregates
+        "q_politeness_audit": r"""
+            WITH f AS (
+              SELECT 'h' || CAST(user_id AS VARCHAR) AS host,
+                     epoch_us(ts) AS us
+              FROM events),
+            g AS (
+              SELECT host,
+                     us - lag(us) OVER (PARTITION BY host ORDER BY us)
+                       AS gap_us
+              FROM f)
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_fetches,
+                   CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+                   CAST(sum(CASE WHEN gap_us < 600000000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations
+            FROM g GROUP BY host ORDER BY host
+        """,
         # sniff audit: Spark PARSES real container bytes; the oracle
         # derives the expected verdicts in closed form from the same
         # doc_id residue arithmetic (no binary in DuckDB)

@@ -150,3 +150,45 @@ def allocate_host_budget(
             + (F.col("__seq") < F.lit(leftover)).cast("long")
         ).alias(quota_col),
     )
+
+
+def politeness_audit(
+    df: DataFrame,
+    host_col: str,
+    ts_col: str,
+    min_interval_s: float,
+) -> DataFrame:
+    """Per-host politeness COMPLIANCE audit over observed fetch
+    timestamps — the operational check that a fleet actually honored the
+    min-request-interval budget (the schedule builder above plans it;
+    this verifies it from the fetch log after the fact, which is what an
+    operator of a 1000-executor fleet actually inspects).
+
+    Per host: ``n_fetches``, ``min_gap_us`` (smallest inter-fetch gap),
+    and ``n_violations`` (gaps below the budget). Gaps are computed as
+    exact MICROSECOND BIGINTs (unix_micros), so the result is
+    bit-reproducible across engines and layouts — no float time math.
+    One host-keyed window pass + one rollup. Tied timestamps are safe:
+    reordering equal values cannot change the gap multiset, so every
+    aggregate here is tie-invariant. Hosts with one fetch report
+    NULL min_gap_us and 0 violations."""
+    # parquet timestamps may arrive as TIMESTAMP_NTZ; the cast is exact
+    # under the engine's pinned UTC session tz (session.py), and gaps
+    # are differences, so any constant offset cancels anyway
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(host_col).orderBy(us)
+    gap = us - F.lag(us).over(w)
+    per = df.select(
+        F.col(host_col).alias("host"), gap.alias("gap_us")
+    )
+    lim = int(round(min_interval_s * 1_000_000))
+    return (
+        per.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.sum(
+                F.when(F.col("gap_us") < lim, 1).otherwise(0)
+            ).cast("long").alias("n_violations"),
+        )
+    )

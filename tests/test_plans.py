@@ -530,3 +530,35 @@ def test_allocate_host_budget_under_demand_passthrough(spark):
     df = spark.createDataFrame([("a", 2), ("b", 1)], "host string, demand long")
     got = {r.host: r.quota for r in allocate_host_budget(df, 100).collect()}
     assert got == {"a": 2, "b": 1}
+
+
+def test_politeness_audit_exact(spark):
+    from datetime import datetime
+
+    from secretscraper_spark.plans.politeness import politeness_audit
+
+    def t(s, us=0):
+        return datetime(2024, 1, 1, 0, 0, s, us)
+
+    rows = [
+        # h1: gaps 2s, 0.5s (violation at 1s budget), 1s (boundary: ok)
+        ("h1", t(0)), ("h1", t(2)), ("h1", t(2, 500000)), ("h1", t(3, 500000)),
+        # h2: single fetch -> NULL min gap, 0 violations
+        ("h2", t(5)),
+        # h3: tied timestamps -> gap 0 (violation) regardless of order
+        ("h3", t(7)), ("h3", t(7)),
+    ]
+    df = spark.createDataFrame(rows, ["host", "ts"])
+    got = {
+        r["host"]: (r["n_fetches"], r["min_gap_us"], r["n_violations"])
+        for r in politeness_audit(df, "host", "ts", 1.0).collect()
+    }
+    assert got["h1"] == (4, 500000, 1)   # 1.0s gap is NOT below the budget
+    assert got["h2"] == (1, None, 0)
+    assert got["h3"] == (2, 0, 1)
+    # tie-invariance under repartition
+    again = {
+        r["host"]: (r["n_fetches"], r["min_gap_us"], r["n_violations"])
+        for r in politeness_audit(df.repartition(5), "host", "ts", 1.0).collect()
+    }
+    assert again == got
