@@ -1705,6 +1705,31 @@ def q_curation_funnel(spark, sf_dir):
     ).orderBy("stage_idx")
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML → training text (textstats.html_to_text): script/style/
+    comment blocks dropped, tags stripped, entities decoded single-pass,
+    whitespace collapsed — the boilerplate strip between the crawl and
+    every text operator. Documents are wrapped in a noisy page template
+    (per-doc script payload, comments, entities) and both engines run
+    the identical chain — pure chained regexp_replace/replace, one
+    scan."""
+    from secretscraper_spark.operators.textstats import html_to_text
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit('<html><head><style>p{margin:0}</style>'
+              '<script type="text/javascript">track("'),
+        F.col("doc_id").cast("string"),
+        F.lit('");</script></head><body><h1>Doc &amp; more</h1><p>'),
+        F.col("text"),
+        F.lit('</p><!-- crawl noise --><br/>tail&nbsp;end</body></html>'),
+    )
+    return docs.select(
+        "doc_id",
+        html_to_text(page).alias("main_text"),
+    ).withColumn("n_chars_extracted", F.length("main_text")).orderBy("doc_id")
+
+
 def q_politeness_audit(spark, sf_dir):
     """Per-host politeness compliance audit (politeness.politeness_audit)
     over the events table as a fetch log (user_id → host, ts → fetch
@@ -2156,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mirror_hosts": q_mirror_hosts,
         "q_sniff_audit": q_sniff_audit,
         "q_politeness_audit": q_politeness_audit,
+        "q_html_extract": q_html_extract,
     }
 
 
@@ -3746,6 +3772,42 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 3, 'dedup_canonical', k2, k3 FROM a
             ORDER BY stage_idx
         """.replace("{lang_case}", lang_case),
+        # html extract: identical wrap template + strip chain (RE2
+        # handles (?is)/non-greedy/\b identically — probe-verified)
+        "q_html_extract": r"""
+            WITH page AS (
+              SELECT doc_id,
+                     '<html><head><style>p{margin:0}</style>'
+                     || '<script type="text/javascript">track("'
+                     || CAST(doc_id AS VARCHAR)
+                     || '");</script></head><body><h1>Doc &amp; more</h1><p>'
+                     || text
+                     || '</p><!-- crawl noise --><br/>tail&nbsp;end</body></html>'
+                       AS h
+              FROM documents),
+            stripped AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(h,
+                         '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                         '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                         '(?s)<!--.*?-->', ' ', 'g'),
+                         '(?s)<[^>]+>', ' ', 'g') AS t
+              FROM page),
+            decoded AS (
+              SELECT doc_id,
+                     replace(replace(replace(replace(replace(replace(t,
+                       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')
+                       AS t
+              FROM stripped)
+            SELECT doc_id,
+                   trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g'))
+                     AS main_text,
+                   CAST(length(trim(regexp_replace(t, '[ \t\n\r\f]+',
+                        ' ', 'g'))) AS INTEGER) AS n_chars_extracted
+            FROM decoded ORDER BY doc_id
+        """,
         # politeness audit: exact microsecond gaps (unix_micros ↔
         # epoch_us), tie-invariant aggregates
         "q_politeness_audit": r"""

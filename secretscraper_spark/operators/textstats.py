@@ -579,6 +579,43 @@ def repetition_features(
     )
 
 
+# block-level HTML noise stripped before tag removal; all constructs
+# ((?is) inline flags, non-greedy, \b) behave identically in Java regex
+# (Spark) and RE2 (DuckDB oracle) — probe-verified
+_HTML_BLOCK_PATTERNS = [
+    r"(?is)<script\b[^>]*>.*?</script>",
+    r"(?is)<style\b[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+]
+# single-pass entity unescape: specific entities first, bare &amp; LAST so
+# a literal '&amp;lt;' decodes once (to '&lt;'), never twice (to '<')
+_HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """Crawl page → training text: drop script/style/comment blocks,
+    strip remaining tags, decode the common entities (single-pass
+    order), collapse whitespace, trim — the boilerplate-strip every
+    HTML-sourced corpus runs before quality scoring and dedup (the
+    text-extraction analog of purekit's title extractor, as a pure
+    Column chain). Chained ``regexp_replace``/``replace`` exprs — JVM
+    codegen, zero Python, one scan; dialect-portable so the DuckDB
+    oracle reproduces the exact strings. NOT a parser: pathological
+    markup (unclosed <script>, '>' inside attribute values) degrades
+    gracefully rather than exactly — the bs4-gated DOM path is the
+    parser-grade option where the wheel exists."""
+    out = html
+    for p in _HTML_BLOCK_PATTERNS:
+        out = F.regexp_replace(out, p, " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, WS_SPLIT_PATTERN, " "))
+
+
 def line_features(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Gopher line-format rules (Rae et al. 2021 §A1.1): fraction of

@@ -2025,3 +2025,31 @@ def test_mirror_hosts_exact_jaccard(spark):
     assert pruned[("h1", "h3")]["jaccard"] == 1.0
     assert pruned[("h1", "h3")]["n_a"] == 2
     assert ("h1", "h2") not in pruned  # shared fps were all boilerplate
+
+
+def test_html_to_text_extraction(spark):
+    from pyspark.sql import functions as F
+
+    from secretscraper_spark.operators.textstats import html_to_text
+
+    cases = [
+        ('<html><head><style>b{x}</style><script a="b">var x=1;'
+         '</script></head><body><!-- c --><p>Hi &amp; bye &lt;3</p>'
+         '</body></html>',
+         'Hi & bye <3'),
+        ('<div>multi\n  line\t text</div>', 'multi line text'),
+        ('no markup at all', 'no markup at all'),
+        ('&amp;lt; decodes once', '&lt; decodes once'),
+        ('<SCRIPT>UPPER.case()</SCRIPT>kept', 'kept'),
+        ('a&nbsp;b&quot;c&#39;d&gt;e', 'a b"c\'d>e'),
+        ('<p class="x">attr</p><br/>tail', 'attr tail'),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], ["i", "html"]
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("html")).alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
