@@ -1705,6 +1705,41 @@ def q_curation_funnel(spark, sf_dir):
     ).orderBy("stage_idx")
 
 
+def q_canonical_url(spark, sf_dir):
+    """Curation-grade URL canonicalization (urlnorm.canonical_url):
+    scheme/host case-fold, default-port drop, fragment drop, tracking-
+    param strip, query sort — the dedup-key normalizer (deliberately
+    distinct from the crawler's reference-parity identity). URLs are
+    synthesized by residue to hit every rule; both engines rebuild the
+    same strings via one regex decomposition + list filter/sort."""
+    from secretscraper_spark.operators.urlnorm import canonical_url
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP"),
+        F.when(d % 2 == 0, F.lit("S")).otherwise(F.lit("")),
+        F.lit("://Host"),
+        (d % 5).cast("string"),
+        F.lit(".Example.COM"),
+        F.when((d % 3 == 0) & (d % 2 == 1), F.lit(":80"))
+        .when((d % 3 == 0) & (d % 2 == 0), F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/p/"),
+        d.cast("string"),
+        F.when(d % 4 == 0,
+               F.concat(F.lit("?utm_source=x&b="),
+                        (d % 7).cast("string"), F.lit("&a=1")))
+        .when(d % 4 == 1, F.lit("?z=9&fbclid=abc&m=2"))
+        .when(d % 4 == 2, F.lit("#frag"))
+        .otherwise(F.lit("?ref=tw&refresh=1")),
+    )
+    return docs.select(
+        "doc_id", url.alias("raw_url"),
+        canonical_url(url).alias("canon_url"),
+    ).orderBy("doc_id")
+
+
 def q_html_extract(spark, sf_dir):
     """HTML → training text (textstats.html_to_text): script/style/
     comment blocks dropped, tags stripped, entities decoded single-pass,
@@ -2182,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sniff_audit": q_sniff_audit,
         "q_politeness_audit": q_politeness_audit,
         "q_html_extract": q_html_extract,
+        "q_canonical_url": q_canonical_url,
     }
 
 
@@ -3772,6 +3808,61 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 3, 'dedup_canonical', k2, k3 FROM a
             ORDER BY stage_idx
         """.replace("{lang_case}", lang_case),
+        # canonical url: identical synthesis + decomposition regex +
+        # list filter/sort rebuild
+        "q_canonical_url": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END
+                     || '://Host' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.Example.COM'
+                     || CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 1
+                             THEN ':80'
+                             WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+                             THEN ':443' ELSE '' END
+                     || '/p/' || CAST(doc_id AS VARCHAR)
+                     || CASE CAST(doc_id % 4 AS INTEGER)
+                          WHEN 0 THEN '?utm_source=x&b='
+                                      || CAST(doc_id % 7 AS VARCHAR)
+                                      || '&a=1'
+                          WHEN 1 THEN '?z=9&fbclid=abc&m=2'
+                          WHEN 2 THEN '#frag'
+                          ELSE '?ref=tw&refresh=1' END AS raw_url
+              FROM documents),
+            parts AS (
+              SELECT doc_id, raw_url,
+                lower(regexp_extract(raw_url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)',
+                  1)) AS scheme,
+                lower(regexp_extract(raw_url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)',
+                  2)) AS auth,
+                regexp_extract(raw_url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)',
+                  3) AS path,
+                regexp_extract(raw_url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)',
+                  4) AS query
+              FROM u),
+            norm AS (
+              SELECT doc_id, raw_url, scheme, path,
+                CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+                     THEN substr(auth, 1, length(auth) - 3)
+                     WHEN scheme = 'https' AND auth LIKE '%:443'
+                     THEN substr(auth, 1, length(auth) - 4)
+                     ELSE auth END AS host,
+                array_to_string(list_sort(list_filter(
+                  string_split(query, '&'),
+                  p -> p <> '' AND NOT regexp_matches(p,
+                    '^(utm_[^=]*|fbclid|gclid|msclkid|igshid|ref)(=|$)'))),
+                  '&') AS q
+              FROM parts)
+            SELECT doc_id, raw_url,
+                   scheme || '://' || host || path
+                   || CASE WHEN q <> '' THEN '?' || q ELSE '' END
+                     AS canon_url
+            FROM norm ORDER BY doc_id
+        """,
         # html extract: identical wrap template + strip chain (RE2
         # handles (?is)/non-greedy/\b identically — probe-verified)
         "q_html_extract": r"""

@@ -2053,3 +2053,34 @@ def test_html_to_text_extraction(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_canonical_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from secretscraper_spark.operators.urlnorm import canonical_url
+
+    cases = [
+        ("HTTP://Example.COM:80/Path?utm_source=tw&b=2&a=1#frag",
+         "http://example.com/Path?a=1&b=2"),
+        ("https://A.com:443/x", "https://a.com/x"),
+        ("https://a.com:8443/x", "https://a.com:8443/x"),  # non-default kept
+        ("http://a.com/x?fbclid=1&gclid=2&utm_medium=m&ref=z",
+         "http://a.com/x"),
+        ("http://a.com/x?ref=z&refresh=1",       # 'refresh' is NOT 'ref'
+         "http://a.com/x?refresh=1"),
+        ("http://a.com/x?", "http://a.com/x"),
+        ("http://a.com", "http://a.com"),
+        ("ftp://a.com/x?utm_source=1", "ftp://a.com/x?utm_source=1"),
+        ("not a url", "not a url"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["i", "u"]
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
