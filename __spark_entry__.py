@@ -1705,6 +1705,34 @@ def q_curation_funnel(spark, sf_dir):
     ).orderBy("stage_idx")
 
 
+def q_corpus_rollup(spark, sf_dir):
+    """Corpus-sizing report: docs / whitespace tokens / chars by
+    (lang, source) with ROLLUP subtotals and grand total — the sizing
+    table every training-mix decision starts from, and the engine's
+    grouping-sets showcase (ONE pass computes all three grouping levels
+    via Expand; NULL group keys coalesced to '(all)' so both engines
+    hash identically). Exact integer aggregates only."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    base = docs.select(
+        "lang", "source", toks.alias("tk"), F.length("text").alias("ch")
+    )
+    return (
+        base.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tk").cast("long").alias("sum_tokens"),
+            F.sum("ch").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("(all)")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("(all)")).alias("source"),
+            "n_docs", "sum_tokens", "sum_chars",
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def q_canonical_url(spark, sf_dir):
     """Curation-grade URL canonicalization (urlnorm.canonical_url):
     scheme/host case-fold, default-port drop, fragment drop, tracking-
@@ -2218,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_politeness_audit": q_politeness_audit,
         "q_html_extract": q_html_extract,
         "q_canonical_url": q_canonical_url,
+        "q_corpus_rollup": q_corpus_rollup,
     }
 
 
@@ -3808,6 +3837,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 3, 'dedup_canonical', k2, k3 FROM a
             ORDER BY stage_idx
         """.replace("{lang_case}", lang_case),
+        # corpus rollup: GROUP BY ROLLUP, NULL keys coalesced identically
+        "q_corpus_rollup": r"""
+            SELECT coalesce(lang, '(all)') AS lang,
+                   coalesce(source, '(all)') AS source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS sum_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY ROLLUP (lang, source)
+            ORDER BY lang, source
+        """,
         # canonical url: identical synthesis + decomposition regex +
         # list filter/sort rebuild
         "q_canonical_url": r"""
