@@ -120,15 +120,21 @@ def parse6(url: str) -> tuple[str, str, str, str, str, str]:
 
 
 def unparse6(t: tuple[str, str, str, str, str, str]) -> str:
-    """Exact ParseResult.geturl() serialization of a 6-tuple."""
+    """Exact ParseResult.geturl() serialization of a 6-tuple — mirrors
+    the installed CPython ``urlunsplit`` line-for-line, including the
+    netloc-scheme rule (a ``uses_netloc`` scheme with an EMPTY netloc
+    still serializes '//': ``'WS:'`` → ``'ws://'``; hypothesis-found
+    parity gap, test_properties.py)."""
+    from urllib.parse import uses_netloc
+
     scheme, netloc, path, params, query, fragment = t
     url = path
     if params:
         url = url + ";" + params
-    if netloc:
-        url = "//" + netloc + (url if url.startswith("/") or not url else "/" + url)
-    elif url.startswith("//"):
-        url = "//" + url
+    if netloc or (scheme and scheme in uses_netloc and url[:2] != "//"):
+        if url and url[:1] != "/":
+            url = "/" + url
+        url = "//" + (netloc or "") + url
     if scheme:
         url = scheme + ":" + url
     if query:
