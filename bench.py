@@ -517,12 +517,22 @@ def main() -> None:
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
         max_extra = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_EXTRA", "6"))
 
-        # half-size legs (same 12 KB pages, same input at both levels):
-        # throughput is the metric, so the pair is ~2x cheaper and the
-        # best-of estimator gets ~2x the samples per time budget; measured
-        # per-second rates match the full-size legs (BASELINE.md).
+        # DOUBLE-size legs (same 12 KB pages, same input at both levels).
+        # Leg size sets how much parallelism-INDEPENDENT per-leg cost
+        # (~7-9 s measured: frontier build, tier barriers, politeness
+        # jobs, checkpoint writes, job-launch latency) weighs against the
+        # compute window, and fixed seconds deflate the FAST leg
+        # proportionally more — a half-size-legs protocol (round 2)
+        # recorded 0.55 while the same run's compute-only arithmetic and
+        # the pure-extraction stage probe showed ~0.9-1.0; full-size legs
+        # recorded 0.75 with ~7.4 s fixed against a 22 s hi-leg window
+        # (BASELINE.md round-3 notes). The north rule's regime is a 10^10
+        # frontier where per-leg constants amortize to ZERO, so the
+        # honest approximation is the largest affordable legs: 2×N_PAGES
+        # puts ~7.5 s against ~45 s of hi-leg compute. The 2400 s global
+        # budget still bounds total pairs.
         scaling_pages = int(
-            os.environ.get("SPARK_GRAFT_SCALING_PAGES", str(max(N_PAGES // 2, 2000)))
+            os.environ.get("SPARK_GRAFT_SCALING_PAGES", str(max(2 * N_PAGES, 2000)))
         )
 
         def leg(master: str, shuffle: int, ncores: int) -> dict:
