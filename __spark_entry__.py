@@ -1261,6 +1261,41 @@ def q_warc_roundtrip(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_wds_roundtrip(spark, sf_dir):
+    """WebDataset tar-shard sink + source round-trip (sinks/wds.py,
+    sources/wds.py — the training-loader last mile): the documents table
+    is packed into tar shards by the DISTRIBUTED writer (two-phase-rank
+    shard assignment, canonical zero-mtime tar bytes, atomic-rename
+    commit) and read back through the distributed reader. The oracle
+    digests the source rows directly — an engine that never saw tar
+    framing value-checks member naming, sample grouping, and payload
+    bytes end to end."""
+    import tempfile
+
+    from secretscraper_spark.sinks.wds import write_wds_shards
+    from secretscraper_spark.sources.wds import read_wds_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("bytes"),
+        F.lit("bin").alias("fmt"),
+        F.concat(F.lit("caption "), F.col("doc_id").cast("string")).alias("caption"),
+    )
+    d = tempfile.mkdtemp(prefix="spark_graft_wds_")
+    write_wds_shards(pairs, d, samples_per_shard=512)
+    return (
+        read_wds_shards(spark, d)
+        .select(
+            F.col("key").cast("long").alias("doc_id"),
+            "fmt",
+            F.md5("bytes").alias("payload_md5"),
+            "caption",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_robots_parse(spark, sf_dir):
     """robots.txt parsing (plans/robotstxt.py): deterministic robots
     bodies are synthesized per nation-key host — a decoy `otherbot`
@@ -2216,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": q_dup_spans,
         "q_pagerank": q_pagerank,
         "q_warc_roundtrip": q_warc_roundtrip,
+        "q_wds_roundtrip": q_wds_roundtrip,
         "q_robots_parse": q_robots_parse,
         "q_sitemap_parse": q_sitemap_parse,
         "q_crawl_diff": q_crawl_diff,
@@ -3488,6 +3524,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(strlen(text) AS BIGINT) AS content_length,
                    md5(text) AS payload_md5
+            FROM documents ORDER BY doc_id
+        """,
+        # WebDataset round-trip: same oracle posture as WARC — digest the
+        # source rows directly; the tar write+read happened only on the
+        # Spark side, so any codec/grouping bug diverges the values
+        "q_wds_roundtrip": """
+            SELECT doc_id, 'bin' AS fmt,
+                   md5(coalesce(text, '')) AS payload_md5,
+                   'caption ' || CAST(doc_id AS VARCHAR) AS caption
             FROM documents ORDER BY doc_id
         """,
         # robots parsing: the oracle recomputes the synthetic generator's
