@@ -88,7 +88,11 @@ def _sample_rows(shard: str, key: str, members: dict[str, bytes]) -> list[dict]:
 
 def read_wds_shards(spark: SparkSession, path: str,
                     glob: str = "*.tar") -> DataFrame:
-    """Read WebDataset tar shards under *path* into WDS_SCHEMA rows."""
+    """Read WebDataset tar shards under *path* into WDS_SCHEMA rows.
+
+    Compressed shards (``.tar.gz`` etc.) work unchanged — ``tarfile``'s
+    ``mode="r"`` auto-detects the compression; pass the matching *glob*.
+    """
     shards = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)

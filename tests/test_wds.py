@@ -121,6 +121,20 @@ def test_reader_groups_consecutive_runs(spark, tmp_path):
     ]
 
 
+def test_reader_handles_gzip_shards(spark, tmp_path):
+    # tarfile's stream auto-detection makes .tar.gz shards readable with
+    # no reader changes; the glob just has to match
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tar:
+        for name, data in [("k.png", b"PP"), ("k.txt", b"cap")]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+    (tmp_path / "s.tar.gz").write_bytes(buf.getvalue())
+    [r] = read_wds_shards(spark, str(tmp_path), glob="*.tar.gz").collect()
+    assert (r.key, r.fmt, bytes(r.bytes), r.caption) == ("k", "png", b"PP", "cap")
+
+
 def test_order_cols_drive_shard_assignment(spark, tmp_path):
     src = spark.createDataFrame(
         [("k1", b"x", "bin", "c", 3), ("k2", b"y", "bin", "c", 1),
