@@ -227,6 +227,48 @@ def q_seen_antijoin(spark, sf_dir):
     )
 
 
+def q_bucketed_antijoin(spark, sf_dir):
+    """q_seen_antijoin with the seen side STORED bucketed by the join key
+    (plans/bucketed_seen.py) — the 10^10-regime layout where the seen
+    table is the biggest table in the system and must never re-shuffle
+    per tier. The plan is asserted exchange-free on the bucketed side
+    (assert_no_seen_exchange) and the values must equal the plain
+    anti-join oracle exactly."""
+    import tempfile
+
+    from secretscraper_spark.plans.bucketed_seen import (
+        assert_no_seen_exchange,
+        bucketed_seen_anti_join,
+        write_seen_bucketed,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    seen = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("url_hash"))
+    )
+    d = tempfile.mkdtemp(prefix="spark_graft_bseen_")
+    tbl = f"seen_bucketed_{abs(hash(d)) % 10**8}"
+    write_seen_bucketed(seen, tbl, d, buckets=8)
+    frontier = ev.withColumnRenamed("user_id", "url_hash")
+    joined = bucketed_seen_anti_join(frontier, tbl)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert_no_seen_exchange(bucketed_seen_anti_join(frontier, tbl))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_unseen"),
+            F.count_distinct("url_hash").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_first_discovery(spark, sf_dir):
     """D1 first-occurrence semantics (visited-at-enqueue): earliest event
     per user — min(struct) per group, the discovery_seq assignment shape."""
@@ -2195,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_js_classify": q_js_classify,
         "q_status_ranges": q_status_ranges,
         "q_seen_antijoin": q_seen_antijoin,
+        "q_bucketed_antijoin": q_bucketed_antijoin,
         "q_first_discovery": q_first_discovery,
         "q_edges_group": q_edges_group,
         "q_domain_report": q_domain_report,
@@ -2604,6 +2647,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY status ORDER BY status
         """,
         "q_seen_antijoin": """
+            SELECT event_type,
+                   count(*) AS n_unseen,
+                   count(DISTINCT user_id) AS n_users
+            FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id
+                                AND c.c_mktsegment = 'BUILDING')
+            GROUP BY event_type ORDER BY event_type
+        """,
+        # bucketed-storage variant of the seen anti-join: same answer as
+        # q_seen_antijoin by construction — the bucketing is physical only
+        "q_bucketed_antijoin": """
             SELECT event_type,
                    count(*) AS n_unseen,
                    count(DISTINCT user_id) AS n_users
