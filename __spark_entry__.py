@@ -851,6 +851,72 @@ def q_quantized_ann_full(spark, sf_dir):
     ).select("vec_id", F.round(F.col("cosine"), 3).alias("cosine_r3"))
 
 
+def q_recall_eval(spark, sf_dir):
+    """Retrieval-quality evaluation (retrieval.recall_at_k): per-query
+    recall of one exact top-10 ranking against another over the SQ8 code
+    space — results = top-10 by integer code dot product, gold = top-10
+    by integer code L1 distance (8 probe queries, self excluded). Both
+    rankings are pure integer arithmetic over the oracle-gated quantize
+    codes, so membership, hits, and the fixed-point recall are
+    bit-identical cross-engine with zero float-boundary risk. Plan: one
+    dim-sized train agg, a broadcast probe crossJoin (corpus never
+    shuffles), two probe-sized windows, then recall_at_k's
+    results-sized joins."""
+    from pyspark.sql import Window
+
+    from secretscraper_spark.operators import quantize as qz
+    from secretscraper_spark.operators.retrieval import recall_at_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mins, maxs = qz.dim_stats(emb)
+    coded = emb.select(
+        "vec_id", qz.quantize_expr(F.col("embedding"), mins, maxs).alias("codes")
+    )
+    probes = coded.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qc")
+    )
+    zero = F.lit(0).cast("long")
+    dot = F.aggregate(
+        F.zip_with("qc", "codes", lambda a, b: a.cast("long") * b),
+        zero, lambda acc, x: acc + x,
+    )
+    l1 = F.aggregate(
+        F.zip_with("qc", "codes", lambda a, b: F.abs(a.cast("long") - b)),
+        zero, lambda acc, x: acc + x,
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dot.alias("dot"), l1.alias("l1"))
+    )
+    w_r = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.col("vec_id"))
+    w_g = Window.partitionBy("query_id").orderBy(F.asc("l1"), F.col("vec_id"))
+    results = (
+        scored.withColumn("rk", F.row_number().over(w_r))
+        .filter(F.col("rk") <= 10).select("query_id", "vec_id")
+    )
+    gold = (
+        scored.withColumn("rk", F.row_number().over(w_g))
+        .filter(F.col("rk") <= 10).select("query_id", "vec_id")
+    )
+    return recall_at_k(results, gold, "query_id", "vec_id").orderBy("query_id")
+
+
+def q_token_budget(spark, sf_dir):
+    """Per-source token-budget fill (sampling.token_budget_fill): each
+    source keeps the maximal hash-ordered prefix whose running token
+    total fits its budget — the "300B web + 80B code" mixture spec as an
+    operator. Two-phase block prefix sum (never one window task per
+    source); portable-hash mode so the oracle replays the order, the
+    running totals, and the cut exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", token_count(F.col("text")).alias("n_tokens"))
+    return sampling.token_budget_fill(
+        d, "source", "n_tokens", "doc_id",
+        {"src0": 800, "src1": 600}, mode="portable", default_budget=700,
+    ).orderBy("source", "cum_tokens")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (similarity.semantic_dedup): embedding-cluster semantic
     dedup — within-cell cosine pairs → connected components → one
@@ -2258,6 +2324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_ann_full": q_lsh_ann_full,
         "q_quantize_codes": q_quantize_codes,
         "q_quantized_ann_full": q_quantized_ann_full,
+        "q_recall_eval": q_recall_eval,
+        "q_token_budget": q_token_budget,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_split_assign": q_split_assign,
         "q_stratified_sample": q_stratified_sample,
@@ -3107,6 +3175,82 @@ def oracle_sql() -> dict[str, str]:
                               * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT)
                      AS err_fp
             FROM c ORDER BY vec_id, pos
+        """,
+        # retrieval-eval: both rankings (code dot-product vs code L1) are
+        # integer arithmetic over the same quantize-codes CTE the
+        # q_quantize_codes oracle gates, so top-k membership and the
+        # fixed-point recall are float-free on both engines
+        "q_recall_eval": """
+            WITH e AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings),
+            stats AS (
+              SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY pos),
+            c AS (
+              SELECT vec_id, pos,
+                     least(greatest(CAST(round((x - mn) /
+                       CASE WHEN mx > mn THEN (mx - mn) / CAST(255 AS DOUBLE)
+                            ELSE CAST(1.0 AS DOUBLE) END, 0) AS INTEGER),
+                       0), 255) AS code
+              FROM e JOIN stats USING (pos)),
+            qd AS (
+              SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
+                     SUM(CAST(q.code AS BIGINT) * d.code) AS dot,
+                     SUM(abs(CAST(q.code AS BIGINT) - d.code)) AS l1
+              FROM c q JOIN c d USING (pos)
+              WHERE q.vec_id < 8 AND d.vec_id <> q.vec_id
+              GROUP BY q.vec_id, d.vec_id),
+            rr AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dot DESC, vec_id) AS rk
+                FROM qd) WHERE rk <= 10),
+            gg AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY l1 ASC, vec_id) AS rk
+                FROM qd) WHERE rk <= 10),
+            ng AS (SELECT query_id, count(*) AS n_gold FROM gg GROUP BY query_id),
+            nr AS (SELECT query_id, count(*) AS n_results FROM rr GROUP BY query_id),
+            h AS (SELECT query_id, count(*) AS n_hits
+                  FROM rr JOIN gg USING (query_id, vec_id) GROUP BY query_id)
+            SELECT ng.query_id,
+                   CAST(ng.n_gold AS BIGINT) AS n_gold,
+                   CAST(coalesce(nr.n_results, 0) AS BIGINT) AS n_results,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(h.n_hits, 0) * 1000000 // ng.n_gold AS BIGINT)
+                     AS recall_micro
+            FROM ng LEFT JOIN nr USING (query_id) LEFT JOIN h USING (query_id)
+            ORDER BY query_id
+        """,
+        # token-budget fill: portable-hash order + window prefix sum +
+        # budget CASE — the oracle replays the exact cut (the two-phase
+        # block decomposition is physical only). Window SUM is HUGEINT in
+        # DuckDB — CAST to BIGINT (the q_dedup_exact lesson).
+        "q_token_budget": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 1000000 AS b
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                              ORDER BY b, doc_id
+                                              ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cum_tokens
+              FROM t)
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM c
+            WHERE cum_tokens <= CASE source WHEN 'src0' THEN 800
+                                            WHEN 'src1' THEN 600
+                                            ELSE 700 END
+            ORDER BY source, cum_tokens
         """,
         "q_ivf_ann_full": _KNN_ORACLE,
         "q_simhash_portable": _simhash_portable_oracle(),

@@ -184,3 +184,68 @@ def hard_negatives(
             F.col("neg_rank").cast("int").alias("neg_rank"),
         )
     )
+
+
+def recall_at_k(
+    results: DataFrame,
+    gold: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    denom: str = "gold",
+) -> DataFrame:
+    """Retrieval-quality evaluation: per-query recall of *results* (an
+    already-cut top-k table, e.g. an ANN index's answer) against *gold*
+    (the exact answer set) — the metric every approximate index in this
+    repo (RP-LSH, IVF, SQ8) trades for its speed, measured as a first-
+    class relational op instead of a notebook afterthought.
+
+    ``recall_micro`` is integer fixed-point (hits × 1e6 // denominator)
+    so independent engines agree bit-for-bit; *denom* is ``'gold'``
+    (|gold| — classic recall) or ``'k'`` (min(|gold|, |results|) — the
+    recall@k convention when gold can exceed the cut). Queries with no
+    result rows still appear (n_hits = 0).
+
+    Plan: two partial-agg groupBys on the query key + one inner join on
+    (query, doc) — every frame is results/gold-sized (queries × k), never
+    corpus-sized, so the evaluation is free at any corpus scale."""
+    r = results.select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d")
+    )
+    g = gold.select(F.col(query_col).alias("__q"), F.col(doc_col).alias("__d"))
+    n_gold = g.groupBy("__q").agg(F.count(F.lit(1)).alias("n_gold"))
+    n_res = r.groupBy("__q").agg(F.count(F.lit(1)).alias("n_results"))
+    hits = (
+        r.join(g, ["__q", "__d"])
+        .groupBy("__q")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = (
+        n_gold.join(n_res, "__q", "left")
+        .join(hits, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            "n_gold",
+            F.coalesce("n_results", F.lit(0)).alias("n_results"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+    )
+    if denom == "gold":
+        d = F.col("n_gold")
+    elif denom == "k":
+        d = F.least("n_gold", "n_results")
+    else:  # pragma: no cover - caller error
+        raise ValueError(f"denom {denom!r}")
+    # integer DIV, not float '/': a double quotient one ULP above an
+    # integer boundary would truncate differently than the oracle's
+    # exact integer division
+    return (
+        base.withColumn("__num", (F.col("n_hits") * F.lit(1_000_000)).cast("long"))
+        .withColumn("__den", d.cast("long"))
+        .withColumn(
+            "recall_micro",
+            F.expr("CASE WHEN __den > 0 THEN __num DIV __den ELSE 0 END").cast(
+                "long"
+            ),
+        )
+        .drop("__num", "__den")
+    )

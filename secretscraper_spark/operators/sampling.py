@@ -147,6 +147,83 @@ def cap_per_group(
     )
 
 
+def token_budget_fill(
+    df: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    key_col: str,
+    budgets: dict[str, int],
+    mode: str = "fast",
+    seed: int | None = None,
+    default_budget: int = 0,
+    n_blocks: int = 64,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Fill a per-source TOKEN budget deterministically: within each
+    source, rows are ordered by (hash-of-key, key) and the maximal prefix
+    whose inclusive running token total stays ≤ the source's budget is
+    kept (the first budget-crossing row and everything after it drop).
+    This is how pretraining mixtures are actually specified — "1T tokens:
+    300B web, 80B code, …" — and, like every sampler here, the kept set
+    is a pure function of content: identical under re-partitioning,
+    re-runs, and engines. Sources not named in *budgets* get
+    *default_budget* (0 = dropped entirely).
+
+    Plan shape — a giant source ("web" is most of the corpus) would make
+    a single per-source cumsum window one straggler task, so the running
+    total is computed in TWO phases like `plans/ranking.assign_global_seq`:
+    the hash order is cut into *n_blocks* contiguous ranges, a block-
+    subtotal hash-agg (map-side combined, sources × n_blocks rows) feeds
+    a tiny window that yields each block's starting offset, and the data
+    pays one shuffle keyed (source, block) — per-task sort bounded to
+    ~1/n_blocks of the hottest source — where offset + within-block
+    cumsum gives the exact global prefix sum. Output: input columns +
+    *cum_col* (the inclusive running total, for budget audits).
+    """
+    b = _bucket(key_col, mode, seed)
+    block = F.floor((b * F.lit(int(n_blocks))) / F.lit(N_BUCKETS)).cast("int")
+    base = df.withColumn("__b", b).withColumn("__blk", block).withColumn(
+        "__tok", F.col(tokens_col).cast("long")
+    )
+    sub = base.groupBy(F.col(source_col).alias("__src"), "__blk").agg(
+        F.sum("__tok").alias("__blk_tot")
+    )
+    off_w = (
+        Window.partitionBy("__src")
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sub.select(
+        "__src",
+        "__blk",
+        F.coalesce(F.sum("__blk_tot").over(off_w), F.lit(0)).alias("__off"),
+    )
+    joined = base.join(
+        F.broadcast(offsets),
+        (F.col(source_col) == F.col("__src")) & (base["__blk"] == offsets["__blk"]),
+    ).drop(offsets["__blk"]).drop("__src")
+    cum_w = (
+        Window.partitionBy(source_col, "__blk")
+        .orderBy(F.col("__b").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (F.col("__off") + F.sum("__tok").over(cum_w)).alias(cum_col)
+    budget = None
+    for name, n_ in budgets.items():
+        cond = F.col(source_col) == name
+        lit = F.lit(int(n_))
+        budget = F.when(cond, lit) if budget is None else budget.when(cond, lit)
+    budget = (
+        F.lit(int(default_budget))
+        if budget is None
+        else budget.otherwise(F.lit(int(default_budget)))
+    )
+    return (
+        joined.select(*df.columns, cum)
+        .filter(F.col(cum_col) <= budget)
+    )
+
+
 def curriculum_order(
     df: DataFrame,
     score_col: str,

@@ -2084,3 +2084,77 @@ def test_canonical_url_rules(spark):
     }
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_token_budget_fill_matches_python(spark):
+    import hashlib
+
+    from secretscraper_spark.operators import sampling
+
+    rows = [(i, f"src{i % 3}", 10 + (i * 7) % 40) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    budgets = {"src0": 900, "src1": 400}
+
+    out = sampling.token_budget_fill(
+        df, "source", "n_tokens", "doc_id", budgets,
+        mode="portable", default_budget=250,
+    )
+    got = {r.doc_id: r.cum_tokens for r in out.collect()}
+
+    # independent python recompute of the portable order + prefix fill
+    def pbucket(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16) % 1_000_000
+
+    expected = {}
+    for src in ("src0", "src1", "src2"):
+        budget = budgets.get(src, 250)
+        cum = 0
+        for doc_id, _, tok in sorted(
+            (r for r in rows if r[1] == src), key=lambda r: (pbucket(r[0]), r[0])
+        ):
+            if cum + tok > budget:
+                break
+            cum += tok
+            expected[doc_id] = cum
+    assert got == expected
+    assert expected  # the cut is non-trivial
+
+    # physical knobs cannot move the answer: block count + partition layout
+    for blocks, data in ((1, df), (64, df.repartition(13))):
+        again = sampling.token_budget_fill(
+            data, "source", "n_tokens", "doc_id", budgets,
+            mode="portable", default_budget=250, n_blocks=blocks,
+        )
+        assert {r.doc_id: r.cum_tokens for r in again.collect()} == expected
+
+    # default_budget=0 drops unlisted sources entirely
+    only = sampling.token_budget_fill(
+        df, "source", "n_tokens", "doc_id", budgets, mode="portable"
+    )
+    assert {r.source for r in only.collect()} == {"src0", "src1"}
+
+
+def test_recall_at_k_matches_python(spark):
+    from secretscraper_spark.operators.retrieval import recall_at_k
+
+    results = spark.createDataFrame(
+        # q1: 2 of its 3 gold docs retrieved; q2: 0 of 2; q3 not in gold
+        [(1, 10), (1, 11), (1, 99), (2, 50), (3, 70)],
+        "query_id long, doc_id long",
+    )
+    gold = spark.createDataFrame(
+        # q4 has gold but NO result rows — must still appear with 0 hits
+        [(1, 10), (1, 11), (1, 12), (2, 60), (2, 61), (4, 80)],
+        "query_id long, doc_id long",
+    )
+    out = {r.query_id: (r.n_gold, r.n_results, r.n_hits, r.recall_micro)
+           for r in recall_at_k(results, gold).collect()}
+    assert out == {
+        1: (3, 3, 2, 666666),
+        2: (2, 1, 0, 0),
+        4: (1, 0, 0, 0),
+    }
+    # denom='k' uses min(|gold|, |results|): q2's denominator becomes 1
+    by_k = {r.query_id: r.recall_micro
+            for r in recall_at_k(results, gold, denom="k").collect()}
+    assert by_k == {1: 666666, 2: 0, 4: 0}
