@@ -917,6 +917,38 @@ def q_token_budget(spark, sf_dir):
     ).orderBy("source", "cum_tokens")
 
 
+def q_dedup_eval(spark, sf_dir):
+    """Sketch-vs-exact dedup evaluation (dedup.pair_metrics): pair-level
+    precision/recall/F1 of the portable-minhash LSH duplicate claims
+    (est_jaccard ≥ 0.5) against the EXACT shingle-Jaccard pairs at the
+    same threshold — the number that decides whether the sketch may
+    delete data at 100 TB. One row, all counts and ratios fixed-point
+    BIGINT (integer DIV), so both engines agree bit-for-bit. The oracle
+    recomputes BOTH pipelines from the shared shingle CTE and the same
+    metric arithmetic."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, "doc_id", "text", k=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=64, hash_mode="portable")
+    cand = dedup.lsh_candidate_pairs(
+        sig, num_hashes=64, bands=16, hash_mode="portable"
+    ).filter(F.col("est_jaccard") >= 0.5)
+    truth = dedup.exact_jaccard_pairs(sh, min_jaccard=0.5)
+    return dedup.pair_metrics(cand, truth)
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Key-skew audit (stats.heavy_hitters): top-10 heaviest user_ids in
+    the events table with exact fixed-point corpus share — the diagnosis
+    that decides when a key needs salting (the politeness sort and the
+    host-keyed joins here already salt; this op names the keys that
+    force it). One map-side-combined count, a one-row broadcast total,
+    a TakeOrderedAndProject."""
+    from secretscraper_spark.operators.stats import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", top_n=10)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (similarity.semantic_dedup): embedding-cluster semantic
     dedup — within-cell cosine pairs → connected components → one
@@ -2326,6 +2358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantized_ann_full": q_quantized_ann_full,
         "q_recall_eval": q_recall_eval,
         "q_token_budget": q_token_budget,
+        "q_dedup_eval": q_dedup_eval,
+        "q_heavy_hitters": q_heavy_hitters,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_split_assign": q_split_assign,
         "q_stratified_sample": q_stratified_sample,
@@ -3141,6 +3175,22 @@ def oracle_sql() -> dict[str, str]:
         # exactly: H(x) = first 15 md5 hex chars as bigint, identical in
         # Spark (conv/substring/md5) and DuckDB ('0x'||substr cast).
         "q_minhash_portable": _minhash_portable_oracle(),
+        "q_dedup_eval": _dedup_eval_oracle(),
+        # heavy hitters: exact counts, fixed-point share (SUM is HUGEINT
+        # in DuckDB — CAST before the integer division), tie on key asc
+        "q_heavy_hitters": """
+            WITH c AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+              FROM events GROUP BY user_id),
+            t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c)
+            SELECT user_id, n_rows,
+                   CAST(CASE WHEN total > 0
+                             THEN n_rows * 1000000 // total ELSE 0 END
+                        AS BIGINT) AS share_micro
+            FROM c, t
+            ORDER BY n_rows DESC, user_id
+            LIMIT 10
+        """,
         "q_incremental_dedup": _incremental_dedup_oracle(),
         "q_caption_alignment": _caption_alignment_oracle(),
         # exhaustive-probe ANN ≡ brute force by construction: same oracle
@@ -4602,6 +4652,48 @@ def _minhash_portable_oracle() -> str:
             FROM pairs
             WHERE {_MH_AGREE} >= 0.5
             ORDER BY doc_a, doc_b
+        """
+
+
+def _dedup_eval_oracle() -> str:
+    """Mirror of q_dedup_eval: LSH candidate pairs (shared capped CTE,
+    est ≥ 0.5) and exact shingle-Jaccard pairs (≥ 0.5) both derive from
+    the same shingle CTE; the metrics are the same integer-DIV
+    arithmetic as dedup.pair_metrics."""
+    return f"""{_minhash_capped_cte()},
+            cand AS (
+              SELECT doc_a, doc_b FROM (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.sig_arr AS sa, b.sig_arr AS sb
+                FROM capped a JOIN capped b USING (band, band_hash)
+                WHERE a.doc_id < b.doc_id)
+              WHERE {_MH_AGREE} >= 0.5),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            truth AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+            nc AS (SELECT count(*) AS c FROM cand),
+            nt AS (SELECT count(*) AS t FROM truth),
+            nh AS (SELECT count(*) AS h
+                   FROM cand JOIN truth USING (doc_a, doc_b))
+            SELECT CAST(c AS BIGINT) AS n_candidates,
+                   CAST(t AS BIGINT) AS n_truth,
+                   CAST(h AS BIGINT) AS n_hits,
+                   CAST(CASE WHEN c > 0 THEN h * 1000000 // c ELSE 0 END
+                        AS BIGINT) AS precision_micro,
+                   CAST(CASE WHEN t > 0 THEN h * 1000000 // t ELSE 0 END
+                        AS BIGINT) AS recall_micro,
+                   CAST(CASE WHEN c + t > 0
+                             THEN 2 * h * 1000000 // (c + t) ELSE 0 END
+                        AS BIGINT) AS f1_micro
+            FROM nc, nt, nh
         """
 
 

@@ -852,3 +852,56 @@ def canonical_by_quality(
         F.max_by("doc_id", key).alias("canonical_id"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+def pair_metrics(
+    candidates: DataFrame,
+    truth: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Pair-level quality of a sketch's duplicate claims against exact
+    ground truth — precision/recall/F1 of a candidate near-dup pair table
+    (``lsh_candidate_pairs``, ``simhash_near_dups``, phash banding) versus
+    the exact answer (``exact_jaccard_pairs`` at the target threshold).
+    This is the dedup twin of ``retrieval.recall_at_k``: the number a
+    pipeline owner needs BEFORE trusting a sketch to delete data at
+    100 TB, measured as a relational op on a sample instead of a
+    notebook afterthought.
+
+    Both inputs are normalized to distinct unordered pairs (least,
+    greatest), so orientation and accidental duplicates cannot skew the
+    counts. Returns ONE row: ``n_candidates``, ``n_truth``, ``n_hits``,
+    and fixed-point ``precision_micro`` (hits/candidates),
+    ``recall_micro`` (hits/truth), ``f1_micro`` — all integer DIV of
+    BIGINTs (2·h·1e6 DIV (c+t) for F1, exact because P and R share the
+    numerator), so independent engines agree bit-for-bit.
+
+    Plan: two distinct-aggregates + one join, every frame pair-table
+    sized (the corpus is never touched); counts are map-side-combined
+    single-row aggregates."""
+    lo_a, hi_b = F.least(F.col(a_col), F.col(b_col)), F.greatest(
+        F.col(a_col), F.col(b_col)
+    )
+    c = candidates.select(lo_a.alias("__a"), hi_b.alias("__b")).distinct()
+    t = truth.select(lo_a.alias("__a"), hi_b.alias("__b")).distinct()
+    n_c = c.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_t = t.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_h = c.join(t, ["__a", "__b"]).agg(F.count(F.lit(1)).alias("n_hits"))
+    m = F.lit(1_000_000).cast("long")
+    ratio = lambda num, den: F.expr(  # noqa: E731
+        f"CASE WHEN {den} > 0 THEN ({num}) DIV ({den}) ELSE 0 END"
+    ).cast("long")
+    return (
+        n_c.crossJoin(n_t)
+        .crossJoin(n_h)
+        .withColumn("__m", m)
+        .select(
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            ratio("n_hits * __m", "n_candidates").alias("precision_micro"),
+            ratio("n_hits * __m", "n_truth").alias("recall_micro"),
+            ratio("2 * n_hits * __m", "n_candidates + n_truth").alias("f1_micro"),
+        )
+    )

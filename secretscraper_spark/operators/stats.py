@@ -68,3 +68,36 @@ def grouped_quantiles(
         )
         .select(group_out, F.col("__hit.q").alias("q"), value_out)
     )
+
+
+def heavy_hitters(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """Exact heavy-hitter audit over a key — the skew diagnosis that
+    decides when a join/groupBy on that key needs salting (SURVEY §4's
+    salted politeness sort, AQE skew-join thresholds, per-host frontier
+    caps). At 100 TB the hot keys ARE the plan risk: one mega-host in a
+    host-keyed shuffle is a straggler task, and this op names it before
+    the stage does.
+
+    Returns the ``top_n`` keys by row count with fixed-point
+    ``share_micro`` (rows·1e6 DIV total — integer DIV so independent
+    engines agree bit-for-bit); ties order by key so the cut is
+    deterministic.
+
+    Plan: one map-side-combined groupBy(key) count, a single-row total
+    broadcast back over it, and a TakeOrderedAndProject for the top-N —
+    no corpus-sized sort, no second scan."""
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("__k").alias(key_col),
+            "n_rows",
+            F.expr("CASE WHEN __total > 0 THEN n_rows * 1000000 DIV __total "
+                   "ELSE 0 END").cast("long").alias("share_micro"),
+        )
+        .orderBy(F.desc("n_rows"), key_col)
+        .limit(top_n)
+    )

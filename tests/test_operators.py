@@ -2158,3 +2158,44 @@ def test_recall_at_k_matches_python(spark):
     by_k = {r.query_id: r.recall_micro
             for r in recall_at_k(results, gold, denom="k").collect()}
     assert by_k == {1: 666666, 2: 0, 4: 0}
+
+
+def test_pair_metrics_matches_python(spark):
+    from secretscraper_spark.operators.dedup import pair_metrics
+
+    # candidates: one reversed orientation + one duplicate row; 2 of 3
+    # distinct claimed pairs are true, truth has 4 pairs total
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (7, 8), (9, 10)], "doc_a long, doc_b long"
+    )
+    row = pair_metrics(cand, truth).collect()[0]
+    assert (row.n_candidates, row.n_truth, row.n_hits) == (3, 4, 2)
+    assert row.precision_micro == 2 * 1_000_000 // 3
+    assert row.recall_micro == 2 * 1_000_000 // 4
+    assert row.f1_micro == 2 * 2 * 1_000_000 // (3 + 4)
+
+    # empty candidates: zero counts, all ratios 0 (no division blowup)
+    empty = cand.filter(F.col("doc_a") < 0)
+    row = pair_metrics(empty, truth).collect()[0]
+    assert (row.n_candidates, row.n_hits, row.precision_micro,
+            row.recall_micro, row.f1_micro) == (0, 0, 0, 0, 0)
+
+
+def test_heavy_hitters_exact(spark):
+    from secretscraper_spark.operators.stats import heavy_hitters
+
+    rows = [(i, "h%d" % min(i % 10, 3)) for i in range(100)]
+    # h0/h1/h2: 10 rows each; h3: 70 rows
+    df = spark.createDataFrame(rows, "id long, host string")
+    got = heavy_hitters(df, "host", top_n=3).collect()
+    assert [(r.host, r.n_rows, r.share_micro) for r in got] == [
+        ("h3", 70, 700000),
+        ("h0", 10, 100000),  # tie with h1/h2 broken by key asc
+        ("h1", 10, 100000),
+    ]
+    # partition layout cannot move the answer
+    again = heavy_hitters(df.repartition(7), "host", top_n=3).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
