@@ -38,6 +38,25 @@ def portable_hash64(col: F.Column | str, seed: int | None = None) -> F.Column:
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
 
+def mode_hash64(
+    col: F.Column | str, mode: str, seed: int | None = None
+) -> F.Column:
+    """The portable/fast hash-mode dispatch shared by every seeded-bucket
+    operator (sampling splits, DSIR feature hashing): ``'portable'`` =
+    md5-prefix (`portable_hash64`, oracle-exact), ``'fast'`` = xxhash64
+    (JVM codegen, production default). Seed folding uses the same
+    ``\\x01<seed>`` suffix convention in both modes — keep it HERE only."""
+    c = F.col(col) if isinstance(col, str) else col
+    if mode == "portable":
+        return portable_hash64(c, seed=seed)
+    if mode == "fast":
+        c = c.cast("string")
+        if seed is not None:
+            c = F.concat(c, F.lit("\x01" + str(seed)))
+        return F.xxhash64(c)
+    raise ValueError(f"mode {mode!r}")
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical texts (md5 key), one row per group size>1."""
     return (

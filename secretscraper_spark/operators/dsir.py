@@ -34,26 +34,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import portable_hash64
+from .dedup import mode_hash64 as _hash
+from .textstats import WS_SPLIT_PATTERN
 
 MICRO = 1_000_000.0
 NOISE_BUCKETS = 1 << 20
 
 
-def _hash(col: F.Column, mode: str, seed: int | None) -> F.Column:
-    if mode == "portable":
-        return portable_hash64(col, seed=seed)
-    if mode == "fast":
-        c = col.cast("string")
-        if seed is not None:
-            c = F.concat(c, F.lit("\x01" + str(seed)))
-        return F.xxhash64(c)
-    raise ValueError(f"mode {mode!r}")
-
-
 def _word_tokens(text_col: str) -> F.Column:
     return F.filter(
-        F.split(F.lower(F.col(text_col)), "[ \t\n\r\f]+"),
+        F.split(F.lower(F.col(text_col)), WS_SPLIT_PATTERN),
         lambda t: t != F.lit(""),
     )
 

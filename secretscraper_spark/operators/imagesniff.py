@@ -100,34 +100,43 @@ SNIFF_SCHEMA_FIELDS = [
 
 
 def sniff_dimensions(
-    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    carry_cols: dict[str, str] | None = None,
 ) -> DataFrame:
-    """(id, sniff_fmt, sniff_w, sniff_h) per payload — one Arrow-batched
-    header peek per row, map-only, no shuffle. Unrecognized or truncated
-    payloads come back with NULL fmt/dims (curation funnels count them;
-    the scan never errors)."""
+    """(id, [carried cols], sniff_fmt, sniff_w, sniff_h) per payload — one
+    Arrow-batched header peek per row, map-only, no shuffle. Unrecognized
+    or truncated payloads come back with NULL fmt/dims (curation funnels
+    count them; the scan never errors). *carry_cols* (alias → source
+    column) rides extra columns through the same Arrow batch so callers
+    never need an id-keyed join back to the input."""
+    carry_cols = carry_cols or {}
     id_field = df.schema[id_col]
     out_schema = StructType(
-        [StructField(id_col, id_field.dataType)] + SNIFF_SCHEMA_FIELDS
+        [StructField(id_col, id_field.dataType)]
+        + [StructField(a, df.schema[src].dataType)
+           for a, src in carry_cols.items()]
+        + SNIFF_SCHEMA_FIELDS
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             sniffed = [sniff_header(b) for b in pdf[bytes_col]]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "sniff_fmt": [s[0] for s in sniffed],
-                    "sniff_w": pd.array(
-                        [s[1] for s in sniffed], dtype="Int32"
-                    ),
-                    "sniff_h": pd.array(
-                        [s[2] for s in sniffed], dtype="Int32"
-                    ),
-                }
-            )
+            out = {id_col: pdf[id_col]}
+            for a in carry_cols:
+                out[a] = pdf[a]
+            out["sniff_fmt"] = [s[0] for s in sniffed]
+            out["sniff_w"] = pd.array([s[1] for s in sniffed], dtype="Int32")
+            out["sniff_h"] = pd.array([s[2] for s in sniffed], dtype="Int32")
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, bytes_col).mapInPandas(batches, out_schema)
+    slim = df.select(
+        id_col,
+        *[F.col(src).alias(a) for a, src in carry_cols.items()],
+        bytes_col,
+    )
+    return slim.mapInPandas(batches, out_schema)
 
 
 def metadata_mismatches(
@@ -144,15 +153,14 @@ def metadata_mismatches(
     mislabeled rows, and adversarial payloads. Returns every row with
     ``sniff_*`` columns plus ``header_ok`` / ``dims_ok`` / ``fmt_ok``;
     filter on ``NOT (header_ok AND dims_ok AND fmt_ok)`` for the reject
-    stream. One sniff pass + one id-keyed join."""
-    sn = sniff_dimensions(df, id_col=id_col, bytes_col=bytes_col)
-    base = df.select(
-        id_col,
-        F.col(fmt_col).alias("decl_fmt"),
-        F.col(w_col).alias("decl_w"),
-        F.col(h_col).alias("decl_h"),
+    stream. One sniff pass, map-only — the declared columns ride through
+    the Arrow batch, so there is NO join back to the input."""
+    j = sniff_dimensions(
+        df,
+        id_col=id_col,
+        bytes_col=bytes_col,
+        carry_cols={"decl_fmt": fmt_col, "decl_w": w_col, "decl_h": h_col},
     )
-    j = base.join(sn, id_col)
     return j.select(
         id_col,
         "decl_fmt", "decl_w", "decl_h",

@@ -211,8 +211,12 @@ def crossmodal_near_dups(
     )
     sh = sh.join(ids, "doc_id", "left_semi")
     jac = ngram_jaccard_pairs(sh, cands.select("doc_a", "doc_b"))
+    # LEFT join: a candidate pair whose captions share no shingle (or are
+    # shorter than shingle_k words) has no jaccard row — it must score 0,
+    # not vanish, so min_caption_jaccard=0.0 annotates EVERY visual pair.
     return (
-        cands.join(jac, ["doc_a", "doc_b"])
+        cands.join(jac, ["doc_a", "doc_b"], "left")
+        .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
         .filter(F.col("jaccard") >= F.lit(float(min_caption_jaccard)))
         .select(
             F.col("doc_a").alias("image_a"),

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import portable_hash64
+from .dedup import mode_hash64
 
 N_BUCKETS = 1_000_000
 
@@ -36,16 +36,7 @@ N_BUCKETS = 1_000_000
 def _bucket(key_col: str, mode: str, seed: int | None = None) -> F.Column:
     """Stable bucket in [0, N_BUCKETS) from a key column. Non-negative
     modulo via pmod so Spark and the SQL oracle agree on negatives."""
-    if mode == "portable":
-        h = portable_hash64(key_col, seed=seed)
-    elif mode == "fast":
-        c = F.col(key_col).cast("string")
-        if seed is not None:
-            c = F.concat(c, F.lit("\x01" + str(seed)))
-        h = F.xxhash64(c)
-    else:  # pragma: no cover - guarded upstream
-        raise ValueError(f"mode {mode!r}")
-    return F.pmod(h, F.lit(N_BUCKETS))
+    return F.pmod(mode_hash64(key_col, mode, seed), F.lit(N_BUCKETS))
 
 
 def assign_split(
@@ -220,7 +211,10 @@ def token_budget_fill(
     )
     return (
         joined.select(*df.columns, cum)
-        .filter(F.col(cum_col) <= budget)
+        # budget > 0 guard: a zero-token row's inclusive cum equals the
+        # prior prefix (0 at the head of the hash order), so without it a
+        # 0-budget source would leak its empty/whitespace-only docs.
+        .filter((budget > F.lit(0)) & (F.col(cum_col) <= budget))
     )
 
 

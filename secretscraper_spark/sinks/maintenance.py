@@ -19,7 +19,7 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Observation, SparkSession, functions as F
 
 
 def _parquet_files(path: str) -> list[tuple[str, int]]:
@@ -60,10 +60,15 @@ def compact_parquet(
     n_out = max(1, math.ceil(total / max(target_file_bytes, 1)))
     df = spark.read.parquet(src_dir)
     out = df.repartition(n_out) if shuffle else df.coalesce(n_out)
-    out.write.mode("overwrite").parquet(dst_dir)
+    # Row count observed DURING the write — a separate count() would
+    # re-scan the whole compacted table, doubling the job's read volume.
+    obs = Observation("compact_rows")
+    out.observe(obs, F.count(F.lit(1)).alias("n_rows")).write.mode(
+        "overwrite"
+    ).parquet(dst_dir)
     return {
         "n_files_before": len(files),
         "n_files_after": len(_parquet_files(dst_dir)),
         "bytes_before": total,
-        "n_rows": spark.read.parquet(dst_dir).count(),
+        "n_rows": int(obs.get["n_rows"]),
     }

@@ -128,9 +128,13 @@ def write_wds_shards(
         keys = pdf["_key"]
         if keys.isna().any():
             raise ValueError("wds sink: null key")
-        bad = keys[keys.str.contains("/", regex=False)]
+        # '/' would nest members in tar directories; '.' would make the
+        # reader (which splits the basename at the FIRST dot) regroup the
+        # sample under a truncated key. Both corrupt silently on read-back.
+        bad = keys[keys.str.contains("/", regex=False)
+                   | keys.str.contains(".", regex=False)]
         if len(bad):
-            raise ValueError(f"wds sink: key contains '/': {bad.iloc[0]!r}")
+            raise ValueError(f"wds sink: key contains '/' or '.': {bad.iloc[0]!r}")
         path = os.path.join(out_dir, f"shard-{shard_id:06d}.tar")
         tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         buf = io.BytesIO()
@@ -139,6 +143,11 @@ def write_wds_shards(
                 key = row["_key"]
                 payload = row["_payload"]
                 fmt = row["_fmt"] or "bin"
+                # 'txt'/'json' are the caption/meta member extensions — a
+                # payload named '{key}.txt' would silently REPLACE the
+                # caption in the reader's members dict (last member wins).
+                if fmt in ("txt", "json") or "/" in fmt or "." in fmt:
+                    raise ValueError(f"wds sink: reserved/invalid fmt {fmt!r}")
                 _member(tar, f"{key}.{fmt}",
                         bytes(payload) if payload is not None else b"")
                 _member(tar, f"{key}.txt",

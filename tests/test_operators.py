@@ -1697,6 +1697,48 @@ def test_crossmodal_near_dups_joint_gates(spark):
     }
 
 
+def test_crossmodal_short_captions_score_zero_not_dropped(spark):
+    """A phash-candidate pair whose captions are shorter than shingle_k
+    (or share no shingle) must appear with jaccard 0 under threshold
+    0.0 — not silently vanish from the audit output."""
+    from secretscraper_spark.operators.multimodal import crossmodal_near_dups
+
+    rows = [
+        (0, 0x0, "cat"),                      # < shingle_k tokens
+        (1, 0x1, ""),                         # empty caption
+        (2, 0x3, "totally different words here"),  # no shared shingle
+    ]
+    pages = spark.createDataFrame(
+        rows, "image_id long, phash long, caption string"
+    )
+    out = {
+        (r.image_a, r.image_b): (r.hamming, r.jaccard)
+        for r in crossmodal_near_dups(
+            pages, max_hamming=2, min_caption_jaccard=0.0
+        ).collect()
+    }
+    assert out == {(0, 1): (1, 0.0), (0, 2): (2, 0.0), (1, 2): (1, 0.0)}
+    # and the positive-threshold path still drops them
+    from secretscraper_spark.operators.multimodal import crossmodal_near_dups as c2
+    assert c2(pages, max_hamming=2, min_caption_jaccard=0.1).count() == 0
+
+
+def test_token_budget_zero_budget_drops_zero_token_rows(spark):
+    """A 0-budget source must drop ALL its rows — including n_tokens=0
+    docs whose inclusive cum equals the prior prefix (0 at the head)."""
+    from secretscraper_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "keep", 5), (2, "drop", 0), (3, "drop", 7), (4, "keep", 0)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = sampling.token_budget_fill(
+        df, "source", "n_tokens", "doc_id", {"keep": 100},
+        mode="portable", default_budget=0,
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [1, 4]
+
+
 def test_curriculum_order_stages_and_interleave(spark):
     """Stages cut the score ranking into near-equal quarters; the
     training sequence walks stages in order; within a stage the order is

@@ -82,6 +82,32 @@ def test_key_with_slash_rejected(spark, tmp_path):
         write_wds_shards(bad, str(tmp_path / "s"), samples_per_shard=4).count()
 
 
+def test_key_with_dot_rejected(spark, tmp_path):
+    # the reader splits the basename at the FIRST dot, so 'v1.2' would
+    # silently regroup under key 'v1' — must be rejected at write time
+    bad = spark.createDataFrame(
+        [("v1.2", b"x", "bin", "c")],
+        "image_id string, bytes binary, fmt string, caption string",
+    )
+    with pytest.raises(Exception, match="key contains"):
+        write_wds_shards(bad, str(tmp_path / "s"), samples_per_shard=4).count()
+
+
+def test_reserved_fmt_rejected(spark, tmp_path):
+    # fmt='txt' would name the payload member '{key}.txt' — the same
+    # member name as the caption, silently replacing it on read-back
+    for fmt in ("txt", "json", "a.b"):
+        bad = spark.createDataFrame(
+            [("k", b"x", fmt, "c")],
+            "image_id string, bytes binary, fmt string, caption string",
+        )
+        with pytest.raises(Exception, match="reserved/invalid fmt"):
+            write_wds_shards(
+                bad, str(tmp_path / f"s_{fmt.replace('.', '_')}"),
+                samples_per_shard=4,
+            ).count()
+
+
 def test_null_payload_roundtrips_empty(spark, tmp_path):
     src = spark.createDataFrame(
         [("k1", None, None, "only text")],
