@@ -155,12 +155,20 @@ def minhash_signatures(
             F.min(portable_hash64("shingle", seed=i)).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
-    else:
-        aggs = [
-            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    return sh.groupBy("doc_id").agg(*aggs)
+        return sh.groupBy("doc_id").agg(*aggs)
+    # Fast mode hashes each shingle STRING once and derives the H per-seed
+    # hashes from the 8-byte base (`xxhash64(base, i)` — still full avalanche
+    # mixing, the datasketch/one-permutation family shape). Per-shingle
+    # map-side cost drops from H string hashes to 1 string hash + H
+    # fixed-width hashes — at corpus scale the string hashing IS the minhash
+    # map cost. Statistically each derived hash is an independent-seed hash
+    # of an injective-in-practice 64-bit fingerprint of the shingle.
+    pre = sh.withColumn("_h", F.xxhash64("shingle"))
+    aggs = [
+        F.min(F.xxhash64("_h", F.lit(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return pre.groupBy("doc_id").agg(*aggs)
 
 
 def _band_signatures(
