@@ -201,9 +201,11 @@ def _band_signatures(
     return banded.withColumn("rk", w_rank).filter(F.col("rk") <= max_bucket)
 
 
-def _est_jaccard(num_hashes: int) -> F.Column:
+def _est_jaccard(
+    num_hashes: int, sig_a: F.Column | str = "sig_a", sig_b: F.Column | str = "sig_b"
+) -> F.Column:
     agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
     )
     return F.round(agree / F.lit(float(num_hashes)), 6)
 
@@ -213,22 +215,28 @@ def lsh_candidate_pairs(
     max_bucket: int = 200, hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Band the signatures, self-join buckets, emit candidate (a<b) pairs
-    with the fraction of agreeing minhashes as the jaccard estimate."""
+    with the fraction of agreeing minhashes as the jaccard estimate.
+
+    est_jaccard is computed IN the join projection, before the cross-band
+    dedup: the distinct then carries three scalars per row instead of two
+    H-element signature arrays (which would both bloat the dedup exchange
+    ~40× and force a SortAggregate — hash aggregation does not take array
+    grouping buffers). est_jaccard is deterministic per pair, so
+    distinct-on-all-columns ≡ dropDuplicates on the pair key."""
     banded = _band_signatures(sig, num_hashes, bands, max_bucket, hash_mode)
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    return (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            _est_jaccard(num_hashes, F.col("a.sig"), F.col("b.sig"))
+            .alias("est_jaccard"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .distinct()
     )
-    return pairs.select("doc_a", "doc_b", _est_jaccard(num_hashes).alias("est_jaccard"))
 
 
 def incremental_lsh_pairs(
@@ -270,15 +278,15 @@ def incremental_lsh_pairs(
             .alias("doc_match"),
             F.when(a_new & (F.col("b.side") == "new"), F.lit("new"))
             .otherwise(F.lit("index")).alias("match_side"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            # computed pre-dedup so the distinct ships scalars, not the two
+            # signature arrays (see lsh_candidate_pairs) — match_side and
+            # est_jaccard are both deterministic per (doc_new, doc_match)
+            _est_jaccard(num_hashes, F.col("a.sig"), F.col("b.sig"))
+            .alias("est_jaccard"),
         )
-        .dropDuplicates(["doc_new", "doc_match"])
+        .distinct()
     )
-    return pairs.select(
-        "doc_new", "doc_match", "match_side",
-        _est_jaccard(num_hashes).alias("est_jaccard"),
-    )
+    return pairs.select("doc_new", "doc_match", "match_side", "est_jaccard")
 
 
 def incremental_keep_ids(
