@@ -1481,6 +1481,40 @@ def q_robots_parse(spark, sf_dir):
     )
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt (plans/robotstxt.py:
+    sitemap_urls_from_robots — RFC 9309 §2.3 non-group records, pure
+    Catalyst regexp_extract_all): per nation-key host, a body with one
+    canonical ``Sitemap:`` line, a case/whitespace-mangled second one for
+    every 3rd key, and a ``NotSitemap:`` decoy for every 2nd key that the
+    line anchor must reject. The oracle recomputes the generator's
+    closed form and never sees robots text, so anchoring, case folding,
+    whitespace tolerance, and dedup are all value-gated."""
+    from secretscraper_spark.plans.robotstxt import sitemap_urls_from_robots
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    ks = k.cast("string")
+    base = F.concat(F.lit("http://h"), ks, F.lit(".example/sm_"), ks)
+    body = F.concat_ws(
+        "\n",
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /private"),
+        F.concat(F.lit("Sitemap: "), base, F.lit("_a.xml")),
+        F.when(k % 3 == 0,
+               F.concat(F.lit("  sitemap:\t"), base, F.lit("_b.xml")))
+        .otherwise(F.lit("")),
+        F.when(k % 2 == 0,
+               F.concat(F.lit("NotSitemap: "), base, F.lit("_no.xml")))
+        .otherwise(F.lit("")),
+    )
+    bodies = n.select(
+        F.concat(F.lit("host"), ks, F.lit(".example")).alias("host"),
+        body.alias("body"),
+    )
+    return sitemap_urls_from_robots(bodies).orderBy("host", "sitemap_url")
+
+
 def q_sitemap_parse(spark, sf_dir):
     """Sitemap source (sources/sitemap.py): deterministic sitemap XML —
     ``<sitemapindex>`` bodies for every 4th supplier key, ``<urlset>``
@@ -2398,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_wds_roundtrip": q_wds_roundtrip,
         "q_robots_parse": q_robots_parse,
+        "q_robots_sitemaps": q_robots_sitemaps,
         "q_sitemap_parse": q_sitemap_parse,
         "q_crawl_diff": q_crawl_diff,
         "q_chunk_docs": q_chunk_docs,
@@ -3807,6 +3842,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, disallow_prefix, crawl_delay
             FROM rows_ ORDER BY host, disallow_prefix
+        """,
+        # robots Sitemap records: closed form, never the robots text
+        "q_robots_sitemaps": """
+            WITH k AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+            r AS (
+              SELECT 'host' || CAST(k AS VARCHAR) || '.example' AS host,
+                     'http://h' || CAST(k AS VARCHAR) || '.example/sm_'
+                       || CAST(k AS VARCHAR) || '_a.xml' AS sitemap_url
+              FROM k
+              UNION ALL
+              SELECT 'host' || CAST(k AS VARCHAR) || '.example',
+                     'http://h' || CAST(k AS VARCHAR) || '.example/sm_'
+                       || CAST(k AS VARCHAR) || '_b.xml'
+              FROM k WHERE k % 3 = 0
+            )
+            SELECT host, sitemap_url FROM r ORDER BY host, sitemap_url
         """,
         # sitemap parsing: closed form of the generator, never the XML
         "q_sitemap_parse": """

@@ -151,6 +151,35 @@ def robots_table(
     return src.mapInPandas(parse, _ROBOTS_OUT)
 
 
+#: RFC 9309 §2.3 "Sitemap:" non-group record. Line-anchored ((?im)),
+#: explicit [ \t] whitespace class — Java's \s includes \x0B while RE2's
+#: does not (the q_token_count lesson), and this pattern must mean the
+#: same bytes in Spark (Java regex) and the DuckDB oracle (RE2).
+_SITEMAP_LINE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^ \t\r\n]+)"
+
+
+def sitemap_urls_from_robots(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, sitemap_url) for every ``Sitemap:`` record in the robots
+    bodies — the bootstrap path a production crawler uses to discover a
+    host's sitemaps before any page fetch (RFC 9309 §2.3 keeps these
+    OUTSIDE user-agent groups, so they apply regardless of agent and can
+    be extracted without group selection — pure Catalyst, no Python).
+    Case-insensitive, leading-whitespace tolerant; one row per distinct
+    (host, url)."""
+    body = F.coalesce(F.col(body_col), F.lit(""))
+    return (
+        bodies.select(
+            F.col(host_col).alias("host"),
+            F.explode(
+                F.regexp_extract_all(body, F.lit(_SITEMAP_LINE), F.lit(1))
+            ).alias("sitemap_url"),
+        )
+        .distinct()
+    )
+
+
 def robots_from_pages(
     pages: DataFrame, user_agent: str = "secretscraper"
 ) -> DataFrame:

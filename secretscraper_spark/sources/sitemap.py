@@ -103,6 +103,38 @@ def expand_sitemap_indexes(
     return pages.distinct() if pages is not None else frontier.select("url")
 
 
+def seeds_from_robots_sitemaps(pages: DataFrame, max_depth: int = 3) -> DataFrame:
+    """Robots-bootstrap seed discovery: ``/robots.txt`` rows → their
+    ``Sitemap:`` records → those sitemap bodies (joined back from the
+    pages store) → transitively expanded page URLs. This is the cold-start
+    path of a production crawl (discover sitemaps from robots before any
+    HTML fetch); sitemaps a robots file lists but the store has not
+    fetched yet are simply absent — fetching them is the crawler loop's
+    job, same contract as :func:`expand_sitemap_indexes`.
+
+    All three stages are scan-pruned joins/parses: robots rows and
+    sitemap rows are each rlike-filtered at the pages scan, and the
+    Sitemap-record extraction is pure Catalyst
+    (`plans.robotstxt.sitemap_urls_from_robots`)."""
+    from secretscraper_spark.plans.robotstxt import sitemap_urls_from_robots
+
+    robots = pages.filter(
+        F.col("url_norm").rlike(r"^[a-z][a-z0-9+.-]*://[^/]+/robots\.txt$")
+    ).select(
+        F.regexp_extract("url_norm", r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+        .alias("host"),
+        F.col("caption").alias("body"),
+    )
+    listed = sitemap_urls_from_robots(robots).select(
+        F.col("sitemap_url").alias("url")
+    )
+    maps = pages.filter(
+        F.col("url_norm").rlike(r"/[^/]*sitemap[^/]*\.xml$")
+    ).select(F.col("url_norm").alias("url"), F.col("caption").alias("body"))
+    roots = listed.join(maps, "url")
+    return expand_sitemap_indexes(roots, maps, max_depth=max_depth)
+
+
 def sitemap_seed_urls(pages: DataFrame, max_depth: int = 3) -> DataFrame:
     """Pages-table bridge: rows whose URL path ends in ``sitemap.xml`` /
     ``sitemap_index.xml`` are treated as sitemap bodies (caption holds

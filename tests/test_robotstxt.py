@@ -104,6 +104,33 @@ def test_robots_table_spark(spark):
     }
 
 
+def test_sitemap_urls_from_robots(spark):
+    """RFC 9309 §2.3 Sitemap records: case-insensitive, whitespace
+    tolerant, line-anchored (a mid-line or suffixed directive never
+    matches), NULL bodies safe, duplicates collapsed."""
+    from secretscraper_spark.plans.robotstxt import sitemap_urls_from_robots
+
+    df = spark.createDataFrame(
+        [
+            ("h1.example",
+             "User-agent: *\nDisallow: /x\n"
+             "Sitemap: http://h1.example/a.xml\n"
+             "  SITEMAP:\thttp://h1.example/b.xml\r\n"
+             "Sitemap: http://h1.example/a.xml\n"      # dup collapses
+             "NotSitemap: http://h1.example/no.xml\n"  # suffixed directive
+             "x Sitemap: http://h1.example/no2.xml"),  # mid-line
+            ("h2.example", "User-agent: *\nDisallow: /"),
+            ("h3.example", None),
+        ],
+        "host string, body string",
+    )
+    rows = {(r.host, r.sitemap_url) for r in sitemap_urls_from_robots(df).collect()}
+    assert rows == {
+        ("h1.example", "http://h1.example/a.xml"),
+        ("h1.example", "http://h1.example/b.xml"),
+    }
+
+
 def test_robots_from_pages_feeds_gate(spark):
     pages = spark.createDataFrame(
         [

@@ -70,6 +70,45 @@ def test_sitemap_seed_urls_from_pages(spark):
     }
 
 
+def test_seeds_from_robots_sitemaps(spark):
+    """Cold-start path: robots.txt Sitemap: records → sitemap bodies in the
+    pages store → page URLs; a listed-but-unfetched sitemap contributes
+    nothing, and sitemaps NOT listed in robots are not used as roots
+    (though an index may still reach them as children)."""
+    from secretscraper_spark.sources.sitemap import seeds_from_robots_sitemaps
+
+    robots = "\n".join([
+        "User-agent: *",
+        "Disallow: /private",
+        "Sitemap: http://a.example/sitemap_index.xml",
+        "  sitemap:\thttp://a.example/sitemap_missing2.xml",
+        "NotSitemap: http://a.example/decoy.xml",
+    ])
+    index = (
+        '<sitemapindex><sitemap><loc>http://a.example/sitemap_a.xml'
+        "</loc></sitemap></sitemapindex>"
+    )
+    orphan = "<urlset><url><loc>http://a.example/orphan</loc></url></urlset>"
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/robots.txt", robots),
+            ("http://a.example/sitemap_index.xml", index),
+            ("http://a.example/sitemap_a.xml", URLSET),
+            # fetched but not listed in robots and not reachable from the
+            # index -> must not contribute
+            ("http://a.example/sitemap_orphan.xml", orphan),
+            ("http://a.example/page.html", "<html>Sitemap: http://x/no</html>"),
+        ],
+        "url_norm string, caption string",
+    )
+    got = {r.url for r in seeds_from_robots_sitemaps(pages).collect()}
+    assert got == {
+        "http://a.example/p1",
+        "http://a.example/p2?x=1&y=2",
+        "http://a.example/p3&lt;odd",
+    }
+
+
 def test_crawl_diff_all_classes(spark):
     old = spark.createDataFrame(
         [("u_removed", "200", 10), ("u_status", "200", 10),
