@@ -1481,6 +1481,40 @@ def q_robots_parse(spark, sf_dir):
     )
 
 
+def q_trap_detect(spark, sf_dir):
+    """Crawler-trap detection (plans/traps.py): URLs are synthesized per
+    order key — every 7th key lands under a ``cal`` path prefix whose
+    content is constant per host (the session-id/calendar dup-trap
+    signature); the rest spread over 11 healthy prefixes with distinct
+    content. The operator profiles (host, 2-segment prefix) with
+    count-distinct URLs/contents and flags dup traps; the oracle rebuilds
+    the synthesis in closed form and re-aggregates, so host/prefix
+    parsing, both distinct counts, the ratio, and the flag logic are all
+    value-gated. Healthy prefixes must NOT appear."""
+    from secretscraper_spark.plans.traps import trap_candidates, url_prefix_profile
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    ks = k.cast("string")
+    host = F.concat(F.lit("h"), (k % 5).cast("string"), F.lit(".example"))
+    seg1 = F.when(k % 7 == 0, F.lit("cal")).otherwise(
+        F.concat(F.lit("p"), (k % 11).cast("string"))
+    )
+    seg2 = F.concat(F.lit("x"), (k % 3).cast("string"))
+    pages = o.select(
+        F.concat(
+            F.lit("http://"), host, F.lit("/"), seg1, F.lit("/"), seg2,
+            F.lit("/"), ks,
+        ).alias("url_norm"),
+        F.when(k % 7 == 0, F.concat(F.lit("trapped "), host))
+        .otherwise(F.concat(F.lit("c"), ks)).alias("caption"),
+    )
+    return trap_candidates(
+        url_prefix_profile(pages, prefix_depth=2),
+        max_urls=5, min_dup=0.9, explosion_cap=1_000_000_000,
+    ).orderBy("host", "prefix")
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery from robots.txt (plans/robotstxt.py:
     sitemap_urls_from_robots — RFC 9309 §2.3 non-group records, pure
@@ -2433,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wds_roundtrip": q_wds_roundtrip,
         "q_robots_parse": q_robots_parse,
         "q_robots_sitemaps": q_robots_sitemaps,
+        "q_trap_detect": q_trap_detect,
         "q_sitemap_parse": q_sitemap_parse,
         "q_crawl_diff": q_crawl_diff,
         "q_chunk_docs": q_chunk_docs,
@@ -3842,6 +3877,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, disallow_prefix, crawl_delay
             FROM rows_ ORDER BY host, disallow_prefix
+        """,
+        # crawler traps: closed-form synthesis, real re-aggregation
+        "q_trap_detect": """
+            WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+            rows_ AS (
+              SELECT 'h' || CAST(k % 5 AS VARCHAR) || '.example' AS host,
+                     (CASE WHEN k % 7 = 0 THEN 'cal'
+                           ELSE 'p' || CAST(k % 11 AS VARCHAR) END)
+                       || '/x' || CAST(k % 3 AS VARCHAR) AS prefix,
+                     k AS u,
+                     CASE WHEN k % 7 = 0
+                          THEN 'trapped h' || CAST(k % 5 AS VARCHAR) || '.example'
+                          ELSE 'c' || CAST(k AS VARCHAR) END AS c
+              FROM o),
+            prof AS (
+              SELECT host, prefix,
+                     CAST(COUNT(DISTINCT u) AS BIGINT) AS n_urls,
+                     CAST(COUNT(DISTINCT c) AS BIGINT) AS n_content
+              FROM rows_ GROUP BY host, prefix),
+            flagged AS (
+              SELECT host, prefix, n_urls, n_content,
+                     ROUND(CAST(1 AS DOUBLE)
+                           - CAST(n_content AS DOUBLE) / n_urls, 6) AS dup_ratio
+              FROM prof)
+            SELECT host, prefix, n_urls, n_content, dup_ratio,
+                   (n_urls >= 5 AND dup_ratio >= 0.9) AS dup_trap,
+                   (n_urls >= 1000000000) AS explosion
+            FROM flagged
+            WHERE (n_urls >= 5 AND dup_ratio >= 0.9) OR n_urls >= 1000000000
+            ORDER BY host, prefix
         """,
         # robots Sitemap records: closed form, never the robots text
         "q_robots_sitemaps": """

@@ -1,0 +1,95 @@
+"""Crawler-trap detection — URL-pattern explosions under a path prefix.
+
+At a 10^10-URL frontier the classic failure is not skew but TRAPS:
+calendar pages, faceted-search permutations, session-id paths — one host
+prefix emitting unbounded distinct URLs whose content is near-constant.
+The reference (single-host, depth-bounded BFS: crawler.py max_depth /
+max_page_num) never needs this; a web-scale frontier does, or the budget
+drains into one site. This module profiles the frontier/pages table per
+``(host, path-prefix)`` and flags two trap signatures:
+
+- ``dup_trap``      — many URLs, few distinct contents (session ids,
+  tracking params): ``n_urls >= max_urls`` and ``dup_ratio >= min_dup``.
+- ``explosion``     — raw URL-count blowout regardless of content
+  (calendars generate DISTINCT pages forever): ``n_urls >= explosion_cap``.
+
+Plan shape (100 TB): one projection (host/prefix are regexp + split +
+slice over the url string — no UDF), one shuffle on ``(host, prefix)``
+with two count-distincts (Spark's two-phase distinct aggregate keeps the
+partials map-side). Output is prefix-cardinality-sized — a broadcastable
+dim the enqueue step can LEFT ANTI against, exactly like the robots gate.
+
+Content identity uses ``md5(content)`` so the same profile is computable
+by any engine (the DuckDB oracle included); distinct-count of the digest
+equals distinct-count of the content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/]+)"
+_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)$"
+
+
+def url_prefix_profile(
+    pages: DataFrame,
+    prefix_depth: int = 2,
+    url_col: str = "url_norm",
+    content_col: str = "caption",
+) -> DataFrame:
+    """(host, prefix, n_urls, n_content, dup_ratio) per path prefix.
+
+    ``prefix`` is the first *prefix_depth* path segments joined with
+    ``/`` (query strings count into the last segment — for trap purposes
+    ``/p?page=1`` and ``/p?page=2`` are the same explosion). ``dup_ratio``
+    = 1 - n_content/n_urls, rounded to 6 (0 when every URL is unique
+    content, → 1 when one content repeats)."""
+    url = F.col(url_col)
+    segs = F.split(
+        F.coalesce(F.regexp_extract(url, _PATH_RE, 1), F.lit("/")), "/"
+    )
+    # segs[0] is the empty string before the leading '/'
+    prefix = F.array_join(F.slice(segs, 2, prefix_depth), "/")
+    return (
+        pages.select(
+            F.regexp_extract(url, _HOST_RE, 1).alias("host"),
+            prefix.alias("prefix"),
+            url.alias("u"),
+            F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("c"),
+        )
+        .groupBy("host", "prefix")
+        .agg(
+            F.count_distinct("u").alias("n_urls"),
+            F.count_distinct("c").alias("n_content"),
+        )
+        .select(
+            "host",
+            "prefix",
+            "n_urls",
+            "n_content",
+            F.round(
+                F.lit(1.0) - F.col("n_content") / F.col("n_urls"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def trap_candidates(
+    profile: DataFrame,
+    max_urls: int = 1000,
+    min_dup: float = 0.9,
+    explosion_cap: int = 100_000,
+) -> DataFrame:
+    """Add the two trap flags to a :func:`url_prefix_profile` and keep
+    only flagged prefixes — the dim the enqueue step anti-joins against."""
+    dup_trap = (F.col("n_urls") >= max_urls) & (F.col("dup_ratio") >= min_dup)
+    explosion = F.col("n_urls") >= explosion_cap
+    return (
+        profile.select(
+            "*",
+            dup_trap.alias("dup_trap"),
+            explosion.alias("explosion"),
+        )
+        .filter(F.col("dup_trap") | F.col("explosion"))
+    )
