@@ -75,6 +75,38 @@ def url_prefix_profile(
     )
 
 
+def prune_trapped(
+    frontier: DataFrame,
+    traps: DataFrame,
+    prefix_depth: int = 2,
+    url_col: str = "url_norm",
+) -> DataFrame:
+    """Drop frontier rows whose (host, prefix) is in the *traps* dim —
+    the enqueue-side consumer of :func:`trap_candidates`. The trap dim is
+    prefix-cardinality-sized, so the join broadcasts; the frontier (the
+    big side) never shuffles. *prefix_depth* must match the one the
+    profile was built with. Returns the frontier columns unchanged."""
+    url = F.col(url_col)
+    segs = F.split(
+        F.coalesce(F.regexp_extract(url, _PATH_RE, 1), F.lit("/")), "/"
+    )
+    tagged = frontier.withColumns(
+        {
+            "_trap_host": F.regexp_extract(url, _HOST_RE, 1),
+            "_trap_prefix": F.array_join(F.slice(segs, 2, prefix_depth), "/"),
+        }
+    )
+    dim = F.broadcast(
+        traps.select(
+            F.col("host").alias("_trap_host"),
+            F.col("prefix").alias("_trap_prefix"),
+        ).distinct()
+    )
+    return tagged.join(dim, ["_trap_host", "_trap_prefix"], "left_anti").drop(
+        "_trap_host", "_trap_prefix"
+    )
+
+
 def trap_candidates(
     profile: DataFrame,
     max_urls: int = 1000,

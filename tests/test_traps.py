@@ -32,6 +32,31 @@ def test_url_prefix_profile(spark):
     assert prof[("c.example", "")] == (1, 1, 0.0)
 
 
+def test_prune_trapped_antijoin(spark):
+    """The enqueue-side consumer: trapped prefixes vanish from the
+    frontier, everything else (including the shallow root URL) survives
+    with columns unchanged."""
+    from pyspark.sql import functions as F
+
+    from secretscraper_spark.plans.traps import prune_trapped
+
+    pages = _pages(spark)
+    traps = trap_candidates(
+        url_prefix_profile(pages), max_urls=5, min_dup=0.8, explosion_cap=8
+    )
+    frontier = pages.select("url_norm", F.lit(1).alias("depth"))
+    kept = prune_trapped(frontier, traps)
+    assert kept.columns == ["url_norm", "depth"]
+    urls = {r.url_norm for r in kept.collect()}
+    assert urls == {
+        *(f"http://a.example/blog/posts/{i}" for i in range(3)),
+        "http://c.example/",
+    }
+    # plan: the trap dim broadcasts; the frontier side never shuffles
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_trap_candidates_flags(spark):
     prof = url_prefix_profile(_pages(spark))
     got = {
