@@ -1481,6 +1481,36 @@ def q_robots_parse(spark, sf_dir):
     )
 
 
+def q_retry_backoff(spark, sf_dir):
+    """Failure retry/backoff scheduling (plans/recrawl.py:retry_backoff):
+    attempt logs are synthesized per lineitem — attempt i of URL
+    u<orderkey> at ts i*1000, succeeding only at (key%3==0, i==1) or
+    (key%5==0, i==7) — so the corpus covers latest-attempt-success
+    (n_fails=0, no due), short failure runs (backoff shift), the max_exp
+    clamp (runs longer than 2), and dead URLs (runs >= max_retries=6).
+    Oracle reruns the same window + aggregation in SQL; the shift
+    arithmetic is integer in both engines. NULLs -> -1 sentinels for
+    hash-identical representation."""
+    from secretscraper_spark.plans.recrawl import retry_backoff
+
+    li = _t(spark, sf_dir, "lineitem")
+    o, i = F.col("l_orderkey").cast("long"), F.col("l_linenumber").cast("long")
+    attempts = li.select(
+        F.concat(F.lit("u"), o.cast("string")).alias("url_norm"),
+        (i * 1000).alias("ts_ms"),
+        (((o % 3 == 0) & (i == 1)) | ((o % 5 == 0) & (i == 7))).alias("ok"),
+    )
+    out = retry_backoff(attempts, base_ms=60_000, max_exp=2, max_retries=6)
+    return out.select(
+        "url_norm",
+        "last_attempt_ms",
+        F.coalesce("last_ok_ms", F.lit(-1)).cast("long").alias("last_ok_ms"),
+        "n_fails",
+        "dead",
+        F.coalesce("next_due_ms", F.lit(-1)).cast("long").alias("next_due_ms"),
+    ).orderBy("url_norm")
+
+
 def q_trap_detect(spark, sf_dir):
     """Crawler-trap detection (plans/traps.py): URLs are synthesized per
     order key — every 7th key lands under a ``cal`` path prefix whose
@@ -2468,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_parse": q_robots_parse,
         "q_robots_sitemaps": q_robots_sitemaps,
         "q_trap_detect": q_trap_detect,
+        "q_retry_backoff": q_retry_backoff,
         "q_sitemap_parse": q_sitemap_parse,
         "q_crawl_diff": q_crawl_diff,
         "q_chunk_docs": q_chunk_docs,
@@ -3877,6 +3908,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, disallow_prefix, crawl_delay
             FROM rows_ ORDER BY host, disallow_prefix
+        """,
+        # retry backoff: same window + aggregation rerun in SQL
+        "q_retry_backoff": """
+            WITH a AS (
+              SELECT 'u' || CAST(CAST(l_orderkey AS BIGINT) AS VARCHAR) AS url_norm,
+                     CAST(l_linenumber AS BIGINT) * 1000 AS ts_ms,
+                     CASE WHEN (l_orderkey % 3 = 0 AND l_linenumber = 1)
+                            OR (l_orderkey % 5 = 0 AND l_linenumber = 7)
+                          THEN 1 ELSE 0 END AS ok_i
+              FROM lineitem),
+            m AS (
+              SELECT url_norm, ts_ms, ok_i,
+                     MAX(ok_i) OVER (PARTITION BY url_norm ORDER BY ts_ms DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_ok
+              FROM a),
+            p AS (
+              SELECT url_norm,
+                     CAST(MAX(ts_ms) AS BIGINT) AS last_attempt_ms,
+                     CAST(COALESCE(MAX(CASE WHEN ok_i = 1 THEN ts_ms END), -1)
+                          AS BIGINT) AS last_ok_ms,
+                     CAST(SUM(CASE WHEN seen_ok = 0 AND ok_i = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_fails
+              FROM m GROUP BY url_norm)
+            SELECT url_norm, last_attempt_ms, last_ok_ms, n_fails,
+                   (n_fails >= 6) AS dead,
+                   CAST(CASE WHEN n_fails > 0 AND n_fails < 6
+                        THEN last_attempt_ms
+                             + (60000 * (1 << CAST(LEAST(n_fails - 1, 2) AS INT)))
+                        ELSE -1 END AS BIGINT) AS next_due_ms
+            FROM p ORDER BY url_norm
         """,
         # crawler traps: closed-form synthesis, real re-aggregation
         "q_trap_detect": """

@@ -132,3 +132,72 @@ def recrawl_schedule(
             "overdue_ms": (F.lit(int(now_ms)) - (F.col("last_ms") + gap)),
         }
     )
+
+
+def retry_backoff(
+    attempts: DataFrame,
+    base_ms: int = 60_000,
+    max_exp: int = 10,
+    max_retries: int = 8,
+    url_col: str = "url_norm",
+    ts_col: str = "ts_ms",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """Exponential-backoff retry schedule from a fetch-attempt log — the
+    failure-side twin of :func:`recrawl_schedule` (which handles pages
+    that FETCH fine but change; this handles pages that DON'T fetch:
+    timeouts, 5xx, connection resets — the reference maps all of these to
+    status 'Unknown' via its exception arms, `crawler.py:384-421`, and
+    simply never retries because it crawls once and exits).
+
+    Per URL: ``n_fails`` = consecutive failures since the last success
+    (successes reset the clock), ``next_due_ms`` = last attempt +
+    ``base_ms << min(n_fails-1, max_exp)`` (integer shift, no float
+    POWER — the module's determinism contract), ``dead`` once
+    ``n_fails >= max_retries`` (next_due_ms NULL: route to a dead-letter
+    table, stop burning budget). URLs whose latest attempt succeeded get
+    ``n_fails = 0`` and no due time (the freshness scheduler owns them).
+
+    Plan shape: one window over (url, ts desc) marks the
+    failures-after-last-success run; the groupBy that follows reuses the
+    window's hash partitioning, so the whole op is ONE shuffle of the
+    attempt log. Attempt logs are append-only and time-partitioned in
+    storage — at 10^10 scale prune the scan to the retention horizon
+    before calling this."""
+    url, ts = F.col(url_col), F.col(ts_col)
+    ok = F.col(ok_col).cast("int")
+    w = (
+        Window.partitionBy(url_col)
+        .orderBy(F.desc(ts_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # descending scan: rows before the first success (newest-first) have
+    # seen_ok = 0 — exactly the consecutive-failure run we want to count
+    marked = attempts.select(
+        url.alias("url_norm"),
+        ts.alias("ts_ms"),
+        ok.alias("ok_i"),
+        F.max(ok).over(w).alias("seen_ok"),
+    )
+    per_url = marked.groupBy("url_norm").agg(
+        F.max("ts_ms").alias("last_attempt_ms"),
+        F.max(F.when(F.col("ok_i") == 1, F.col("ts_ms"))).alias("last_ok_ms"),
+        F.sum(F.when((F.col("seen_ok") == 0) & (F.col("ok_i") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fails"),
+    )
+    # SQL form: the DataFrame shiftleft() only takes a literal bit count
+    backoff = F.expr(
+        f"shiftleft(CAST({int(base_ms)} AS BIGINT), "
+        f"CAST(least(n_fails - 1, {int(max_exp)}) AS INT))"
+    )
+    dead = F.col("n_fails") >= max_retries
+    return per_url.withColumns(
+        {
+            "dead": dead,
+            "next_due_ms": F.when(
+                (F.col("n_fails") > 0) & ~dead,
+                F.col("last_attempt_ms") + backoff,
+            ),
+        }
+    )

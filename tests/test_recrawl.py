@@ -106,3 +106,44 @@ def test_schedule_is_map_only(spark):
         .toString()
     )
     assert plan.count("Exchange") == stats._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+
+def test_retry_backoff_semantics(spark):
+    """Consecutive-failure counting resets at success; backoff doubles
+    with the run length (integer shift); dead URLs lose their due time;
+    latest-success URLs have no due time."""
+    from secretscraper_spark.plans.recrawl import retry_backoff
+
+    rows = [
+        # u1: ok, fail, fail -> 2 fails since ok, due = 3000 + 60000<<1
+        ("u1", 1000, True), ("u1", 2000, False), ("u1", 3000, False),
+        # u2: fail, ok -> latest ok resets: 0 fails, no due
+        ("u2", 1000, False), ("u2", 2000, True),
+        # u3: never ok, 3 fails -> dead at max_retries=3, due NULL
+        ("u3", 1000, False), ("u3", 2000, False), ("u3", 3000, False),
+        # u4: single fail -> 1 fail, due = 1000 + 60000
+        ("u4", 1000, False),
+    ]
+    df = spark.createDataFrame(rows, "url_norm string, ts_ms long, ok boolean")
+    got = {
+        r.url_norm: (r.n_fails, r.last_ok_ms, r.dead, r.next_due_ms)
+        for r in retry_backoff(df, base_ms=60_000, max_retries=3).collect()
+    }
+    assert got == {
+        "u1": (2, 1000, False, 3000 + (60_000 << 1)),
+        "u2": (0, 2000, False, None),
+        "u3": (3, None, True, None),
+        "u4": (1, None, False, 1000 + 60_000),
+    }
+
+
+def test_retry_backoff_one_shuffle(spark):
+    """The groupBy reuses the window's hash partitioning: exactly one
+    Exchange in the whole plan."""
+    from secretscraper_spark.plans.recrawl import retry_backoff
+
+    df = spark.createDataFrame(
+        [("u", 1, True)], "url_norm string, ts_ms long, ok boolean"
+    )
+    plan = retry_backoff(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
