@@ -1481,6 +1481,32 @@ def q_robots_parse(spark, sf_dir):
     )
 
 
+def q_redirects(spark, sf_dir):
+    """Redirect-chain resolution (plans/redirects.py, pointer doubling —
+    log2(max_hops) self-joins, not hop-count rounds): chains are
+    synthesized per part key in groups of ten (r_k -> r_{k-1} unless
+    k%10==0, which is terminal), so final = r_{k - k%10} and hops = k%10
+    in closed form, plus a literal 3-cycle that must come back flagged
+    unresolved with sentinel final/hops. The oracle emits the closed
+    form directly — any doubling bug (missed terminal stop, wrong step
+    accumulation, unflagged cycle) diverges values."""
+    from secretscraper_spark.plans.redirects import resolve_redirects
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey").cast("long")
+    redirects = p.filter(k % 10 != 0).select(
+        F.concat(F.lit("r"), k.cast("string")).alias("src"),
+        F.concat(F.lit("r"), (k - 1).cast("string")).alias("dst"),
+    )
+    cycle = spark.createDataFrame(
+        [("loopA", "loopB"), ("loopB", "loopC"), ("loopC", "loopA")],
+        "src string, dst string",
+    )
+    return resolve_redirects(
+        redirects.unionByName(cycle), max_hops=32
+    ).orderBy("url")
+
+
 def q_retry_backoff(spark, sf_dir):
     """Failure retry/backoff scheduling (plans/recrawl.py:retry_backoff):
     attempt logs are synthesized per lineitem — attempt i of URL
@@ -2499,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_sitemaps": q_robots_sitemaps,
         "q_trap_detect": q_trap_detect,
         "q_retry_backoff": q_retry_backoff,
+        "q_redirects": q_redirects,
         "q_sitemap_parse": q_sitemap_parse,
         "q_crawl_diff": q_crawl_diff,
         "q_chunk_docs": q_chunk_docs,
@@ -3908,6 +3935,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, disallow_prefix, crawl_delay
             FROM rows_ ORDER BY host, disallow_prefix
+        """,
+        # redirect chains: closed form of the group-of-ten synthesis
+        "q_redirects": """
+            WITH k AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+            r AS (
+              SELECT 'r' || CAST(k AS VARCHAR) AS url,
+                     'r' || CAST(k - (k % 10) AS VARCHAR) AS final_url,
+                     CAST(k % 10 AS BIGINT) AS n_hops,
+                     FALSE AS unresolved
+              FROM k WHERE k % 10 <> 0
+              UNION ALL
+              SELECT u, '-', CAST(-1 AS BIGINT), TRUE
+              FROM (VALUES ('loopA'), ('loopB'), ('loopC')) t(u)
+            )
+            SELECT url, final_url, n_hops, unresolved
+            FROM r ORDER BY url
         """,
         # retry backoff: same window + aggregation rerun in SQL
         "q_retry_backoff": """
