@@ -1481,6 +1481,40 @@ def q_robots_parse(spark, sf_dir):
     )
 
 
+def q_charset_sniff(spark, sf_dir):
+    """Zero-decode charset gate (operators/charset.py): payload bytes are
+    synthesized per customer key in four classes — pure ASCII, multi-byte
+    UTF-8 ('café…'), UTF-8-BOM-prefixed, and UTF-16LE-marked (invalid as
+    UTF-8). Spark sniffs the REAL bytes (hex prefix compare +
+    is_valid_utf8/try_validate_utf8, map-only); the oracle computes the
+    expected verdicts from the synthesis arithmetic and never touches
+    binary — the q_sniff_audit pattern on the text side. NULL n_chars /
+    ascii_only → -1/false sentinels for identical hash representation."""
+    from secretscraper_spark.operators.charset import charset_profile
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    ks = k.cast("string")
+    m = k % 4
+    payload = (
+        F.when(m == 0, F.encode(F.concat(F.lit("a"), ks), "UTF-8"))
+        .when(m == 1, F.encode(F.concat(F.lit("café"), ks), "UTF-8"))
+        .when(m == 2, F.concat(
+            F.lit(bytes([0xEF, 0xBB, 0xBF])),
+            F.encode(F.concat(F.lit("x"), ks), "UTF-8")))
+        .otherwise(F.concat(
+            F.lit(bytes([0xFF, 0xFE])),
+            F.encode(F.concat(F.lit("u"), ks), "UTF-8")))
+    )
+    rows = c.select(F.concat(F.lit("c"), ks).alias("id"), payload.alias("bytes"))
+    prof = charset_profile(rows, keep=["id"])
+    return prof.select(
+        "id", "bom", "utf8_valid", "n_bytes",
+        F.coalesce("n_chars", F.lit(-1)).cast("long").alias("n_chars"),
+        F.coalesce("ascii_only", F.lit(False)).alias("ascii_only"),
+    ).orderBy("id")
+
+
 def q_redirects(spark, sf_dir):
     """Redirect-chain resolution (plans/redirects.py, pointer doubling —
     log2(max_hops) self-joins, not hop-count rounds): chains are
@@ -2526,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trap_detect": q_trap_detect,
         "q_retry_backoff": q_retry_backoff,
         "q_redirects": q_redirects,
+        "q_charset_sniff": q_charset_sniff,
         "q_sitemap_parse": q_sitemap_parse,
         "q_crawl_diff": q_crawl_diff,
         "q_chunk_docs": q_chunk_docs,
@@ -3935,6 +3970,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, disallow_prefix, crawl_delay
             FROM rows_ ORDER BY host, disallow_prefix
+        """,
+        # charset gate: closed-form verdicts, oracle never touches bytes
+        "q_charset_sniff": """
+            WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+            b AS (
+              SELECT 'c' || CAST(k AS VARCHAR) AS id,
+                     LENGTH(CAST(k AS VARCHAR)) AS lk,
+                     k % 4 AS m
+              FROM c)
+            SELECT id,
+                   CASE m WHEN 2 THEN 'utf8-bom' WHEN 3 THEN 'utf16le'
+                          ELSE 'none' END AS bom,
+                   (m <> 3) AS utf8_valid,
+                   CAST(CASE m WHEN 0 THEN 1 + lk WHEN 1 THEN 5 + lk
+                               WHEN 2 THEN 4 + lk ELSE 3 + lk END
+                        AS BIGINT) AS n_bytes,
+                   CAST(CASE m WHEN 0 THEN 1 + lk WHEN 1 THEN 4 + lk
+                               WHEN 2 THEN 2 + lk ELSE -1 END
+                        AS BIGINT) AS n_chars,
+                   (m = 0) AS ascii_only
+            FROM b ORDER BY id
         """,
         # redirect chains: closed form of the group-of-ten synthesis
         "q_redirects": """
