@@ -1481,6 +1481,35 @@ def q_robots_parse(spark, sf_dir):
     )
 
 
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text extraction (functions/exprs.py:extract_anchors): HTML
+    is synthesized per supplier key — one double-quoted absolute link
+    always, plus a single-quoted relative link with a nested <b> tag for
+    every 3rd key (tag-strip + whitespace-collapse coverage). Spark
+    parses the real markup; the oracle emits the closed form, so pairing
+    order, quote stripping, nested-tag cleanup, and the explode are all
+    value-gated."""
+    from secretscraper_spark.functions.exprs import extract_anchors
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    ks = k.cast("string")
+    html = F.concat(
+        F.lit('<p><a href="http://h'), (k % 7).cast("string"),
+        F.lit(".example/p"), ks, F.lit('">Link '), ks, F.lit("</a>"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("<a href='/rel"), ks, F.lit("'>rel  <b>"),
+                     ks, F.lit("</b></a>")),
+        ).otherwise(F.lit("")),
+        F.lit("</p>"),
+    )
+    pages = s.select(
+        F.concat(F.lit("u"), ks).alias("url_norm"), html.alias("caption")
+    )
+    return extract_anchors(pages).orderBy("url", "href")
+
+
 def q_charset_sniff(spark, sf_dir):
     """Zero-decode charset gate (operators/charset.py): payload bytes are
     synthesized per customer key in four classes — pure ASCII, multi-byte
@@ -2561,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retry_backoff": q_retry_backoff,
         "q_redirects": q_redirects,
         "q_charset_sniff": q_charset_sniff,
+        "q_anchor_texts": q_anchor_texts,
         "q_sitemap_parse": q_sitemap_parse,
         "q_crawl_diff": q_crawl_diff,
         "q_chunk_docs": q_chunk_docs,
@@ -3970,6 +4000,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, disallow_prefix, crawl_delay
             FROM rows_ ORDER BY host, disallow_prefix
+        """,
+        # anchor texts: closed form, oracle never parses markup
+        "q_anchor_texts": """
+            WITH k AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+            r AS (
+              SELECT 'u' || CAST(k AS VARCHAR) AS url,
+                     'http://h' || CAST(k % 7 AS VARCHAR) || '.example/p'
+                       || CAST(k AS VARCHAR) AS href,
+                     'Link ' || CAST(k AS VARCHAR) AS anchor
+              FROM k
+              UNION ALL
+              SELECT 'u' || CAST(k AS VARCHAR),
+                     '/rel' || CAST(k AS VARCHAR),
+                     'rel ' || CAST(k AS VARCHAR)
+              FROM k WHERE k % 3 = 0
+            )
+            SELECT url, href, anchor FROM r ORDER BY url, href
         """,
         # charset gate: closed-form verdicts, oracle never touches bytes
         "q_charset_sniff": """

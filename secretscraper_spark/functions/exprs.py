@@ -173,3 +173,39 @@ def status_allowed(status: Column, ranges: list[tuple[int, int]] | None) -> Colu
 def is_unknown_status(status: Column) -> Column:
     """F13 validate-candidate (reference crawler.py:241-254): non-numeric."""
     return ~status.rlike("^[0-9]+$")
+
+
+_ANCHOR_PAT = (
+    r"""(?is)<a\b[^>]*?href\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)[^>]*>(.*?)</a>"""
+)
+
+
+def extract_anchors(
+    pages, url_col: str = "url_norm", html_col: str = "caption"
+):
+    """(url, href, anchor) per ``<a href=...>text</a>`` — the link-graph /
+    training-pair signal (anchor text is the classic relevance label for
+    query-doc pairs) the reference never extracts: its ``urlparser.py``
+    harvests href VALUES only. Pure Catalyst: one regex drives two
+    group-extractions whose match order is identical (same pattern, same
+    input), zip_with pairs them, and the anchor text is tag-stripped and
+    whitespace-collapsed inside the lambda. Map-only until the explode;
+    rows with no anchors are dropped (inner-join semantics, like every
+    extraction explode in the engine)."""
+    body = F.coalesce(F.col(html_col), F.lit(""))
+    hrefs = F.regexp_extract_all(body, F.lit(_ANCHOR_PAT), F.lit(1))
+    texts = F.regexp_extract_all(body, F.lit(_ANCHOR_PAT), F.lit(2))
+
+    def pair(h: Column, t: Column) -> Column:
+        clean_h = F.regexp_replace(h, "^[\"']|[\"']$", "")
+        clean_t = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(t, "<[^>]*>", " "), r"\s+", " "
+            )
+        )
+        return F.struct(clean_h.alias("href"), clean_t.alias("anchor"))
+
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(F.zip_with(hrefs, texts, pair)).alias("a"),
+    ).select("url", F.col("a.href").alias("href"), F.col("a.anchor").alias("anchor"))

@@ -133,3 +133,29 @@ def test_status_allowed(spark):
     assert no_ranges == {"200", "302", "Unknown", "500"}
     ranged = {r.status for r in df.filter(status_allowed(F.col("status"), [(200, 400)])).collect()}
     assert ranged == {"200", "302"}
+
+
+def test_extract_anchors(spark):
+    """href quoting styles, nested-tag anchor stripping, whitespace
+    collapse, case-insensitive tags, multiline anchors, no-anchor rows
+    dropped, NULL html safe."""
+    from secretscraper_spark.functions.exprs import extract_anchors
+
+    html = (
+        '<p><a href="http://a.example/x">First link</a>'
+        "<A HREF='http://a.example/y'>second <b>bold</b>\n link</A>"
+        '<a rel="next" href=http://a.example/z>bare</a>'
+        '<a name="no-href">not a link</a></p>'
+    )
+    pages = spark.createDataFrame(
+        [("u1", html), ("u2", "<p>no links</p>"), ("u3", None)],
+        "url_norm string, caption string",
+    )
+    got = {
+        (r.url, r.href): r.anchor for r in extract_anchors(pages).collect()
+    }
+    assert got == {
+        ("u1", "http://a.example/x"): "First link",
+        ("u1", "http://a.example/y"): "second bold link",
+        ("u1", "http://a.example/z"): "bare",
+    }
