@@ -4066,7 +4066,8 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem),
             m AS (
               SELECT url_norm, ts_ms, ok_i,
-                     MAX(ok_i) OVER (PARTITION BY url_norm ORDER BY ts_ms DESC
+                     MAX(ok_i) OVER (PARTITION BY url_norm
+                       ORDER BY ts_ms DESC, ok_i DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_ok
               FROM a),
             p AS (

@@ -45,13 +45,12 @@ def charset_profile(
         .when(h2 == "FEFF", F.lit("utf16be"))
         .otherwise(F.lit("none"))
     )
-    decoded = F.expr(f"try_validate_utf8(coalesce({bytes_col}, x''))")
-    n_chars = F.char_length(decoded)
+    n_chars = F.char_length(F.try_validate_utf8(b))
     cols = keep if keep is not None else df.columns
     return df.select(
         *cols,
         bom.alias("bom"),
-        F.expr(f"is_valid_utf8(coalesce({bytes_col}, x''))").alias("utf8_valid"),
+        F.is_valid_utf8(b).alias("utf8_valid"),
         F.octet_length(b).cast("long").alias("n_bytes"),
         n_chars.cast("long").alias("n_chars"),
         (n_chars == F.octet_length(b)).alias("ascii_only"),

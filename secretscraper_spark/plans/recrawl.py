@@ -166,9 +166,14 @@ def retry_backoff(
     before calling this."""
     url, ts = F.col(url_col), F.col(ts_col)
     ok = F.col(ok_col).cast("int")
+    # ok desc as tiebreak: a success and failure at the SAME timestamp
+    # order success-first in the desc scan, so the tied failure counts as
+    # before-the-success (the run resets) — without it the ROWS frame's
+    # tie order is partition-dependent, violating the module's
+    # determinism contract (the oracle carries the same tiebreak)
     w = (
         Window.partitionBy(url_col)
-        .orderBy(F.desc(ts_col))
+        .orderBy(F.desc(ts_col), F.desc(ok_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # descending scan: rows before the first success (newest-first) have

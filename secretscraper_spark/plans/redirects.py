@@ -43,8 +43,14 @@ def resolve_redirects(
         F.lit(1).cast("long").alias("steps"),
     ).localCheckpoint()
     srcs = m.select("u").distinct()
+    srcs_as_v = srcs.select(F.col("u").alias("v"))
     cur = m
     for _ in range(max(1, math.ceil(math.log2(max(max_hops, 2))))):
+        # fixpoint probe: once no chain still points at a redirecting
+        # URL, further doubling rounds are no-ops — same cheap
+        # convergence check as connected_components
+        if not cur.join(srcs_as_v, "v", "left_semi").take(1):
+            break
         a, b = cur.alias("a"), cur.alias("b")
         cur = (
             a.join(b, F.col("a.v") == F.col("b.u"), "left")
@@ -62,7 +68,10 @@ def resolve_redirects(
         "v",
         "left",
     )
-    unresolved = F.col("_redir").isNotNull()
+    # doubling rounds cover 2^ceil(log2(max_hops)) hops, which overshoots
+    # a non-power-of-two cap: a chain that terminated but needed more
+    # than max_hops hops is still over the contract's cap — flag it
+    unresolved = F.col("_redir").isNotNull() | (F.col("steps") > max_hops)
     return flagged.select(
         F.col("u").alias("url"),
         F.when(unresolved, F.lit("-")).otherwise(F.col("v")).alias("final_url"),

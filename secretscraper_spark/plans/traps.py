@@ -32,6 +32,17 @@ _HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/]+)"
 _PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)$"
 
 
+def _prefix_expr(url: F.Column, prefix_depth: int) -> F.Column:
+    """First *prefix_depth* path segments, query/fragment stripped — for
+    trap purposes ``/p?page=1`` and ``/p?page=2`` are the SAME explosion,
+    so the query must never split the group. Shared by profile and prune
+    so both sides always bucket identically."""
+    path = F.element_at(
+        F.split(F.regexp_extract(url, _PATH_RE, 1), "[?#]", 2), 1
+    )
+    return F.array_join(F.slice(F.split(path, "/"), 2, prefix_depth), "/")
+
+
 def url_prefix_profile(
     pages: DataFrame,
     prefix_depth: int = 2,
@@ -41,20 +52,15 @@ def url_prefix_profile(
     """(host, prefix, n_urls, n_content, dup_ratio) per path prefix.
 
     ``prefix`` is the first *prefix_depth* path segments joined with
-    ``/`` (query strings count into the last segment — for trap purposes
-    ``/p?page=1`` and ``/p?page=2`` are the same explosion). ``dup_ratio``
+    ``/``, query/fragment stripped (see :func:`_prefix_expr` — pagination
+    values must group together, not split the bucket). ``dup_ratio``
     = 1 - n_content/n_urls, rounded to 6 (0 when every URL is unique
     content, → 1 when one content repeats)."""
     url = F.col(url_col)
-    segs = F.split(
-        F.coalesce(F.regexp_extract(url, _PATH_RE, 1), F.lit("/")), "/"
-    )
-    # segs[0] is the empty string before the leading '/'
-    prefix = F.array_join(F.slice(segs, 2, prefix_depth), "/")
     return (
         pages.select(
             F.regexp_extract(url, _HOST_RE, 1).alias("host"),
-            prefix.alias("prefix"),
+            _prefix_expr(url, prefix_depth).alias("prefix"),
             url.alias("u"),
             F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("c"),
         )
@@ -87,13 +93,10 @@ def prune_trapped(
     big side) never shuffles. *prefix_depth* must match the one the
     profile was built with. Returns the frontier columns unchanged."""
     url = F.col(url_col)
-    segs = F.split(
-        F.coalesce(F.regexp_extract(url, _PATH_RE, 1), F.lit("/")), "/"
-    )
     tagged = frontier.withColumns(
         {
             "_trap_host": F.regexp_extract(url, _HOST_RE, 1),
-            "_trap_prefix": F.array_join(F.slice(segs, 2, prefix_depth), "/"),
+            "_trap_prefix": _prefix_expr(url, prefix_depth),
         }
     )
     dim = F.broadcast(

@@ -128,11 +128,15 @@ def seeds_from_robots_sitemaps(pages: DataFrame, max_depth: int = 3) -> DataFram
     listed = sitemap_urls_from_robots(robots).select(
         F.col("sitemap_url").alias("url")
     )
-    maps = pages.filter(
-        F.col("url_norm").rlike(r"/[^/]*sitemap[^/]*\.xml$")
-    ).select(F.col("url_norm").alias("url"), F.col("caption").alias("body"))
-    roots = listed.join(maps, "url")
-    return expand_sitemap_indexes(roots, maps, max_depth=max_depth)
+    # join against the FULL pages store, not a name-filtered slice: the
+    # robots listing is the authoritative signal and a sitemap may be
+    # named anything ('feeds.xml', 'map.xml.gz') — same for index
+    # children. The join itself prunes (semi-join on url identity).
+    bodies = pages.select(
+        F.col("url_norm").alias("url"), F.col("caption").alias("body")
+    )
+    roots = listed.join(bodies, "url")
+    return expand_sitemap_indexes(roots, bodies, max_depth=max_depth)
 
 
 def sitemap_seed_urls(pages: DataFrame, max_depth: int = 3) -> DataFrame:

@@ -123,6 +123,9 @@ def test_retry_backoff_semantics(spark):
         ("u3", 1000, False), ("u3", 2000, False), ("u3", 3000, False),
         # u4: single fail -> 1 fail, due = 1000 + 60000
         ("u4", 1000, False),
+        # u5: success and failure at the SAME ts -> tiebreak orders the
+        # success later (run resets): 0 fails, no due
+        ("u5", 1000, False), ("u5", 2000, True), ("u5", 2000, False),
     ]
     df = spark.createDataFrame(rows, "url_norm string, ts_ms long, ok boolean")
     got = {
@@ -134,6 +137,7 @@ def test_retry_backoff_semantics(spark):
         "u2": (0, 2000, False, None),
         "u3": (3, None, True, None),
         "u4": (1, None, False, 1000 + 60_000),
+        "u5": (0, 2000, False, None),
     }
 
 

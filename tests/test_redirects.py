@@ -49,3 +49,31 @@ def test_long_chain_within_and_over_cap(spark):
     }
     assert capped["n19"] is False
     assert capped["n0"] is True
+
+
+def test_non_power_of_two_cap(spark):
+    """max_hops=10: doubling rounds cover 16 hops, but chains needing
+    11-16 must still be flagged over-cap (the contract is max_hops, not
+    2^ceil(log2(max_hops)))."""
+    rows = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = {
+        r.url: (r.n_hops, r.unresolved)
+        for r in resolve_redirects(df, max_hops=10).collect()
+    }
+    assert got["n2"] == (10, False)   # exactly at the cap
+    assert got["n1"][1] is True       # needs 11 -> over cap
+    assert got["n0"][1] is True       # needs 12 -> over cap
+
+
+def test_early_exit_all_short_chains(spark):
+    """All 1-hop chains resolve in round one; the fixpoint probe must not
+    change results."""
+    df = spark.createDataFrame(
+        [("a", "T1"), ("b", "T2")], "src string, dst string"
+    )
+    got = {
+        r.url: (r.final_url, r.n_hops, r.unresolved)
+        for r in resolve_redirects(df, max_hops=32).collect()
+    }
+    assert got == {"a": ("T1", 1, False), "b": ("T2", 1, False)}

@@ -80,7 +80,9 @@ def test_seeds_from_robots_sitemaps(spark):
     robots = "\n".join([
         "User-agent: *",
         "Disallow: /private",
-        "Sitemap: http://a.example/sitemap_index.xml",
+        # arbitrary filename: the robots listing is authoritative, names
+        # need not contain 'sitemap'
+        "Sitemap: http://a.example/feeds.xml",
         "  sitemap:\thttp://a.example/sitemap_missing2.xml",
         "NotSitemap: http://a.example/decoy.xml",
     ])
@@ -92,7 +94,7 @@ def test_seeds_from_robots_sitemaps(spark):
     pages = spark.createDataFrame(
         [
             ("http://a.example/robots.txt", robots),
-            ("http://a.example/sitemap_index.xml", index),
+            ("http://a.example/feeds.xml", index),
             ("http://a.example/sitemap_a.xml", URLSET),
             # fetched but not listed in robots and not reachable from the
             # index -> must not contribute

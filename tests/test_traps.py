@@ -18,6 +18,10 @@ def _pages(spark):
         rows.append((f"http://b.example/search/q/{i}", f"results {i}"))
     # shallow path + NULL content
     rows.append(("http://c.example/", None))
+    # query-string pagination: all ?page= values must bucket into ONE
+    # prefix (the faceted-search explosion signature)
+    for i in range(7):
+        rows.append((f"http://d.example/list/all?page={i}", "same listing"))
     return spark.createDataFrame(rows, "url_norm string, caption string")
 
 
@@ -30,6 +34,7 @@ def test_url_prefix_profile(spark):
     assert prof[("a.example", "blog/posts")] == (3, 3, 0.0)
     assert prof[("b.example", "search/q")] == (8, 8, 0.0)
     assert prof[("c.example", "")] == (1, 1, 0.0)
+    assert prof[("d.example", "list/all")] == (7, 1, round(1 - 1 / 7, 6))
 
 
 def test_prune_trapped_antijoin(spark):
@@ -67,7 +72,9 @@ def test_trap_candidates_flags(spark):
     }
     # cal/2026: dup trap (6 >= 5 urls, ratio 0.833 >= 0.8), not an explosion
     # search/q: explosion (8 urls), not a dup trap (all content distinct)
+    # list/all: query-string pagination collapses into one dup-trap bucket
     assert got == {
         ("a.example", "cal/2026"): (True, False),
         ("b.example", "search/q"): (False, True),
+        ("d.example", "list/all"): (True, False),
     }
