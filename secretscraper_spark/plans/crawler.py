@@ -164,6 +164,8 @@ class SparkCrawler:
         fetch_ttl: float | None = None,
         clock=None,
         budget_mode: str = "bfs",
+        trap_cap: int | None = None,
+        trap_prefix_depth: int = 2,
     ):
         """fetch_mode='join' (default): fetch = hash join vs the pages
         store — the pure, deterministic sandbox scan (SURVEY S2).
@@ -195,7 +197,15 @@ class SparkCrawler:
           BFS order — the fair-share cut a standing crawler wants. Total
           processed is identical (min(remaining, |tier|)); WHICH pages
           are fetched differs, so this mode is opt-in and not compared
-          against the reference simulator."""
+          against the reference simulator.
+
+        trap_cap (opt-in, None = off = reference parity) gates the
+        enqueue against URL-pattern explosions: children whose (host,
+        trap_prefix_depth-segment prefix) already holds >= trap_cap seen
+        URLs are not enqueued (plans/traps.url_explosions +
+        prune_trapped — broadcast anti-join, the children side never
+        shuffles for it). The content-based dup-trap signal stays an
+        offline operator: the crawler's state never carries captions."""
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.robots = robots
@@ -209,6 +219,8 @@ class SparkCrawler:
         self.fetch_mode = fetch_mode
         assert budget_mode in ("bfs", "host-proportional")
         self.budget_mode = budget_mode
+        self.trap_cap = trap_cap
+        self.trap_prefix_depth = trap_prefix_depth
         self._page_fetch_fn = page_fetch_fn
         # paced_virtual=False makes the paced executor sleep each slot into
         # real wall-clock place (live HTTP politeness); True keeps the
@@ -599,6 +611,16 @@ class SparkCrawler:
                 .agg(F.min("parent_seq").alias("min_parent_seq"),
                      F.min("parent_norm").alias("parent_norm"))
             )
+            if self.trap_cap is not None:
+                from . import traps
+
+                hot = traps.url_explosions(
+                    st["seen"], self.trap_cap,
+                    prefix_depth=self.trap_prefix_depth,
+                )
+                eligible = traps.prune_trapped(
+                    eligible, hot, prefix_depth=self.trap_prefix_depth
+                )
             new_nodes = self._seen_anti_join(eligible, st["seen"], seen_state)
             # ranking materializes + counts its input anyway; reuse that
             # count as n_new (rank preserves rows) — one job less per tier

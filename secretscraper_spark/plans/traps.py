@@ -128,3 +128,29 @@ def trap_candidates(
         )
         .filter(F.col("dup_trap") | F.col("explosion"))
     )
+
+
+def url_explosions(
+    urls: DataFrame,
+    cap: int,
+    prefix_depth: int = 2,
+    url_col: str = "url_norm",
+) -> DataFrame:
+    """(host, prefix) groups holding >= *cap* distinct URLs — the
+    content-free trap signal a LIVE crawl can compute from its seen set
+    alone (captions never persist in the crawler's state by design, so
+    the dup-content signal is offline-only; URL-count explosion is the
+    in-loop gate). One count-distinct aggregate, output is the dim
+    :func:`prune_trapped` consumes."""
+    url = F.col(url_col)
+    return (
+        urls.select(
+            F.regexp_extract(url, _HOST_RE, 1).alias("host"),
+            _prefix_expr(url, prefix_depth).alias("prefix"),
+            url.alias("u"),
+        )
+        .groupBy("host", "prefix")
+        .agg(F.count_distinct("u").alias("n_urls"))
+        .filter(F.col("n_urls") >= cap)
+        .select("host", "prefix")
+    )

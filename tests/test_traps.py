@@ -78,3 +78,40 @@ def test_trap_candidates_flags(spark):
         ("b.example", "search/q"): (False, True),
         ("d.example", "list/all"): (True, False),
     }
+
+
+def test_crawler_trap_gate(spark):
+    """trap_cap wiring: a never-firing cap reproduces the reference crawl
+    bit-for-bit; a small per-host cap (prefix_depth=1 groups the sitegen
+    '/p/<i>' URLs by host) stops enqueuing into saturated hosts, yielding
+    a strict subset crawl with seeds intact."""
+    from secretscraper_spark.config import CrawlConfig
+    from secretscraper_spark.plans.crawler import SparkCrawler
+    from secretscraper_spark.refsim import simulate, site_from_pandas
+    from secretscraper_spark.sources.sitegen import (
+        generate_pages_pandas,
+        seeds_for,
+        url_for,
+    )
+
+    pdf = generate_pages_pandas(200, 4)
+    site = site_from_pandas(pdf)
+    cfg = CrawlConfig(max_depth=2, max_page_num=0)
+    sim = simulate(site, seeds_for(4), cfg)
+    pages = spark.createDataFrame(pdf.drop(columns=["bytes"]))
+
+    never = SparkCrawler(
+        spark, pages, cfg, trap_cap=10**9, trap_prefix_depth=1
+    ).run(seeds_for(4))
+    got = {r.url_norm: (r.depth, r.discovery_seq) for r in never.seen.collect()}
+    assert got == sim.seen
+
+    # cap=3: the depth-1 enqueue sees ~5 seen URLs per host, so every
+    # host's 'p' prefix is hot and the depth-2 frontier is pruned away
+    gated = SparkCrawler(
+        spark, pages, cfg, trap_cap=3, trap_prefix_depth=1
+    ).run(seeds_for(4))
+    gated_seen = {r.url_norm for r in gated.seen.collect()}
+    assert gated_seen < set(sim.seen)  # strict subset
+    seeds = {url_for(i, 4) for i in (5, 7, 10)}
+    assert seeds <= gated_seen  # seeds always crawl; only ENQUEUE is gated
