@@ -124,6 +124,9 @@ class ExternalEntry:
                   ["exact", "broadcast-bloom", "bucketed-bloom", "cuckoo"]))
 @click.option("--budget-mode", help="Tier page-budget cut",
               type=click.Choice(["bfs", "host-proportional"]))
+@click.option("--trap-cap", help="URL-explosion enqueue gate: stop enqueuing "
+              "into a (host, path-prefix) once it holds this many seen URLs",
+              type=click.INT)
 @click.option("--checkpoint-dir", help="Round-snapshot dir for resume",
               type=click.STRING)
 def main(**options):

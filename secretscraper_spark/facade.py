@@ -222,6 +222,7 @@ class CrawlerFacade:
             checkpoint_dir=custom.get("checkpoint_dir"),
             seen_filter=custom.get("seen_filter") or "exact",
             budget_mode=custom.get("budget_mode") or "bfs",
+            trap_cap=custom.get("trap_cap"),
             # any real fetcher — default HTTP or caller-supplied — honors
             # the politeness schedule on the wall clock; only the
             # deterministic pages-store replay keeps the virtual clock

@@ -160,6 +160,11 @@ class TestCrawlerFacadeOptions:
         fb = self.facade(spark, {"url": "http://t.test/"})
         assert fb.crawler.seen_filter == "exact"
         assert fb.crawler.budget_mode == "bfs"
+        assert fb.crawler.trap_cap is None
+
+    def test_trap_cap_wired(self, spark):
+        fa = self.facade(spark, {"url": "http://t.test/", "trap_cap": 500})
+        assert fa.crawler.trap_cap == 500
 
     def test_socks_proxy_rejected(self, spark):
         # the stdlib fetcher cannot speak SOCKS — fail loudly at facade
