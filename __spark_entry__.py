@@ -1481,6 +1481,69 @@ def q_robots_parse(spark, sf_dir):
     )
 
 
+def q_sitemap_lastmod(spark, sf_dir):
+    """Sitemap <lastmod> freshness parse (sources/sitemap.py:
+    parse_sitemap_urls_with_lastmod): per part key, a urlset with one
+    dated block (day = key%28+1, zero-padded) and one undated block —
+    structural pairing means the undated block must come out NULL, never
+    borrowing its neighbour's date. The oracle rebuilds the closed form
+    incl. the epoch-ms arithmetic (base 2026-01-01 UTC + day offset);
+    Spark parses the real XML and timestamps under the pinned UTC session
+    tz. NULL sentinels: '-' / -1."""
+    from secretscraper_spark.sources.sitemap import parse_sitemap_urls_with_lastmod
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey").cast("long")
+    ks = k.cast("string")
+    day = F.lpad(((k % 28) + 1).cast("string"), 2, "0")
+    body = F.concat(
+        F.lit("<urlset><url><loc>http://h.example/a"), ks,
+        F.lit("</loc><lastmod>2026-01-"), day,
+        F.lit("</lastmod></url><url><loc>http://h.example/b"), ks,
+        F.lit("</loc></url></urlset>"),
+    )
+    bodies = p.select(
+        F.concat(F.lit("http://h.example/sm"), ks, F.lit(".xml")).alias("url"),
+        body.alias("body"),
+    )
+    out = parse_sitemap_urls_with_lastmod(bodies)
+    return out.select(
+        "sitemap_url",
+        "loc",
+        F.coalesce("lastmod", F.lit("-")).alias("lastmod"),
+        F.coalesce("lastmod_ms", F.lit(-1)).cast("long").alias("lastmod_ms"),
+    ).orderBy("sitemap_url", "loc")
+
+
+def q_robots_compliance(spark, sf_dir):
+    """Robots-compliance audit (plans/politeness.py:robots_compliance —
+    the post-hoc verification twin of the C5 gate): per nation-key host,
+    one '/ok' fetch always plus a '/private' fetch for even keys; hosts
+    with key%3==0 disallow '/private'. Expected counts are closed-form;
+    the audit's broadcast prefix semi-join + both aggregates are
+    value-gated."""
+    from secretscraper_spark.plans.politeness import robots_compliance
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    ks = k.cast("string")
+    host = F.concat(F.lit("h"), ks, F.lit(".example"))
+    fetched = n.select(
+        host.alias("netloc"), F.concat(F.lit("/ok/"), ks).alias("path")
+    ).unionByName(
+        n.filter(k % 2 == 0).select(
+            host.alias("netloc"),
+            F.concat(F.lit("/private/"), ks).alias("path"),
+        )
+    )
+    robots = n.filter(k % 3 == 0).select(
+        host.alias("host"),
+        F.lit("/private").alias("disallow_prefix"),
+        F.lit(None).cast("double").alias("crawl_delay"),
+    )
+    return robots_compliance(fetched, robots).orderBy("host")
+
+
 def q_anchor_texts(spark, sf_dir):
     """Anchor-text extraction (functions/exprs.py:extract_anchors): HTML
     is synthesized per supplier key — one double-quoted absolute link
@@ -2591,6 +2654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_redirects": q_redirects,
         "q_charset_sniff": q_charset_sniff,
         "q_anchor_texts": q_anchor_texts,
+        "q_robots_compliance": q_robots_compliance,
+        "q_sitemap_lastmod": q_sitemap_lastmod,
         "q_sitemap_parse": q_sitemap_parse,
         "q_crawl_diff": q_crawl_diff,
         "q_chunk_docs": q_chunk_docs,
@@ -4000,6 +4065,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, disallow_prefix, crawl_delay
             FROM rows_ ORDER BY host, disallow_prefix
+        """,
+        # sitemap lastmod: closed form incl. epoch-ms arithmetic
+        "q_sitemap_lastmod": """
+            WITH k AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+            r AS (
+              SELECT 'http://h.example/sm' || CAST(k AS VARCHAR) || '.xml'
+                       AS sitemap_url,
+                     'http://h.example/a' || CAST(k AS VARCHAR) AS loc,
+                     '2026-01-' || LPAD(CAST((k % 28) + 1 AS VARCHAR), 2, '0')
+                       AS lastmod,
+                     CAST(1767225600000 + (k % 28) * 86400000 AS BIGINT)
+                       AS lastmod_ms
+              FROM k
+              UNION ALL
+              SELECT 'http://h.example/sm' || CAST(k AS VARCHAR) || '.xml',
+                     'http://h.example/b' || CAST(k AS VARCHAR),
+                     '-', CAST(-1 AS BIGINT)
+              FROM k
+            )
+            SELECT sitemap_url, loc, lastmod, lastmod_ms
+            FROM r ORDER BY sitemap_url, loc
+        """,
+        # robots compliance audit: closed-form expected counts
+        "q_robots_compliance": """
+            WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+            SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host,
+                   CAST(CASE WHEN k % 2 = 0 THEN 2 ELSE 1 END
+                        AS BIGINT) AS n_fetched,
+                   CAST(CASE WHEN k % 2 = 0 AND k % 3 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_violations
+            FROM n ORDER BY host
         """,
         # anchor texts: closed form, oracle never parses markup
         "q_anchor_texts": """

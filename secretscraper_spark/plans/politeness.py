@@ -192,3 +192,33 @@ def politeness_audit(
             ).cast("long").alias("n_violations"),
         )
     )
+
+
+def robots_compliance(fetched: DataFrame, robots: DataFrame) -> DataFrame:
+    """Post-hoc compliance audit — the verification twin of
+    :func:`robots_gate`: per host, how many fetched pages there were and
+    how many of them violated a Disallow prefix (a correct crawl reports
+    zero everywhere; a nonzero row is the evidence trail an operator
+    investigates). ``fetched`` needs (netloc, path) like the gate's
+    frontier; same broadcast prefix-match, LEFT SEMI for the violation
+    side, one groupBy — audit cost is one pass over the fetch log."""
+    f = with_host(fetched)
+    r = F.broadcast(robots.select(
+        F.col("host").alias("r_host"), "disallow_prefix"
+    ))
+    cond = (F.col("host") == F.col("r_host")) & F.col("path").startswith(
+        F.col("disallow_prefix")
+    )
+    viol = (
+        f.join(r, cond, "left_semi")
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    )
+    totals = f.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetched")
+    )
+    return totals.join(viol, "host", "left").select(
+        "host",
+        "n_fetched",
+        F.coalesce("n_violations", F.lit(0)).cast("long").alias("n_violations"),
+    )

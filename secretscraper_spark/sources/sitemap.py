@@ -148,3 +148,45 @@ def sitemap_seed_urls(pages: DataFrame, max_depth: int = 3) -> DataFrame:
         F.col("url_norm").rlike(r"/[^/]*sitemap[^/]*\.xml$")
     ).select(F.col("url_norm").alias("url"), F.col("caption").alias("body"))
     return expand_sitemap_indexes(maps, maps, max_depth=max_depth)
+
+
+_URL_BLOCK = r"(?is)<url\b[^>]*>(.*?)</url>"
+_LASTMOD_PATTERN = r"<lastmod>\s*([^<]*?)\s*</lastmod>"
+
+
+def parse_sitemap_urls_with_lastmod(
+    bodies: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """(sitemap_url, loc, lastmod, lastmod_ms) per ``<url>`` block of
+    urlset bodies — the freshness signal the sitemaps protocol carries
+    and :func:`parse_sitemap_entries` drops. ``lastmod`` is NULL when the
+    block has none; ``lastmod_ms`` is the epoch-millisecond parse
+    (``try_to_timestamp`` under the engine's pinned UTC session tz — NULL
+    on absent or unparseable values, never a task error), ready to
+    compare against a fetch log for lastmod-driven recrawl (join with
+    `plans/recrawl.recrawl_schedule`'s frame: refetch where lastmod_ms >
+    last fetch).
+
+    Pure Catalyst: one pass extracts ``<url>`` blocks, a second pulls
+    loc + lastmod per block — pairing is structural (same block), not
+    positional, so a missing lastmod can never shift onto a neighbour."""
+    body = F.coalesce(F.col(body_col), F.lit(""))
+    blocks = F.regexp_extract_all(body, F.lit(_URL_BLOCK), F.lit(1))
+    out = bodies.select(
+        F.col(url_col).alias("sitemap_url"),
+        F.explode(blocks).alias("block"),
+    ).select(
+        "sitemap_url",
+        _xml_unescape(
+            F.regexp_extract("block", _LOC_PATTERN, 1)
+        ).alias("loc"),
+        F.nullif(
+            F.regexp_extract("block", _LASTMOD_PATTERN, 1), F.lit("")
+        ).alias("lastmod"),
+    ).filter(F.col("loc") != "")
+    return out.select(
+        "sitemap_url",
+        "loc",
+        "lastmod",
+        F.unix_millis(F.expr("try_to_timestamp(lastmod)")).alias("lastmod_ms"),
+    )

@@ -562,3 +562,32 @@ def test_politeness_audit_exact(spark):
         for r in politeness_audit(df.repartition(5), "host", "ts", 1.0).collect()
     }
     assert again == got
+
+
+def test_robots_compliance_audit(spark):
+    """Counts violations per host against the Disallow dim; compliant and
+    robots-less hosts report zero."""
+    from secretscraper_spark.plans.politeness import robots_compliance
+    from secretscraper_spark.schemas import ROBOTS_SCHEMA
+
+    fetched = spark.createDataFrame(
+        [
+            ("a.test", "/ok/1"), ("a.test", "/private/x"),
+            ("a.test", "/private/y"), ("b.test", "/private/z"),
+            ("c.test", "/anything"),
+        ],
+        "netloc string, path string",
+    )
+    robots = spark.createDataFrame(
+        [("a.test", "/private", None), ("b.test", "/other", None)],
+        ROBOTS_SCHEMA,
+    )
+    got = {
+        r.host: (r.n_fetched, r.n_violations)
+        for r in robots_compliance(fetched, robots).collect()
+    }
+    assert got == {
+        "a.test": (3, 2),
+        "b.test": (1, 0),   # prefix doesn't match
+        "c.test": (1, 0),   # no robots entry
+    }

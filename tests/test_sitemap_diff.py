@@ -146,3 +146,36 @@ def test_crawl_diff_no_fingerprint(spark):
     new = spark.createDataFrame([("u", "200", 99)], "url_norm string, status string, content_length int")
     got = crawl_diff(old, new, fingerprint_col=None).collect()
     assert got[0].change == "unchanged"  # content ignored when disabled
+
+
+def test_parse_sitemap_urls_with_lastmod(spark):
+    """Structural pairing: a block without lastmod yields NULL and never
+    borrows a neighbour's; date and datetime forms parse to epoch ms;
+    garbage dates yield NULL ms, not errors."""
+    from secretscraper_spark.sources.sitemap import parse_sitemap_urls_with_lastmod
+
+    body = (
+        "<urlset>"
+        "<url><loc>http://a.example/p1</loc>"
+        "<lastmod>2026-01-02</lastmod></url>"
+        "<url><loc>http://a.example/p2</loc></url>"
+        "<url><lastmod>2026-01-03T12:00:00Z</lastmod>"
+        "<loc> http://a.example/p3 </loc></url>"
+        "<url><loc>http://a.example/p4</loc><lastmod>garbage</lastmod></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("http://a.example/sitemap.xml", body)], "url string, body string"
+    )
+    got = {
+        r.loc: (r.lastmod, r.lastmod_ms)
+        for r in parse_sitemap_urls_with_lastmod(df).collect()
+    }
+    day_ms = 86_400_000
+    base = 1_767_225_600_000  # 2026-01-01T00:00:00Z
+    assert got["http://a.example/p1"] == ("2026-01-02", base + day_ms)
+    assert got["http://a.example/p2"] == (None, None)
+    assert got["http://a.example/p3"] == (
+        "2026-01-03T12:00:00Z", base + 2 * day_ms + 12 * 3_600_000
+    )
+    assert got["http://a.example/p4"] == ("garbage", None)
