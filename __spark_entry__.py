@@ -1697,6 +1697,102 @@ def q_trap_detect(spark, sf_dir):
     ).orderBy("host", "prefix")
 
 
+def q_dust_rules(spark, sf_dir):
+    """DUST parameter-rule mining (plans/dust.py:param_rules — DustBuster
+    'drop query param p on host h' rules validated against content
+    digests): URLs are synthesized per order key as
+    ``http://h{k%3}.example/a?page={k%4}&sid={k%7}`` with content a
+    function of (host, page) only — so ``sid`` must mine as safe on
+    every host (the session-id signature) and ``page`` must be rejected
+    by the mixed-content violation screen. The oracle rebuilds the
+    synthesis in closed form (host/param/residual straight from the
+    keys, never parsing a URL) and re-runs BOTH aggregation stages in
+    SQL, so URL/query parsing, residual grouping, all three counts, and
+    both rule screens (violation + evidence) are value-gated."""
+    from secretscraper_spark.plans.dust import param_rules
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    host = F.concat(F.lit("h"), (k % 3).cast("string"), F.lit(".example"))
+    pages = o.select(
+        F.concat(
+            F.lit("http://"), host, F.lit("/a?page="),
+            (k % 4).cast("string"), F.lit("&sid="), (k % 7).cast("string"),
+        ).alias("url_norm"),
+        F.concat(
+            F.lit("body "), (k % 3).cast("string"), F.lit("-"),
+            (k % 4).cast("string"),
+        ).alias("caption"),
+    )
+    return param_rules(pages).orderBy("host", "param")
+
+
+def q_surt_cdx(spark, sf_dir):
+    """SURT canonicalization + CDX capture-index build
+    (operators/urlnorm.surt_key, sinks/cdx.py:build_cdx): per order key
+    a mixed-case URL with a ``WWW.`` label, a default (:80, every even
+    key) or non-default (:8080) port, and an unsorted query — covering
+    every SURT rewrite rule at once. The oracle computes the expected
+    SURT, digest (md5 of the synthesized payload), and length in closed
+    form from the keys, so lowercasing, www-strip, port handling, host
+    reversal, query sorting, and the record projection are all
+    value-gated; global (surt, ts) order is asserted in
+    tests/test_cdx.py (the driver compare is order-insensitive)."""
+    from secretscraper_spark.sinks.cdx import build_cdx
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    ks = k.cast("string")
+    url = F.concat(
+        F.lit("HTTP://WWW.H"), (k % 5).cast("string"), F.lit(".Example.COM"),
+        F.when(k % 2 == 0, F.lit(":80")).otherwise(F.lit(":8080")),
+        F.lit("/P"), (k % 7).cast("string"),
+        F.lit("?B="), (k % 3).cast("string"),
+        F.lit("&A="), (k % 11).cast("string"),
+    )
+    fetched = o.select(
+        url.alias("url_norm"),
+        k.alias("fetched_ms"),
+        F.lit(200).alias("status"),
+        F.lit("text/html").alias("mime"),
+        F.encode(F.concat(F.lit("pay"), ks), "UTF-8").alias("bytes"),
+    )
+    return build_cdx(fetched, num_shards=8).orderBy("surt", "ts_ms")
+
+
+def q_host_quarantine(spark, sf_dir):
+    """Host circuit breaker (plans/recrawl.py:host_quarantine): attempt
+    logs are synthesized per lineitem — URL u<orderkey> on host
+    h<orderkey%7>, attempt time orderkey*10+linenumber (collision-free),
+    success iff (orderkey+linenumber)%5==0 — so hosts carry different
+    consecutive-failure tails across MANY urls (the host-level signal a
+    per-URL backoff can't see). The oracle re-runs the same desc-scan
+    window + host rollup in SQL with the identical success-first tie
+    rule; NULLs -> -1 sentinels as in q_retry_backoff."""
+    from secretscraper_spark.plans.recrawl import host_quarantine
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = F.col("l_orderkey").cast("long")
+    i = F.col("l_linenumber").cast("long")
+    attempts = li.select(
+        F.concat(
+            F.lit("http://h"), (o % 7).cast("string"),
+            F.lit(".example/u"), o.cast("string"),
+        ).alias("url_norm"),
+        (o * 10 + i).alias("ts_ms"),
+        ((o + i) % 5 == 0).alias("ok"),
+    )
+    out = host_quarantine(attempts, fail_threshold=3, cooldown_ms=1000)
+    return out.select(
+        "host",
+        "last_attempt_ms",
+        F.coalesce("last_ok_ms", F.lit(-1)).cast("long").alias("last_ok_ms"),
+        "n_consec_fails",
+        "quarantined",
+        F.coalesce("release_ms", F.lit(-1)).cast("long").alias("release_ms"),
+    ).orderBy("host")
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery from robots.txt (plans/robotstxt.py:
     sitemap_urls_from_robots — RFC 9309 §2.3 non-group records, pure
@@ -2650,7 +2746,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_parse": q_robots_parse,
         "q_robots_sitemaps": q_robots_sitemaps,
         "q_trap_detect": q_trap_detect,
+        "q_dust_rules": q_dust_rules,
+        "q_surt_cdx": q_surt_cdx,
         "q_retry_backoff": q_retry_backoff,
+        "q_host_quarantine": q_host_quarantine,
         "q_redirects": q_redirects,
         "q_charset_sniff": q_charset_sniff,
         "q_anchor_texts": q_anchor_texts,
@@ -4211,6 +4310,91 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged
             WHERE (n_urls >= 5 AND dup_ratio >= 0.9) OR n_urls >= 1000000000
             ORDER BY host, prefix
+        """,
+        # DUST rules: closed-form synthesis, real two-stage re-aggregation
+        "q_dust_rules": """
+            WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+            urls AS (
+              SELECT 'h' || CAST(k % 3 AS VARCHAR) || '.example' AS host,
+                     'http://h' || CAST(k % 3 AS VARCHAR) || '.example/a?page='
+                       || CAST(k % 4 AS VARCHAR) || '&sid='
+                       || CAST(k % 7 AS VARCHAR) AS u,
+                     'body ' || CAST(k % 3 AS VARCHAR) || '-'
+                       || CAST(k % 4 AS VARCHAR) AS c,
+                     k % 4 AS page, k % 7 AS sid
+              FROM o),
+            expl AS (
+              SELECT host, u, c, 'page' AS param,
+                     '/a?sid=' || CAST(sid AS VARCHAR) AS residual FROM urls
+              UNION ALL
+              SELECT host, u, c, 'sid' AS param,
+                     '/a?page=' || CAST(page AS VARCHAR) AS residual FROM urls),
+            grp AS (
+              SELECT host, param, residual,
+                     COUNT(DISTINCT u) AS g_urls,
+                     COUNT(DISTINCT c) AS g_content
+              FROM expl GROUP BY host, param, residual)
+            SELECT host, param,
+                   CAST(SUM(g_urls) AS BIGINT) AS n_urls,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN g_urls > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_multi_groups
+            FROM grp GROUP BY host, param
+            HAVING SUM(CASE WHEN g_urls > 1 AND g_content > 1
+                            THEN 1 ELSE 0 END) = 0
+               AND SUM(CASE WHEN g_urls > 1 THEN 1 ELSE 0 END) >= 1
+            ORDER BY host, param
+        """,
+        # SURT + CDX record: fully closed form from the keys
+        "q_surt_cdx": """
+            WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders)
+            SELECT
+              'com,example,h' || CAST(k % 5 AS VARCHAR)
+                || (CASE WHEN k % 2 = 0 THEN '' ELSE ':8080' END)
+                || ')/p' || CAST(k % 7 AS VARCHAR)
+                || '?a=' || CAST(k % 11 AS VARCHAR)
+                || '&b=' || CAST(k % 3 AS VARCHAR) AS surt,
+              k AS ts_ms,
+              'HTTP://WWW.H' || CAST(k % 5 AS VARCHAR) || '.Example.COM'
+                || (CASE WHEN k % 2 = 0 THEN ':80' ELSE ':8080' END)
+                || '/P' || CAST(k % 7 AS VARCHAR)
+                || '?B=' || CAST(k % 3 AS VARCHAR)
+                || '&A=' || CAST(k % 11 AS VARCHAR) AS url,
+              200 AS status,
+              'text/html' AS mime,
+              md5('pay' || CAST(k AS VARCHAR)) AS digest,
+              CAST(3 + LENGTH(CAST(k AS VARCHAR)) AS BIGINT) AS length
+            FROM o ORDER BY surt, ts_ms
+        """,
+        # host circuit breaker: same window + rollup re-run in SQL
+        "q_host_quarantine": """
+            WITH a AS (
+              SELECT 'h' || CAST(CAST(l_orderkey AS BIGINT) % 7 AS VARCHAR)
+                       || '.example' AS host,
+                     CAST(l_orderkey AS BIGINT) * 10
+                       + CAST(l_linenumber AS BIGINT) AS ts_ms,
+                     CASE WHEN (CAST(l_orderkey AS BIGINT) + l_linenumber) % 5 = 0
+                          THEN 1 ELSE 0 END AS ok_i
+              FROM lineitem),
+            m AS (
+              SELECT host, ts_ms, ok_i,
+                     MAX(ok_i) OVER (PARTITION BY host
+                       ORDER BY ts_ms DESC, ok_i DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_ok
+              FROM a),
+            p AS (
+              SELECT host,
+                     CAST(MAX(ts_ms) AS BIGINT) AS last_attempt_ms,
+                     CAST(COALESCE(MAX(CASE WHEN ok_i = 1 THEN ts_ms END), -1)
+                          AS BIGINT) AS last_ok_ms,
+                     CAST(SUM(CASE WHEN seen_ok = 0 AND ok_i = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_consec_fails
+              FROM m GROUP BY host)
+            SELECT host, last_attempt_ms, last_ok_ms, n_consec_fails,
+                   (n_consec_fails >= 3) AS quarantined,
+                   CAST(CASE WHEN n_consec_fails >= 3 THEN last_attempt_ms + 1000
+                        ELSE -1 END AS BIGINT) AS release_ms
+            FROM p ORDER BY host
         """,
         # robots Sitemap records: closed form, never the robots text
         "q_robots_sitemaps": """

@@ -59,3 +59,54 @@ def canonical_url(url: Column) -> Column:
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
     return F.when(scheme.isin("http", "https"), rebuilt).otherwise(url)
+
+
+def surt_key(url: Column) -> Column:
+    """SURT form of an absolute http(s) URL — the Sort-friendly URI
+    Reordering Transform used by web-archive indexes (Internet Archive
+    webarchive-commons / Common Crawl CDX): URLs of one registered site
+    become one contiguous key range, so a globally sorted index answers
+    host/domain-prefix lookups with range pruning instead of a scan.
+
+    Following the IA default canonicalizer: the whole URL is lowercased,
+    the scheme dropped, one leading ``www.`` label stripped, the default
+    port for the scheme dropped, host labels REVERSED and comma-joined,
+    ``)`` appended, then path (empty → ``/``) and byte-sorted query;
+    fragment dropped. ``http://WWW.Sub.Example.COM:80/A?b=2&a=1`` →
+    ``com,example,sub)/a?a=1&b=2``. Pure Column chain (regex decompose +
+    split/reverse/sort HOFs — JVM codegen, no UDF, no shuffle);
+    non-http(s) inputs return NULL (a CDX indexes fetched web pages
+    only)."""
+    low = F.lower(url)
+    scheme = F.regexp_extract(low, URL_PARTS_PATTERN, 1)
+    auth = F.regexp_extract(low, URL_PARTS_PATTERN, 2)
+    path = F.regexp_extract(low, URL_PARTS_PATTERN, 3)
+    query = F.regexp_extract(low, URL_PARTS_PATTERN, 4)
+
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    no_port = F.regexp_replace(auth, r":\d+$", "")
+    # non-default port survives AFTER the reversed host (IA form:
+    # ``com,example:8080)``); the scheme's default port drops
+    port_sfx = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    host = F.when(
+        no_port.startswith("www."),
+        F.substring(no_port, 5, F.length(no_port) - 4),
+    ).otherwise(no_port)
+    host_rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+
+    q = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda p: p != "")), "&"
+    )
+    key = F.concat(
+        host_rev,
+        port_sfx,
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return F.when(scheme.isin("http", "https"), key)

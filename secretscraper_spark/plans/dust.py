@@ -1,0 +1,167 @@
+"""DUST parameter-rule mining — learn which query params never matter.
+
+`operators/urlnorm.canonical_url` strips a HARDCODED tracking-param list
+(utm_*, fbclid, …); at web scale every large site also has its own
+content-irrelevant parameters (session ids, cache busters, pagination
+tokens of mirrored views) that no static list can know. This module
+LEARNS them from fetched evidence, following the DustBuster idea
+("Do Not Crawl in the DUST: Different URLs with Similar Text",
+Bar-Yossef, Keidar & Schonfeld, WWW 2007): a rewrite rule is valid when
+applying it never lands two URLs with different content on the same
+rewritten form. Here the rule class is "drop query parameter *p* on host
+*h*", validated against content fingerprints:
+
+- for each (host, param) and each URL carrying the param, compute the
+  RESIDUAL — the URL with every ``param=…`` pair removed (remaining
+  params sorted so order never splits a group);
+- a rule is SAFE when every residual group that actually collapses
+  URLs (>1 distinct URL) holds exactly ONE distinct content, and at
+  least *min_evidence* such collapsing groups exist (rules with no
+  collapsing evidence are unproven, not safe).
+
+The reference has no counterpart (single-site, crawl-once —
+`crawler.py` never revisits enough to learn rules); this is the
+web-scale complement to its hardcoded `settings.yml` filters, exactly
+like `plans/traps.py` complements its `max_page_num` budget.
+
+Plan shape (100 TB): one map-only projection (regex decomposition +
+HOF filter over the split query — no UDF), one explode bounded by
+params-per-URL, then two hash aggregations that share the
+``(host, param)`` grouping prefix. Content identity is ``md5(content)``
+(same convention as `plans/traps.py` — distinct-count of the digest
+equals distinct-count of the content, and any engine can recompute it).
+The rule table is (host × param)-sized — a broadcastable dim; the
+consumer :func:`apply_param_rules` broadcasts it so the frontier (the
+big side) never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: decomposition groups: 1=host(authority) 2=path 3=query(no '?'/'#')
+_URL_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)([^?#]*)\??([^#]*)"
+
+
+def _kv_name(kv: F.Column) -> F.Column:
+    """Parameter name of a ``k=v`` (or bare ``k``) query pair."""
+    return F.element_at(F.split(kv, "=", 2), 1)
+
+
+def param_rules(
+    pages: DataFrame,
+    url_col: str = "url_norm",
+    content_col: str = "caption",
+    min_evidence: int = 1,
+) -> DataFrame:
+    """Mine safe drop-this-param rules from a fetched-pages table.
+
+    Returns ``(host, param, n_urls, n_groups, n_multi_groups)`` for every
+    rule that passed validation: *n_urls* distinct URLs carry the param
+    on that host, spread over *n_groups* residual groups of which
+    *n_multi_groups* collapse >1 URL — and NONE of the collapsing groups
+    mixes two distinct contents. Rows whose URL has no query are skipped
+    by construction (nothing to explode)."""
+    url = F.col(url_col)
+    kvs = F.filter(
+        F.split(F.regexp_extract(url, _URL_RE, 3), "&"), lambda p: p != ""
+    )
+    base = pages.select(
+        F.regexp_extract(url, _URL_RE, 1).alias("host"),
+        F.regexp_extract(url, _URL_RE, 2).alias("path"),
+        kvs.alias("kvs"),
+        url.alias("u"),
+        F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("c"),
+    )
+    # one row per DISTINCT param name on the URL (a=1&a=2 explodes once)
+    exploded = base.select(
+        "host",
+        "path",
+        "kvs",
+        "u",
+        "c",
+        F.explode(
+            F.array_distinct(F.transform(F.col("kvs"), _kv_name))
+        ).alias("param"),
+    )
+    residual = F.concat(
+        F.col("path"),
+        F.lit("?"),
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.col("kvs"), lambda p: _kv_name(p) != F.col("param")
+                )
+            ),
+            "&",
+        ),
+    )
+    grp = (
+        exploded.select("host", "param", residual.alias("residual"), "u", "c")
+        .groupBy("host", "param", "residual")
+        .agg(
+            F.count_distinct("u").alias("g_urls"),
+            F.count_distinct("c").alias("g_content"),
+        )
+    )
+    multi = F.col("g_urls") > 1
+    return (
+        grp.groupBy("host", "param")
+        .agg(
+            F.sum("g_urls").cast("long").alias("n_urls"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(multi, 1).otherwise(0))
+            .cast("long")
+            .alias("n_multi_groups"),
+            F.sum(F.when(multi & (F.col("g_content") > 1), 1).otherwise(0))
+            .cast("long")
+            .alias("_violations"),
+        )
+        .filter(
+            (F.col("_violations") == 0)
+            & (F.col("n_multi_groups") >= int(min_evidence))
+        )
+        .drop("_violations")
+    )
+
+
+def apply_param_rules(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url_norm",
+) -> DataFrame:
+    """Rewrite *url_col* by dropping every (host, param) the mined *rules*
+    dim flags — the frontier-side consumer, shaped like
+    `plans/traps.prune_trapped`: the rule table rolls up to one
+    param-array per host and BROADCASTS, so the big side never shuffles.
+    URLs on hosts with no rules (or with no query) pass through
+    unchanged; a query emptied by the rewrite loses its ``?``. All other
+    columns are preserved."""
+    url = F.col(url_col)
+    per_host = F.broadcast(
+        rules.groupBy("host")
+        .agg(F.collect_set("param").alias("_drop"))
+        .select(F.col("host").alias("_rule_host"), "_drop")
+    )
+    tagged = urls.withColumn(
+        "_host", F.regexp_extract(url, _URL_RE, 1)
+    ).join(
+        per_host, F.col("_host") == F.col("_rule_host"), "left"
+    ).drop("_rule_host")
+    kept = F.filter(
+        F.filter(F.split(F.regexp_extract(url, _URL_RE, 3), "&"),
+                 lambda p: p != ""),
+        lambda p: ~F.array_contains(F.col("_drop"), _kv_name(p)),
+    )
+    q = F.array_join(kept, "&")
+    rebuilt = F.concat(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*://)", 1),
+        F.col("_host"),
+        F.regexp_extract(url, _URL_RE, 2),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        F.regexp_extract(url, r"(#.*)$", 1),  # crawl identity keeps fragments
+    )
+    rewrite = F.col("_drop").isNotNull() & url.rlike(_URL_RE)
+    return tagged.withColumn(
+        url_col, F.when(rewrite, rebuilt).otherwise(url)
+    ).drop("_host", "_drop")

@@ -206,3 +206,68 @@ def retry_backoff(
             ),
         }
     )
+
+
+_HOST_OF_URL_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+
+def host_quarantine(
+    attempts: DataFrame,
+    fail_threshold: int = 5,
+    cooldown_ms: int = 600_000,
+    url_col: str = "url_norm",
+    ts_col: str = "ts_ms",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """Host-level circuit breaker over the same attempt log
+    :func:`retry_backoff` consumes — the missing third tier: per-URL
+    retry handles one flaky page, but when a whole HOST is down (DNS
+    dead, origin 503ing, our IP blocked) every URL on it fails
+    independently and the per-URL backoffs still let the frontier keep
+    hammering it. The reference never needs this (one host, crawl-once,
+    its exception arms just mark pages 'Unknown' — `crawler.py:384-421`);
+    a polite web-scale crawler must stop scheduling a failing host
+    entirely and probe it again only after a cooldown.
+
+    Per host (parsed from the URL): ``n_consec_fails`` = failures since
+    the host's last success ANYWHERE on it (ordered by attempt time;
+    same desc-scan trick and same success-first tie rule as
+    :func:`retry_backoff`), ``quarantined`` once the run reaches
+    *fail_threshold*, and ``release_ms = last_attempt + cooldown`` (when
+    quarantined — after it, the scheduler readmits the host with a probe
+    budget of 1). Output is host-cardinality — a broadcastable dim the
+    enqueue step LEFT ANTIs against, exactly like the robots and trap
+    gates.
+
+    Plan shape: the host projection is map-only; the window and the
+    groupBy share the host hash partitioning — ONE shuffle of the
+    attempt log, same contract as :func:`retry_backoff`."""
+    ts = F.col(ts_col)
+    ok = F.col(ok_col).cast("int")
+    base = attempts.select(
+        F.regexp_extract(F.col(url_col), _HOST_OF_URL_RE, 1).alias("host"),
+        ts.alias("ts_ms"),
+        ok.alias("ok_i"),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy(F.desc("ts_ms"), F.desc("ok_i"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = base.withColumn("seen_ok", F.max("ok_i").over(w))
+    per_host = marked.groupBy("host").agg(
+        F.max("ts_ms").alias("last_attempt_ms"),
+        F.max(F.when(F.col("ok_i") == 1, F.col("ts_ms"))).alias("last_ok_ms"),
+        F.sum(F.when((F.col("seen_ok") == 0) & (F.col("ok_i") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_consec_fails"),
+    )
+    quarantined = F.col("n_consec_fails") >= int(fail_threshold)
+    return per_host.withColumns(
+        {
+            "quarantined": quarantined,
+            "release_ms": F.when(
+                quarantined, F.col("last_attempt_ms") + int(cooldown_ms)
+            ),
+        }
+    )

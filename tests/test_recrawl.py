@@ -151,3 +151,55 @@ def test_retry_backoff_one_shuffle(spark):
     )
     plan = retry_backoff(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def _attempts(spark, rows):
+    return spark.createDataFrame(rows, "url_norm string, ts_ms long, ok boolean")
+
+
+def test_host_quarantine_counts_and_gates(spark):
+    from secretscraper_spark.plans.recrawl import host_quarantine
+
+    rows = [
+        # down.example: success then 3 straight failures across TWO urls
+        ("http://down.example/a", 100, True),
+        ("http://down.example/a", 200, False),
+        ("http://down.example/b", 300, False),
+        ("http://down.example/a", 400, False),
+        # up.example: failures then a success -> run resets to 0
+        ("http://up.example/x", 100, False),
+        ("http://up.example/x", 200, False),
+        ("http://up.example/y", 300, True),
+        # never.example: never succeeded, 2 failures
+        ("http://never.example/z", 50, False),
+        ("http://never.example/z", 60, False),
+    ]
+    out = {
+        r.host: r
+        for r in host_quarantine(
+            _attempts(spark, rows), fail_threshold=3, cooldown_ms=1000
+        ).collect()
+    }
+    down = out["down.example"]
+    assert (down.n_consec_fails, down.quarantined) == (3, True)
+    assert (down.last_attempt_ms, down.last_ok_ms) == (400, 100)
+    assert down.release_ms == 1400
+    up = out["up.example"]
+    assert (up.n_consec_fails, up.quarantined, up.release_ms) == (0, False, None)
+    never = out["never.example"]
+    assert (never.n_consec_fails, never.quarantined) == (2, False)
+    assert never.last_ok_ms is None
+
+
+def test_host_quarantine_same_ts_success_wins(spark):
+    from secretscraper_spark.plans.recrawl import host_quarantine
+
+    # a success and a failure at the SAME timestamp: the success orders
+    # first in the desc scan, so the tied failure counts as before it —
+    # same determinism tiebreak as retry_backoff
+    rows = [
+        ("http://t.example/a", 100, False),
+        ("http://t.example/b", 100, True),
+    ]
+    r = host_quarantine(_attempts(spark, rows), fail_threshold=1).collect()[0]
+    assert (r.n_consec_fails, r.quarantined) == (0, False)
