@@ -127,6 +127,12 @@ class ExternalEntry:
 @click.option("--trap-cap", help="URL-explosion enqueue gate: stop enqueuing "
               "into a (host, path-prefix) once it holds this many seen URLs",
               type=click.INT)
+@click.option("--quarantine-fails", help="Host circuit breaker: stop "
+              "scheduling a host after this many consecutive fetch failures "
+              "with no success", type=click.INT)
+@click.option("--quarantine-cooldown", help="Release a quarantined host for "
+              "a fresh probe after this many tiers (default: quarantined for "
+              "the rest of the run)", type=click.INT)
 @click.option("--checkpoint-dir", help="Round-snapshot dir for resume",
               type=click.STRING)
 def main(**options):

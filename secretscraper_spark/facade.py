@@ -223,6 +223,8 @@ class CrawlerFacade:
             seen_filter=custom.get("seen_filter") or "exact",
             budget_mode=custom.get("budget_mode") or "bfs",
             trap_cap=custom.get("trap_cap"),
+            quarantine_fails=custom.get("quarantine_fails"),
+            quarantine_cooldown_tiers=custom.get("quarantine_cooldown"),
             # any real fetcher — default HTTP or caller-supplied — honors
             # the politeness schedule on the wall clock; only the
             # deterministic pages-store replay keeps the virtual clock

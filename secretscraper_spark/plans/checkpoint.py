@@ -24,7 +24,7 @@ from dataclasses import asdict, dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MANIFEST = "manifest.json"
-TABLES = ("frontier", "seen", "nodes", "edges", "secrets")
+TABLES = ("frontier", "seen", "nodes", "edges", "secrets", "host_fails")
 
 
 @dataclass

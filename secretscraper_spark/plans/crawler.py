@@ -50,7 +50,12 @@ from . import bloom as bloommod
 from . import checkpoint as ckpt
 from . import cuckoo as cuckoomod
 from . import extraction
-from .politeness import assign_fetch_schedule, robots_gate, tier_makespan
+from .politeness import (
+    assign_fetch_schedule,
+    robots_gate,
+    tier_makespan,
+    with_host,
+)
 from .ranking import assign_global_seq, assign_global_seq_with_count
 
 NODES_DDL = (
@@ -58,6 +63,10 @@ NODES_DDL = (
     "params string, query string, fragment string, depth int, "
     "status string, title string, content_length long, content_type string"
 )
+
+#: host circuit-breaker state (quarantine_fails gate): consecutive failed
+#: fetches since the host's last success, and the tier that tripped it
+QUARANTINE_DDL = "host string, n_fails long, quarantined_at int"
 
 
 @dataclass
@@ -166,6 +175,8 @@ class SparkCrawler:
         budget_mode: str = "bfs",
         trap_cap: int | None = None,
         trap_prefix_depth: int = 2,
+        quarantine_fails: int | None = None,
+        quarantine_cooldown_tiers: int | None = None,
     ):
         """fetch_mode='join' (default): fetch = hash join vs the pages
         store — the pure, deterministic sandbox scan (SURVEY S2).
@@ -205,7 +216,22 @@ class SparkCrawler:
         URLs are not enqueued (plans/traps.url_explosions +
         prune_trapped — broadcast anti-join, the children side never
         shuffles for it). The content-based dup-trap signal stays an
-        offline operator: the crawler's state never carries captions."""
+        offline operator: the crawler's state never carries captions.
+
+        quarantine_fails (opt-in, None = off = reference parity) is the
+        in-loop host circuit breaker (the batch twin of
+        plans/recrawl.host_quarantine, with the tier index as time):
+        a host whose fetches have failed quarantine_fails+ times in a
+        row with NO success since (counted across ALL its URLs; any
+        success in a tier resets the run) is dropped at DEQUEUE — no
+        fetch, no budget, exactly the robots/evade exclusion contract,
+        and seeds on a quarantined host are gated too (a breaker stops
+        scheduling, not just enqueueing). quarantine_cooldown_tiers
+        releases the host after that many tiers for a fresh probe
+        (half-open breaker; None = quarantined for the rest of the
+        run). State is a host-cardinality table (broadcast at the
+        gate, one tiny full-outer fold per tier) and is checkpointed
+        with the round snapshot, so resume reproduces the gated run."""
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.robots = robots
@@ -221,6 +247,8 @@ class SparkCrawler:
         self.budget_mode = budget_mode
         self.trap_cap = trap_cap
         self.trap_prefix_depth = trap_prefix_depth
+        self.quarantine_fails = quarantine_fails
+        self.quarantine_cooldown_tiers = quarantine_cooldown_tiers
         self._page_fetch_fn = page_fetch_fn
         # paced_virtual=False makes the paced executor sleep each slot into
         # real wall-clock place (live HTTP politeness); True keeps the
@@ -308,6 +336,7 @@ class SparkCrawler:
             "total_page": 0,
             "next_seq": frontier.count(),
             "tiers": [],
+            "host_fails": self._empty(QUARANTINE_DDL),
         }
         st["overhead"] = {"seed_sec": round(time.perf_counter() - t_seed, 3)}
         return self._loop(st)
@@ -330,6 +359,9 @@ class SparkCrawler:
             "total_page": state.total_page,
             "next_seq": state.next_seq,
             "tiers": list(state.tiers),
+            "host_fails": tables.get(
+                "host_fails", self._empty(QUARANTINE_DDL)
+            ),
         }
         return self._loop(st)
 
@@ -401,6 +433,53 @@ class SparkCrawler:
         return keyed.join(
             self.pages, ["url_hash", "url_norm"], "inner"
         ).drop("url_hash")
+
+    def _quarantine_fold(
+        self,
+        state: DataFrame,
+        ok_counts: DataFrame,
+        fail_counts: DataFrame,
+        depth: int,
+    ) -> DataFrame:
+        """One tier's host outcomes folded into the breaker state (see
+        __init__ doc). Tier-batch time: any success this tier resets the
+        host's run; otherwise the tier's failures extend it. An expired
+        quarantine (cooldown passed) resets to half-open BEFORE the
+        tier's outcome applies, so the probe tier re-trips on its own
+        evidence. Hosts with no active run and no quarantine drop out —
+        the state stays minimal (failing-host cardinality, not all
+        hosts)."""
+        thr = int(self.quarantine_fails)
+        c = self.quarantine_cooldown_tiers
+        tier = ok_counts.join(fail_counts, "host", "full_outer")
+        merged = state.select(
+            "host",
+            F.col("n_fails").alias("old_n"),
+            F.col("quarantined_at").alias("old_qat"),
+        ).join(tier, "host", "full_outer")
+        expired = (
+            F.lit(False)
+            if c is None
+            else F.col("old_qat").isNotNull()
+            & (F.lit(depth) > F.col("old_qat") + int(c))
+        )
+        base_n = F.when(expired, F.lit(0)).otherwise(
+            F.coalesce(F.col("old_n"), F.lit(0))
+        )
+        base_qat = F.when(expired, F.lit(None).cast("int")).otherwise(
+            F.col("old_qat")
+        )
+        n2 = (
+            F.when(F.coalesce(F.col("n_ok"), F.lit(0)) > 0, F.lit(0))
+            .otherwise(base_n + F.coalesce(F.col("n_fail"), F.lit(0)))
+            .cast("long")
+        )
+        qat2 = F.when(base_qat.isNotNull(), base_qat).when(
+            n2 >= thr, F.lit(depth).cast("int")
+        )
+        return merged.select(
+            "host", n2.alias("n_fails"), qat2.alias("quarantined_at")
+        ).filter((F.col("n_fails") > 0) | F.col("quarantined_at").isNotNull())
 
     # -- seen-filter strategy (build / anti-join / per-tier update) -----------
 
@@ -521,6 +600,27 @@ class SparkCrawler:
             ~is_dangerous_path(F.col("path"), cfg.dangerous_paths)
         )
 
+        # host circuit breaker: quarantined hosts are not scheduled this
+        # tier (no fetch, no budget — robots/evade contract). The state
+        # dim is host-cardinality → broadcast; big side never shuffles.
+        if self.quarantine_fails is not None:
+            active = F.col("quarantined_at").isNotNull()
+            if self.quarantine_cooldown_tiers is not None:
+                active = active & (
+                    F.lit(depth)
+                    <= F.col("quarantined_at")
+                    + int(self.quarantine_cooldown_tiers)
+                )
+            qdim = F.broadcast(
+                st["host_fails"].filter(active).select(
+                    F.col("host").alias("q_host")
+                )
+            )
+            tagged = with_host(candidates)
+            candidates = tagged.join(
+                qdim, tagged["host"] == qdim["q_host"], "left_anti"
+            ).drop("host")
+
         # O2 budget top-k in BFS order (crawler.py:190-191, 270-271).
         # Only the budget cut is worth pinning with a checkpoint; without a
         # budget, to_process is cheap narrow filters over the ALREADY
@@ -583,6 +683,29 @@ class SparkCrawler:
             fetched, self._extract_udf
         ).localCheckpoint()
         mark("extract")
+
+        # circuit-breaker fold: this tier's per-host outcomes into the
+        # quarantine state. Successes = combined (the checkpointed fetch
+        # result); failures = scheduled-but-not-fetched (join mode: URL
+        # absent from the pages store; paced mode: fetch_fn error arm).
+        # Both sides are host-rollups of this tier only — tiny aggs.
+        if self.quarantine_fails is not None:
+            ok_counts = (
+                with_host(combined)
+                .groupBy("host")
+                .agg(F.count(F.lit(1)).alias("n_ok"))
+            )
+            fail_counts = (
+                with_host(to_process)
+                .select("host", "url_norm")
+                .join(combined.select("url_norm"), "url_norm", "left_anti")
+                .groupBy("host")
+                .agg(F.count(F.lit(1)).alias("n_fail"))
+            )
+            st["host_fails"] = self._quarantine_fold(
+                st["host_fails"], ok_counts, fail_counts, depth
+            ).localCheckpoint()
+            mark("quarantine_fold")
 
         # P10 metadata projection + P7 title
         st["nodes"] = st["nodes"].unionByName(extraction.nodes_of(combined))
@@ -664,18 +787,18 @@ class SparkCrawler:
             next_seq=st["next_seq"],
             tiers=st["tiers"],
         )
-        lineage = ckpt.write_round(
-            self.checkpoint_dir, state,
-            {
-                "frontier": st["frontier"],
-                "seen": st["seen"],
-                "nodes": st["nodes"],
-                "edges": st["edges"],
-                "secrets": st["secrets"],
-            },
-        )
+        tables = {
+            "frontier": st["frontier"],
+            "seen": st["seen"],
+            "nodes": st["nodes"],
+            "edges": st["edges"],
+            "secrets": st["secrets"],
+        }
+        if self.quarantine_fails is not None:
+            tables["host_fails"] = st["host_fails"]
+        lineage = ckpt.write_round(self.checkpoint_dir, state, tables)
         st["tiers"][-1]["lineage"] = {k: len(v) for k, v in lineage.items()}
         # re-read snapshots so downstream lineage points at parquet, not RAM
         base = ckpt._round_dir(self.checkpoint_dir, st["depth"])
-        for name in ("frontier", "seen", "nodes", "edges", "secrets"):
+        for name in tables:
             st[name] = self.spark.read.parquet(f"{base}/{name}")

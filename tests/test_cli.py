@@ -166,6 +166,18 @@ class TestCrawlerFacadeOptions:
         fa = self.facade(spark, {"url": "http://t.test/", "trap_cap": 500})
         assert fa.crawler.trap_cap == 500
 
+    def test_quarantine_wired(self, spark):
+        fa = self.facade(
+            spark,
+            {"url": "http://t.test/", "quarantine_fails": 4,
+             "quarantine_cooldown": 2},
+        )
+        assert fa.crawler.quarantine_fails == 4
+        assert fa.crawler.quarantine_cooldown_tiers == 2
+        fb = self.facade(spark, {"url": "http://t.test/"})
+        assert fb.crawler.quarantine_fails is None
+        assert fb.crawler.quarantine_cooldown_tiers is None
+
     def test_socks_proxy_rejected(self, spark):
         # the stdlib fetcher cannot speak SOCKS — fail loudly at facade
         # build, never silently return an empty crawl
