@@ -69,8 +69,10 @@ def surt_key(url: Column) -> Column:
     host/domain-prefix lookups with range pruning instead of a scan.
 
     Following the IA default canonicalizer: the whole URL is lowercased,
-    the scheme dropped, one leading ``www.`` label stripped, the default
-    port for the scheme dropped, host labels REVERSED and comma-joined,
+    the scheme and userinfo dropped, one leading ``www.`` label
+    stripped, the default port for the scheme dropped, host labels
+    REVERSED and comma-joined (IPv4 hosts stay in address order, as IA
+    does — reversing octets would scatter one host's captures),
     ``)`` appended, then path (empty → ``/``) and byte-sorted query;
     fragment dropped. ``http://WWW.Sub.Example.COM:80/A?b=2&a=1`` →
     ``com,example,sub)/a?a=1&b=2``. Pure Column chain (regex decompose +
@@ -79,10 +81,11 @@ def surt_key(url: Column) -> Column:
     only)."""
     low = F.lower(url)
     scheme = F.regexp_extract(low, URL_PARTS_PATTERN, 1)
-    auth = F.regexp_extract(low, URL_PARTS_PATTERN, 2)
+    raw_auth = F.regexp_extract(low, URL_PARTS_PATTERN, 2)
     path = F.regexp_extract(low, URL_PARTS_PATTERN, 3)
     query = F.regexp_extract(low, URL_PARTS_PATTERN, 4)
 
+    auth = F.regexp_replace(raw_auth, r"^[^/@]*@", "")  # userinfo off
     port = F.regexp_extract(auth, r":(\d+)$", 1)
     no_port = F.regexp_replace(auth, r":\d+$", "")
     # non-default port survives AFTER the reversed host (IA form:
@@ -97,7 +100,10 @@ def surt_key(url: Column) -> Column:
         no_port.startswith("www."),
         F.substring(no_port, 5, F.length(no_port) - 4),
     ).otherwise(no_port)
-    host_rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    host_rev = F.when(
+        host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$"),  # IPv4: no reversal (IA)
+        host,
+    ).otherwise(F.array_join(F.reverse(F.split(host, r"\.")), ","))
 
     q = F.array_join(
         F.array_sort(F.filter(F.split(query, "&"), lambda p: p != "")), "&"

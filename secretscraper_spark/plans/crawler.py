@@ -226,10 +226,16 @@ class SparkCrawler:
         success in a tier resets the run) is dropped at DEQUEUE — no
         fetch, no budget, exactly the robots/evade exclusion contract,
         and seeds on a quarantined host are gated too (a breaker stops
-        scheduling, not just enqueueing). quarantine_cooldown_tiers
-        releases the host after that many tiers for a fresh probe
-        (half-open breaker; None = quarantined for the rest of the
-        run). State is a host-cardinality table (broadcast at the
+        scheduling, not just enqueueing). Gated rows are DROPPED, not
+        deferred — within a BFS run each frontier row is scheduled at
+        most once, exactly the evade contract — so
+        quarantine_cooldown_tiers (half-open release after that many
+        tiers; None = quarantined for the rest of the run) benefits the
+        host's NEWLY DISCOVERED URLs; URLs skipped while the breaker
+        was open are not re-queued in this run. A standing deployment
+        re-admits them across runs through the offline schedulers
+        (plans/recrawl.retry_backoff / host_quarantine over its fetch
+        log). State is a host-cardinality table (broadcast at the
         gate, one tiny full-outer fold per tier) and is checkpointed
         with the round snapshot, so resume reproduces the gated run."""
         self.spark = spark
@@ -247,6 +253,13 @@ class SparkCrawler:
         self.budget_mode = budget_mode
         self.trap_cap = trap_cap
         self.trap_prefix_depth = trap_prefix_depth
+        assert quarantine_fails is None or quarantine_fails >= 1, (
+            "quarantine_fails must be >= 1 (0 would quarantine every "
+            "host, including all-success ones)"
+        )
+        assert quarantine_cooldown_tiers is None or (
+            quarantine_fails is not None
+        ), "quarantine_cooldown_tiers requires quarantine_fails"
         self.quarantine_fails = quarantine_fails
         self.quarantine_cooldown_tiers = quarantine_cooldown_tiers
         self._page_fetch_fn = page_fetch_fn

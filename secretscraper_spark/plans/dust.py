@@ -11,9 +11,14 @@ applying it never lands two URLs with different content on the same
 rewritten form. Here the rule class is "drop query parameter *p* on host
 *h*", validated against content fingerprints:
 
-- for each (host, param) and each URL carrying the param, compute the
-  RESIDUAL — the URL with every ``param=…`` pair removed (remaining
-  params sorted so order never splits a group);
+- for each (host, param) and EVERY URL on the host — carriers and
+  non-carriers alike — compute the RESIDUAL: the URL's rewritten form
+  with every ``param=…`` pair removed (a no-op for non-carriers;
+  remaining params sorted so order never splits a group). Including
+  non-carriers is what makes the invariant sound: a carrier rewrites
+  onto the bare/other-params form, so that form's content must sit in
+  the same validation group (``/x?sid=1`` with content A must not
+  collapse onto a bare ``/x`` whose content is B);
 - a rule is SAFE when every residual group that actually collapses
   URLs (>1 distinct URL) holds exactly ONE distinct content, and at
   least *min_evidence* such collapsing groups exist (rules with no
@@ -25,9 +30,10 @@ web-scale complement to its hardcoded `settings.yml` filters, exactly
 like `plans/traps.py` complements its `max_page_num` budget.
 
 Plan shape (100 TB): one map-only projection (regex decomposition +
-HOF filter over the split query — no UDF), one explode bounded by
-params-per-URL, then two hash aggregations that share the
-``(host, param)`` grouping prefix. Content identity is ``md5(content)``
+HOF filter over the split query — no UDF), one fan-out join against
+the (host × param) candidate dim (bounded by distinct params per
+host), then two hash aggregations that share the ``(host, param)``
+grouping prefix. Content identity is ``md5(content)``
 (same convention as `plans/traps.py` — distinct-count of the digest
 equals distinct-count of the content, and any engine can recompute it).
 The rule table is (host × param)-sized — a broadcastable dim; the
@@ -39,8 +45,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-#: decomposition groups: 1=host(authority) 2=path 3=query(no '?'/'#')
-_URL_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)([^?#]*)\??([^#]*)"
+from secretscraper_spark.operators.urlnorm import URL_PARTS_PATTERN
+
+#: one decomposition shared with operators/urlnorm (single source of
+#: truth): groups 1=scheme 2=host(authority) 3=path 4=query(no '?'/'#')
+_URL_RE = URL_PARTS_PATTERN
 
 
 def _kv_name(kv: F.Column) -> F.Column:
@@ -57,33 +66,38 @@ def param_rules(
     """Mine safe drop-this-param rules from a fetched-pages table.
 
     Returns ``(host, param, n_urls, n_groups, n_multi_groups)`` for every
-    rule that passed validation: *n_urls* distinct URLs carry the param
-    on that host, spread over *n_groups* residual groups of which
-    *n_multi_groups* collapse >1 URL — and NONE of the collapsing groups
-    mixes two distinct contents. Rows whose URL has no query are skipped
-    by construction (nothing to explode)."""
+    rule that passed validation: *n_urls* distinct URLs on the host were
+    checked against the rule (carriers AND the non-carrier forms they
+    rewrite onto), spread over *n_groups* residual groups of which
+    *n_multi_groups* collapse >1 distinct URL — and NONE of the
+    collapsing groups mixes two distinct contents. Hosts with no
+    parameterized URL contribute no candidate params and drop out."""
     url = F.col(url_col)
     kvs = F.filter(
-        F.split(F.regexp_extract(url, _URL_RE, 3), "&"), lambda p: p != ""
+        F.split(F.regexp_extract(url, _URL_RE, 4), "&"), lambda p: p != ""
     )
     base = pages.select(
-        F.regexp_extract(url, _URL_RE, 1).alias("host"),
-        F.regexp_extract(url, _URL_RE, 2).alias("path"),
+        F.regexp_extract(url, _URL_RE, 2).alias("host"),
+        F.regexp_extract(url, _URL_RE, 3).alias("path"),
         kvs.alias("kvs"),
         url.alias("u"),
         F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("c"),
     )
-    # one row per DISTINCT param name on the URL (a=1&a=2 explodes once)
-    exploded = base.select(
-        "host",
-        "path",
-        "kvs",
-        "u",
-        "c",
-        F.explode(
-            F.array_distinct(F.transform(F.col("kvs"), _kv_name))
-        ).alias("param"),
+    # candidate rules: every DISTINCT param name seen on the host
+    # (a=1&a=2 contributes once)
+    host_params = (
+        base.select(
+            "host",
+            F.explode(
+                F.array_distinct(F.transform(F.col("kvs"), _kv_name))
+            ).alias("param"),
+        )
+        .distinct()
     )
+    # fan-out: every URL of the host is validated against every candidate
+    # param — this is what puts a carrier and the bare/other-params form
+    # it rewrites onto into the SAME residual group (see module doc)
+    exploded = base.join(host_params, "host")
     residual = F.concat(
         F.col("path"),
         F.lit("?"),
@@ -144,20 +158,21 @@ def apply_param_rules(
         .select(F.col("host").alias("_rule_host"), "_drop")
     )
     tagged = urls.withColumn(
-        "_host", F.regexp_extract(url, _URL_RE, 1)
+        "_host", F.regexp_extract(url, _URL_RE, 2)
     ).join(
         per_host, F.col("_host") == F.col("_rule_host"), "left"
     ).drop("_rule_host")
     kept = F.filter(
-        F.filter(F.split(F.regexp_extract(url, _URL_RE, 3), "&"),
+        F.filter(F.split(F.regexp_extract(url, _URL_RE, 4), "&"),
                  lambda p: p != ""),
         lambda p: ~F.array_contains(F.col("_drop"), _kv_name(p)),
     )
     q = F.array_join(kept, "&")
     rebuilt = F.concat(
-        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*://)", 1),
+        F.regexp_extract(url, _URL_RE, 1),
+        F.lit("://"),
         F.col("_host"),
-        F.regexp_extract(url, _URL_RE, 2),
+        F.regexp_extract(url, _URL_RE, 3),
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
         F.regexp_extract(url, r"(#.*)$", 1),  # crawl identity keeps fragments
     )

@@ -54,6 +54,11 @@ def build_cdx(
         F.md5(payload).alias("digest"),
         F.octet_length(payload).cast("long").alias("length"),
     ).filter(F.col("surt").isNotNull())
+    # repartitionByRange's boundary sampling RE-EXECUTES its input plan;
+    # without this pin that means scanning + md5-ing every payload twice.
+    # The projected records are CDX-sized (digest, never the payload), so
+    # materializing them is the cheap side of that trade.
+    records = records.localCheckpoint()
     parts = [F.col("surt"), F.col("ts_ms")]
     ranged = (
         records.repartitionByRange(num_shards, *parts)
@@ -70,7 +75,7 @@ def cdx_lookup(cdx: DataFrame, surt_prefix: str) -> DataFrame:
     :func:`build_cdx` persisted with its sort order (parquet/Iceberg with
     min/max stats on ``surt``), this prefix filter prunes to the shards
     whose [min, max] interval overlaps the prefix range — a range scan,
-    not a full scan."""
-    return cdx.filter(F.col("surt").startswith(surt_prefix)).orderBy(
-        "surt", "ts_ms"
-    )
+    not a full scan. No re-sort: the artifact is already globally
+    (surt, ts)-ordered and a filter preserves that order; an orderBy
+    here would pay a full range exchange per lookup for nothing."""
+    return cdx.filter(F.col("surt").startswith(surt_prefix))

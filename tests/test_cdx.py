@@ -35,6 +35,15 @@ def test_surt_key_edges(spark):
     # non-http(s) and garbage -> NULL
     assert _surt(spark, "ftp://example.com/x") is None
     assert _surt(spark, "not a url") is None
+    # IPv4 hosts are NOT reversed (IA canonicalizer) — octet reversal
+    # would scatter one host's captures across the key space
+    assert _surt(spark, "http://10.0.0.1/x") == "10.0.0.1)/x"
+    assert _surt(spark, "http://10.0.0.1:8080/x") == "10.0.0.1:8080)/x"
+    # userinfo stripped: the capture sorts inside its domain's range
+    assert _surt(spark, "http://alice@Example.com/x") == "com,example)/x"
+    assert (
+        _surt(spark, "http://u:pw@example.com:443/x") == "com,example:443)/x"
+    )
 
 
 def _fetched(spark):

@@ -48,6 +48,37 @@ def test_param_rules_violation_rejects(spark):
     assert {(r.host, r.param) for r in rules} == {("a.example", "sid")}
 
 
+def test_param_rules_bare_form_blocks_unsafe_rule(spark):
+    # the DustBuster invariant on the REWRITTEN form: carriers of sid
+    # rewrite onto the bare /x, whose content differs -> sid must NOT
+    # mine as safe even though the carriers agree among themselves
+    df = spark.createDataFrame(
+        [
+            ("http://e.example/x?sid=1", "A"),
+            ("http://e.example/x?sid=2", "A"),
+            ("http://e.example/x", "B"),
+        ],
+        "url_norm string, caption string",
+    )
+    assert param_rules(df).collect() == []
+
+
+def test_param_rules_bare_form_joins_evidence(spark):
+    # same shape but the bare form AGREES -> the rule is safe and the
+    # bare URL counts into the collapsing group's evidence
+    df = spark.createDataFrame(
+        [
+            ("http://e.example/x?sid=1", "A"),
+            ("http://e.example/x?sid=2", "A"),
+            ("http://e.example/x", "A"),
+        ],
+        "url_norm string, caption string",
+    )
+    r = param_rules(df).collect()[0]
+    assert (r.host, r.param) == ("e.example", "sid")
+    assert (r.n_urls, r.n_groups, r.n_multi_groups) == (3, 1, 1)
+
+
 def test_param_rules_duplicate_param_name_explodes_once(spark):
     # a=1&a=2 on one URL: param 'a' contributes ONE exploded row per URL
     df = spark.createDataFrame(
