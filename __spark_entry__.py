@@ -1727,6 +1727,35 @@ def q_dust_rules(spark, sf_dir):
     return param_rules(pages).orderBy("host", "param")
 
 
+def q_dust_apply(spark, sf_dir):
+    """DUST rewrite consumer (plans/dust.py:apply_param_rules): rules are
+    mined from the same synthesized corpus as q_dust_rules (only ``sid``
+    survives validation), then the corpus URLs are rewritten through the
+    broadcast rule dim. The oracle states the rewritten form in closed
+    form from the keys — so rule application, kept-param order, and the
+    '?' handling are value-gated end-to-end through BOTH operators."""
+    from secretscraper_spark.plans.dust import apply_param_rules, param_rules
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    host = F.concat(F.lit("h"), (k % 3).cast("string"), F.lit(".example"))
+    pages = o.select(
+        F.concat(
+            F.lit("http://"), host, F.lit("/a?page="),
+            (k % 4).cast("string"), F.lit("&sid="), (k % 7).cast("string"),
+        ).alias("url_norm"),
+        F.concat(
+            F.lit("body "), (k % 3).cast("string"), F.lit("-"),
+            (k % 4).cast("string"),
+        ).alias("caption"),
+    )
+    frontier = pages.select(
+        F.col("url_norm").alias("url_orig"), "url_norm"
+    )
+    out = apply_param_rules(frontier, param_rules(pages))
+    return out.select("url_orig", "url_norm").orderBy("url_orig")
+
+
 def q_surt_cdx(spark, sf_dir):
     """SURT canonicalization + CDX capture-index build
     (operators/urlnorm.surt_key, sinks/cdx.py:build_cdx): per order key
@@ -2747,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_sitemaps": q_robots_sitemaps,
         "q_trap_detect": q_trap_detect,
         "q_dust_rules": q_dust_rules,
+        "q_dust_apply": q_dust_apply,
         "q_surt_cdx": q_surt_cdx,
         "q_retry_backoff": q_retry_backoff,
         "q_host_quarantine": q_host_quarantine,
@@ -4344,6 +4374,17 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) = 0
                AND SUM(CASE WHEN g_urls > 1 THEN 1 ELSE 0 END) >= 1
             ORDER BY host, param
+        """,
+        # DUST rewrite: closed form of the safe-rule application
+        "q_dust_apply": """
+            WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders)
+            SELECT
+              'http://h' || CAST(k % 3 AS VARCHAR) || '.example/a?page='
+                || CAST(k % 4 AS VARCHAR) || '&sid='
+                || CAST(k % 7 AS VARCHAR) AS url_orig,
+              'http://h' || CAST(k % 3 AS VARCHAR) || '.example/a?page='
+                || CAST(k % 4 AS VARCHAR) AS url_norm
+            FROM o ORDER BY url_orig
         """,
         # SURT + CDX record: fully closed form from the keys
         "q_surt_cdx": """
