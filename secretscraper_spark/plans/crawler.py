@@ -258,8 +258,12 @@ class SparkCrawler:
             "host, including all-success ones)"
         )
         assert quarantine_cooldown_tiers is None or (
-            quarantine_fails is not None
-        ), "quarantine_cooldown_tiers requires quarantine_fails"
+            quarantine_fails is not None and quarantine_cooldown_tiers >= 1
+        ), (
+            "quarantine_cooldown_tiers requires quarantine_fails and must "
+            "be >= 1 (0 would expire every quarantine before its first "
+            "gated tier — a silent no-op)"
+        )
         self.quarantine_fails = quarantine_fails
         self.quarantine_cooldown_tiers = quarantine_cooldown_tiers
         self._page_fetch_fn = page_fetch_fn
@@ -703,13 +707,19 @@ class SparkCrawler:
         # absent from the pages store; paced mode: fetch_fn error arm).
         # Both sides are host-rollups of this tier only — tiny aggs.
         if self.quarantine_fails is not None:
+            # empty hosts never enter the breaker: verbatim relative-href
+            # children (netloc='', a reference-parity invariant) and
+            # unparseable authorities would otherwise pool into ONE
+            # shared '' key and trip together
             ok_counts = (
                 with_host(combined)
+                .filter(F.col("host") != "")
                 .groupBy("host")
                 .agg(F.count(F.lit(1)).alias("n_ok"))
             )
             fail_counts = (
                 with_host(to_process)
+                .filter(F.col("host") != "")
                 .select("host", "url_norm")
                 .join(combined.select("url_norm"), "url_norm", "left_anti")
                 .groupBy("host")

@@ -22,7 +22,16 @@ rewritten form. Here the rule class is "drop query parameter *p* on host
 - a rule is SAFE when every residual group that actually collapses
   URLs (>1 distinct URL) holds exactly ONE distinct content, and at
   least *min_evidence* such collapsing groups exist (rules with no
-  collapsing evidence are unproven, not safe).
+  collapsing evidence are unproven, not safe). Residuals keep the
+  fragment — this repo's URL identity does (SURVEY §7), so two URLs
+  differing only in fragment must not count as collapsing evidence;
+- finally the JOINT rewrite is re-validated: individually-safe rules
+  compose (``apply_param_rules`` drops all of a host's rules at once),
+  and dropping {a} and {b} separately proving safe does NOT prove
+  dropping {a, b} together is — so the corpus is rewritten through the
+  exact consumer and any host whose composed rewrite collapses two
+  contents has its whole rule set revoked (conservative but sound:
+  what ships is exactly what was validated).
 
 The reference has no counterpart (single-site, crawl-once —
 `crawler.py` never revisits enough to learn rules); this is the
@@ -80,6 +89,7 @@ def param_rules(
         F.regexp_extract(url, _URL_RE, 2).alias("host"),
         F.regexp_extract(url, _URL_RE, 3).alias("path"),
         kvs.alias("kvs"),
+        F.regexp_extract(url, r"(#.*)$", 1).alias("frag"),
         url.alias("u"),
         F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("c"),
     )
@@ -109,6 +119,7 @@ def param_rules(
             ),
             "&",
         ),
+        F.col("frag"),  # fragment is part of this repo's URL identity
     )
     grp = (
         exploded.select("host", "param", residual.alias("residual"), "u", "c")
@@ -119,7 +130,7 @@ def param_rules(
         )
     )
     multi = F.col("g_urls") > 1
-    return (
+    single = (
         grp.groupBy("host", "param")
         .agg(
             F.sum("g_urls").cast("long").alias("n_urls"),
@@ -137,6 +148,33 @@ def param_rules(
         )
         .drop("_violations")
     )
+    # joint re-validation (see module doc): rewrite the corpus through the
+    # exact consumer with ALL of each host's surviving rules at once; a
+    # host whose composed rewrite collapses two distinct contents loses
+    # its whole rule set. The rule table is aggregate-sized, so its reuse
+    # below costs one small recompute, not a corpus rescan per reference.
+    rewritten = apply_param_rules(
+        pages.select(
+            F.col(url_col).alias("_u_orig"),
+            F.col(url_col).alias("_u_rw"),
+            F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("_c"),
+        ),
+        single,
+        url_col="_u_rw",
+    )
+    bad_hosts = (
+        rewritten.groupBy("_u_rw")
+        .agg(
+            F.count_distinct("_u_orig").alias("j_urls"),
+            F.count_distinct("_c").alias("j_content"),
+        )
+        .filter((F.col("j_urls") > 1) & (F.col("j_content") > 1))
+        .select(
+            F.regexp_extract(F.col("_u_rw"), _URL_RE, 2).alias("host")
+        )
+        .distinct()
+    )
+    return single.join(F.broadcast(bad_hosts), "host", "left_anti")
 
 
 def apply_param_rules(
@@ -148,9 +186,12 @@ def apply_param_rules(
     dim flags — the frontier-side consumer, shaped like
     `plans/traps.prune_trapped`: the rule table rolls up to one
     param-array per host and BROADCASTS, so the big side never shuffles.
-    URLs on hosts with no rules (or with no query) pass through
-    unchanged; a query emptied by the rewrite loses its ``?``. All other
-    columns are preserved."""
+    A URL is rewritten ONLY when it actually carries a dropped param —
+    URLs on hosts with no rules, with no query, or carrying none of the
+    host's dropped params pass through byte-identical (a bare trailing
+    ``?`` or empty ``&&`` segment is NOT normalized away: in this repo
+    the verbatim string is the crawl identity). A query emptied by the
+    rewrite loses its ``?``. All other columns are preserved."""
     url = F.col(url_col)
     per_host = F.broadcast(
         rules.groupBy("host")
@@ -176,7 +217,13 @@ def apply_param_rules(
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
         F.regexp_extract(url, r"(#.*)$", 1),  # crawl identity keeps fragments
     )
-    rewrite = F.col("_drop").isNotNull() & url.rlike(_URL_RE)
+    carries_dropped = F.exists(
+        F.split(F.regexp_extract(url, _URL_RE, 4), "&"),
+        lambda p: (p != "") & F.array_contains(F.col("_drop"), _kv_name(p)),
+    )
+    rewrite = (
+        F.col("_drop").isNotNull() & url.rlike(_URL_RE) & carries_dropped
+    )
     return tagged.withColumn(
         url_col, F.when(rewrite, rebuilt).otherwise(url)
     ).drop("_host", "_drop")

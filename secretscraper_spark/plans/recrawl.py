@@ -134,6 +134,50 @@ def recrawl_schedule(
     )
 
 
+def _consec_fail_rollup(
+    attempts: DataFrame,
+    key: F.Column,
+    key_name: str,
+    ts_col: str,
+    ok_col: str,
+) -> DataFrame:
+    """Shared kernel of :func:`retry_backoff` and :func:`host_quarantine`:
+    per *key*, the consecutive-failure run since the last success plus
+    last-attempt/last-success times — ``(key_name, last_attempt_ms,
+    last_ok_ms, n_consec_fails)``.
+
+    Descending scan: rows before the first success (newest-first) have
+    ``seen_ok = 0`` — exactly the run we want to count. ``ok`` desc as
+    tiebreak: a success and a failure at the SAME timestamp order
+    success-first, so the tied failure counts as before-the-success (the
+    run resets) — without it the ROWS frame's tie order is
+    partition-dependent, violating the module's determinism contract
+    (the oracles carry the same tiebreak). The window and the groupBy
+    share the key's hash partitioning — ONE shuffle of the attempt
+    log."""
+    ts = F.col(ts_col)
+    ok = F.col(ok_col).cast("int")
+    base = attempts.select(
+        key.alias(key_name), ts.alias("ts_ms"), ok.alias("ok_i")
+    )
+    w = (
+        Window.partitionBy(key_name)
+        .orderBy(F.desc("ts_ms"), F.desc("ok_i"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = base.withColumn("seen_ok", F.max("ok_i").over(w))
+    return marked.groupBy(key_name).agg(
+        F.max("ts_ms").alias("last_attempt_ms"),
+        F.max(F.when(F.col("ok_i") == 1, F.col("ts_ms"))).alias("last_ok_ms"),
+        F.sum(
+            F.when((F.col("seen_ok") == 0) & (F.col("ok_i") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_consec_fails"),
+    )
+
+
 def retry_backoff(
     attempts: DataFrame,
     base_ms: int = 60_000,
@@ -164,33 +208,9 @@ def retry_backoff(
     attempt log. Attempt logs are append-only and time-partitioned in
     storage — at 10^10 scale prune the scan to the retention horizon
     before calling this."""
-    url, ts = F.col(url_col), F.col(ts_col)
-    ok = F.col(ok_col).cast("int")
-    # ok desc as tiebreak: a success and failure at the SAME timestamp
-    # order success-first in the desc scan, so the tied failure counts as
-    # before-the-success (the run resets) — without it the ROWS frame's
-    # tie order is partition-dependent, violating the module's
-    # determinism contract (the oracle carries the same tiebreak)
-    w = (
-        Window.partitionBy(url_col)
-        .orderBy(F.desc(ts_col), F.desc(ok_col))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    # descending scan: rows before the first success (newest-first) have
-    # seen_ok = 0 — exactly the consecutive-failure run we want to count
-    marked = attempts.select(
-        url.alias("url_norm"),
-        ts.alias("ts_ms"),
-        ok.alias("ok_i"),
-        F.max(ok).over(w).alias("seen_ok"),
-    )
-    per_url = marked.groupBy("url_norm").agg(
-        F.max("ts_ms").alias("last_attempt_ms"),
-        F.max(F.when(F.col("ok_i") == 1, F.col("ts_ms"))).alias("last_ok_ms"),
-        F.sum(F.when((F.col("seen_ok") == 0) & (F.col("ok_i") == 0), 1).otherwise(0))
-        .cast("long")
-        .alias("n_fails"),
-    )
+    per_url = _consec_fail_rollup(
+        attempts, F.col(url_col), "url_norm", ts_col, ok_col
+    ).withColumnRenamed("n_consec_fails", "n_fails")
     # SQL form: the DataFrame shiftleft() only takes a literal bit count
     backoff = F.expr(
         f"shiftleft(CAST({int(base_ms)} AS BIGINT), "
@@ -206,9 +226,6 @@ def retry_backoff(
             ),
         }
     )
-
-
-_HOST_OF_URL_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
 
 
 def host_quarantine(
@@ -239,28 +256,24 @@ def host_quarantine(
     enqueue step LEFT ANTIs against, exactly like the robots and trap
     gates.
 
-    Plan shape: the host projection is map-only; the window and the
-    groupBy share the host hash partitioning — ONE shuffle of the
-    attempt log, same contract as :func:`retry_backoff`."""
-    ts = F.col(ts_col)
-    ok = F.col(ok_col).cast("int")
-    base = attempts.select(
-        F.regexp_extract(F.col(url_col), _HOST_OF_URL_RE, 1).alias("host"),
-        ts.alias("ts_ms"),
-        ok.alias("ok_i"),
+    Plan shape: the host projection is map-only; the rollup is the same
+    single-shuffle kernel as :func:`retry_backoff`
+    (:func:`_consec_fail_rollup`). The host key matches what the
+    crawler's gates anti-join on — authority (one shared decomposition,
+    `operators/urlnorm.URL_PARTS_PATTERN`) with userinfo stripped and
+    the port split off via the reference's `host_of` rule — so
+    ``http://h/…``, ``http://h:80/…`` and ``http://u@h/…`` all charge
+    the SAME breaker and the dim actually matches at the gate."""
+    from ..functions.exprs import host_of
+    from ..operators.urlnorm import URL_PARTS_PATTERN
+
+    auth = F.regexp_replace(
+        F.regexp_extract(F.col(url_col), URL_PARTS_PATTERN, 2),
+        r"^[^/@]*@",
+        "",
     )
-    w = (
-        Window.partitionBy("host")
-        .orderBy(F.desc("ts_ms"), F.desc("ok_i"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    marked = base.withColumn("seen_ok", F.max("ok_i").over(w))
-    per_host = marked.groupBy("host").agg(
-        F.max("ts_ms").alias("last_attempt_ms"),
-        F.max(F.when(F.col("ok_i") == 1, F.col("ts_ms"))).alias("last_ok_ms"),
-        F.sum(F.when((F.col("seen_ok") == 0) & (F.col("ok_i") == 0), 1).otherwise(0))
-        .cast("long")
-        .alias("n_consec_fails"),
+    per_host = _consec_fail_rollup(
+        attempts, host_of(auth), "host", ts_col, ok_col
     )
     quarantined = F.col("n_consec_fails") >= int(fail_threshold)
     return per_host.withColumns(

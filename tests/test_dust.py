@@ -79,6 +79,67 @@ def test_param_rules_bare_form_joins_evidence(spark):
     assert (r.n_urls, r.n_groups, r.n_multi_groups) == (3, 1, 1)
 
 
+def test_param_rules_joint_composition_revokes(spark):
+    # a and b are each individually safe (their own carriers never
+    # collapse, and /y resp. /z provide clean evidence), but dropping
+    # BOTH — which apply_param_rules does — collapses /x?a=1&b=1 (A)
+    # and /x?a=2&b=2 (B) onto one form. The joint re-validation must
+    # revoke the host's rules.
+    df = spark.createDataFrame(
+        [
+            ("http://h.example/y?a=1", "E"),
+            ("http://h.example/y", "E"),
+            ("http://h.example/z?b=1", "F"),
+            ("http://h.example/z", "F"),
+            ("http://h.example/x?a=1&b=1", "A"),
+            ("http://h.example/x?a=2&b=2", "B"),
+        ],
+        "url_norm string, caption string",
+    )
+    assert param_rules(df).collect() == []
+
+
+def test_param_rules_fragment_is_identity(spark):
+    # two URLs differing only in fragment are DISTINCT identities in this
+    # repo — they must not manufacture collapsing evidence for an
+    # unrelated param ('sid' has one carrier and no real evidence here)
+    df = spark.createDataFrame(
+        [
+            ("http://f.example/x#a", "A"),
+            ("http://f.example/x#b", "A"),
+            ("http://f.example/q?sid=9", "C"),
+        ],
+        "url_norm string, caption string",
+    )
+    assert param_rules(df).collect() == []
+
+
+def test_apply_rewrites_only_carriers(spark):
+    # on a ruled host, URLs carrying NONE of the dropped params pass
+    # through byte-identical — a bare '?' or an empty '&&' segment is
+    # crawl identity here, not noise to normalize
+    pages = _pages(spark)
+    rules = param_rules(pages)  # a.example: drop sid
+    frontier = spark.createDataFrame(
+        [
+            ("http://a.example/x?",),
+            ("http://a.example/x?page=1&&page=2",),
+            ("http://a.example/x?page=1&&sid=9",),  # carrier: rewritten
+        ],
+        "url_norm string",
+    )
+    got = sorted(
+        r.url_norm for r in apply_param_rules(frontier, rules).collect()
+    )
+    assert got == sorted(
+        [
+            "http://a.example/x?",
+            "http://a.example/x?page=1&&page=2",
+            "http://a.example/x?page=1",  # '&&' collapses only on rewrite
+        ]
+    )
+
+
 def test_param_rules_duplicate_param_name_explodes_once(spark):
     # a=1&a=2 on one URL: param 'a' contributes ONE exploded row per URL
     df = spark.createDataFrame(

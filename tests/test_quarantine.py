@@ -66,6 +66,24 @@ def test_quarantine_stops_scheduling_failing_host(spark):
     assert gated.total_page <= half.total_page <= plain.total_page
 
 
+def test_quarantine_validation(spark):
+    import pytest
+
+    pages = _degraded_pages(spark)
+    cfg = CrawlConfig(max_depth=1, max_page_num=0)
+    # 0 would quarantine all-success hosts (0 >= 0)
+    with pytest.raises(AssertionError, match="quarantine_fails"):
+        SparkCrawler(spark, pages, cfg, quarantine_fails=0)
+    # cooldown 0 expires every quarantine before its first gated tier
+    with pytest.raises(AssertionError, match="cooldown"):
+        SparkCrawler(
+            spark, pages, cfg, quarantine_fails=2, quarantine_cooldown_tiers=0
+        )
+    # cooldown without a threshold is a silent no-op otherwise
+    with pytest.raises(AssertionError, match="cooldown"):
+        SparkCrawler(spark, pages, cfg, quarantine_cooldown_tiers=2)
+
+
 def test_quarantine_state_resumes(spark, tmp_path):
     pages = _degraded_pages(spark)
     cfg = CrawlConfig(max_depth=2, max_page_num=0)
