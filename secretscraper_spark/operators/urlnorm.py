@@ -31,6 +31,18 @@ URL_PARTS_PATTERN = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)"
 TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|fbclid|gclid|msclkid|igshid|ref)(=|$)"
 
 
+def _sorted_query(query: Column, drop_pattern: str | None = None) -> Column:
+    """Shared query normalization: split on ``&``, drop empty pairs (and
+    *drop_pattern* matches, if given), byte-sort, rejoin. One definition
+    so `canonical_url` and `surt_key` can never drift on it."""
+    keep = (
+        (lambda p: (p != "") & ~p.rlike(drop_pattern))
+        if drop_pattern
+        else (lambda p: p != "")
+    )
+    return F.array_join(F.array_sort(F.filter(F.split(query, "&"), keep)), "&")
+
+
 def canonical_url(url: Column) -> Column:
     """Canonical dedup key for an absolute http(s) URL (see module doc);
     non-matching inputs return unchanged."""
@@ -47,13 +59,7 @@ def canonical_url(url: Column) -> Column:
         F.substring(auth, 1, F.length(auth) - 4),
     ).otherwise(auth)
 
-    kept = F.array_sort(
-        F.filter(
-            F.split(query, "&"),
-            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
-        )
-    )
-    q = F.array_join(kept, "&")
+    q = _sorted_query(query, TRACKING_PARAM_PATTERN)
     rebuilt = F.concat(
         scheme, F.lit("://"), host, path,
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
@@ -69,16 +75,19 @@ def surt_key(url: Column) -> Column:
     host/domain-prefix lookups with range pruning instead of a scan.
 
     Following the IA default canonicalizer: the whole URL is lowercased,
-    the scheme and userinfo dropped, one leading ``www.`` label
-    stripped, the default port for the scheme dropped, host labels
-    REVERSED and comma-joined (IPv4 hosts stay in address order, as IA
-    does — reversing octets would scatter one host's captures),
-    ``)`` appended, then path (empty → ``/``) and byte-sorted query;
-    fragment dropped. ``http://WWW.Sub.Example.COM:80/A?b=2&a=1`` →
+    the scheme and userinfo dropped, a leading ``www\\d*.`` label
+    stripped once, a trailing FQDN dot dropped, the scheme's default
+    port dropped (compared NUMERICALLY — ``:080`` is ``:80``; kept
+    ports render unpadded), host labels REVERSED and comma-joined
+    (IPv4 hosts stay in address order, as IA does — reversing octets
+    would scatter one host's captures), ``)`` appended, then path
+    (empty → ``/``) and byte-sorted query; fragment dropped.
+    ``http://WWW.Sub.Example.COM:80/A?b=2&a=1`` →
     ``com,example,sub)/a?a=1&b=2``. Pure Column chain (regex decompose +
     split/reverse/sort HOFs — JVM codegen, no UDF, no shuffle);
-    non-http(s) inputs return NULL (a CDX indexes fetched web pages
-    only)."""
+    non-http(s) inputs AND http(s) rows with an empty authority return
+    NULL (a CDX indexes fetched web pages only, and a key with no host
+    could never be range-addressed)."""
     low = F.lower(url)
     scheme = F.regexp_extract(low, URL_PARTS_PATTERN, 1)
     raw_auth = F.regexp_extract(low, URL_PARTS_PATTERN, 2)
@@ -89,25 +98,26 @@ def surt_key(url: Column) -> Column:
     port = F.regexp_extract(auth, r":(\d+)$", 1)
     no_port = F.regexp_replace(auth, r":\d+$", "")
     # non-default port survives AFTER the reversed host (IA form:
-    # ``com,example:8080)``); the scheme's default port drops
+    # ``com,example:8080)``), compared and rendered numerically so
+    # zero-padding can't split one origin across two keys
+    port_num = F.nullif(port, F.lit("")).cast("int")
+    is_default = ((scheme == "http") & (port_num == 80)) | (
+        (scheme == "https") & (port_num == 443)
+    )
     port_sfx = F.when(
-        (port == "")
-        | ((scheme == "http") & (port == "80"))
-        | ((scheme == "https") & (port == "443")),
-        F.lit(""),
-    ).otherwise(F.concat(F.lit(":"), port))
-    host = F.when(
-        no_port.startswith("www."),
-        F.substring(no_port, 5, F.length(no_port) - 4),
-    ).otherwise(no_port)
+        port_num.isNull() | is_default, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port_num.cast("string")))
+    host = F.regexp_replace(  # IA strip rule is www\d*., applied once
+        F.regexp_replace(no_port, r"^www\d*\.", ""),
+        r"\.$",  # trailing FQDN dot: same DNS host, same key range
+        "",
+    )
     host_rev = F.when(
         host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$"),  # IPv4: no reversal (IA)
         host,
     ).otherwise(F.array_join(F.reverse(F.split(host, r"\.")), ","))
 
-    q = F.array_join(
-        F.array_sort(F.filter(F.split(query, "&"), lambda p: p != "")), "&"
-    )
+    q = _sorted_query(query)
     key = F.concat(
         host_rev,
         port_sfx,
@@ -115,4 +125,4 @@ def surt_key(url: Column) -> Column:
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
-    return F.when(scheme.isin("http", "https"), key)
+    return F.when(scheme.isin("http", "https") & (host != ""), key)

@@ -28,10 +28,21 @@ def test_surt_key_edges(spark):
     assert _surt(spark, "https://Example.com:443") == "com,example)/"
     # non-default port survives after the reversed host (IA form)
     assert _surt(spark, "http://example.com:8080/p") == "com,example:8080)/p"
-    # www. strip is one leading label only
+    # www strip is the IA rule www\d*. applied ONCE to the leading label
+    assert _surt(spark, "http://www2.example.com/") == "com,example)/"
     assert _surt(spark, "http://www.www2.example.com/") == (
         "com,example,www2)/"
     )
+    # trailing FQDN dot: same DNS host, same key range
+    assert _surt(spark, "http://example.com./x") == "com,example)/x"
+    # default port compared numerically; kept ports render unpadded
+    assert _surt(spark, "http://example.com:080/x") == "com,example)/x"
+    assert _surt(spark, "http://example.com:08080/x") == (
+        "com,example:8080)/x"
+    )
+    # http(s) with an empty authority is garbage, not a key
+    assert _surt(spark, "http:///x") is None
+    assert _surt(spark, "http://?a=1") is None
     # non-http(s) and garbage -> NULL
     assert _surt(spark, "ftp://example.com/x") is None
     assert _surt(spark, "not a url") is None
