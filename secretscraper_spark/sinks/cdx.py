@@ -77,5 +77,17 @@ def cdx_lookup(cdx: DataFrame, surt_prefix: str) -> DataFrame:
     whose [min, max] interval overlaps the prefix range — a range scan,
     not a full scan. No re-sort: the artifact is already globally
     (surt, ts)-ordered and a filter preserves that order; an orderBy
-    here would pay a full range exchange per lookup for nothing."""
-    return cdx.filter(F.col("surt").startswith(surt_prefix))
+    here would pay a full range exchange per lookup for nothing.
+
+    A prefix that has not yet crossed the host boundary (no ``)``)
+    is HOST-TOKEN anchored: ``com,example`` matches the host itself and
+    its subdomains/ports (next char ``)``, ``,`` or ``:``) but NOT
+    ``com,examplefoo`` — a bare startswith would leak another
+    registrant's captures. A prefix containing ``)`` is a plain
+    path-level startswith."""
+    cond = F.col("surt").startswith(surt_prefix)
+    if ")" not in surt_prefix and surt_prefix[-1:] not in (",", ":", ""):
+        # mid-token host prefix: anchor on the next token boundary
+        nxt = F.col("surt").substr(len(surt_prefix) + 1, 1)
+        cond = cond & nxt.isin(")", ",", ":")
+    return cdx.filter(cond)

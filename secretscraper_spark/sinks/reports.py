@@ -133,6 +133,10 @@ def local_scan_report(file_secrets: DataFrame) -> DataFrame:
 
 
 def _netloc_of(url_norm):
-    """netloc of a canonical url: text between '//' and the next '/'."""
-    after = F.substring_index(url_norm, "//", -1)
-    return F.substring_index(F.substring_index(after, "/", 1), "?", 1)
+    """netloc of a canonical url: text between the FIRST '//' and the
+    next '/', '?' or '#' — urlparse semantics. (substring_index with a
+    negative count would key on the LAST '//', which misbuckets URLs
+    whose path or query embeds '//' — reachable here because relative
+    hrefs are kept verbatim, reference parity.) URLs with no '//' have
+    no netloc ('')."""
+    return F.regexp_extract(url_norm, r"//([^/?#]*)", 1)

@@ -165,8 +165,11 @@ def write_wds_shards(
                 "path": [path],
                 "n_samples": [len(pdf)],
                 "n_bytes": [len(data)],
-                "key_min": [keys.iloc[0]],
-                "key_max": [keys.iloc[-1]],
+                # min/max, NOT first/last: samples arrive in _seq order,
+                # which is the caller's order_cols (e.g. a quality
+                # score), not necessarily key order
+                "key_min": [keys.min()],
+                "key_max": [keys.max()],
             }
         )
 

@@ -162,7 +162,7 @@ def page_row(
         "status": status_for(i),
         "content_type": content_type_for(i),
         "content_length": len(caption),
-        "title": title if "text/html" in content_type_for(i) else title,
+        "title": title,
     }
 
 

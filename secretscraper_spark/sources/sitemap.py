@@ -95,12 +95,20 @@ def expand_sitemap_indexes(
         children = entries.filter(F.col("kind") == "sitemap").select(
             F.col("loc").alias("url")
         ).distinct()
+        # pin each level: the take(1) probe and the next level's parse
+        # would otherwise RE-EXECUTE the whole accumulated join/parse
+        # lineage once per level (O(depth^2) over the bodies scan)
         frontier = children.join(
             all_bodies, children["url"] == all_bodies["b_url"]
-        ).select(F.col("b_url").alias("url"), F.col("b_body").alias("body"))
+        ).select(
+            F.col("b_url").alias("url"), F.col("b_body").alias("body")
+        ).localCheckpoint()
         if not frontier.take(1):
             break
-    return pages.distinct() if pages is not None else frontier.select("url")
+    # contract: page URLs only — max_depth=0 expands nothing
+    return pages.distinct() if pages is not None else (
+        frontier.select("url").limit(0)
+    )
 
 
 def seeds_from_robots_sitemaps(pages: DataFrame, max_depth: int = 3) -> DataFrame:
@@ -141,13 +149,17 @@ def seeds_from_robots_sitemaps(pages: DataFrame, max_depth: int = 3) -> DataFram
 
 def sitemap_seed_urls(pages: DataFrame, max_depth: int = 3) -> DataFrame:
     """Pages-table bridge: rows whose URL path ends in ``sitemap.xml`` /
-    ``sitemap_index.xml`` are treated as sitemap bodies (caption holds
+    ``sitemap_index.xml`` are treated as sitemap ROOTS (caption holds
     the text); returns the distinct page URLs they reach — ready for
-    ``SparkCrawler.run_from_urls``. The rlike filter prunes at the scan."""
-    maps = pages.filter(
-        F.col("url_norm").rlike(r"/[^/]*sitemap[^/]*\.xml$")
-    ).select(F.col("url_norm").alias("url"), F.col("caption").alias("body"))
-    return expand_sitemap_indexes(maps, maps, max_depth=max_depth)
+    ``SparkCrawler.run_from_urls``. The rlike filter prunes the ROOT
+    scan only: index children resolve against the FULL pages store,
+    because a child sitemap may be named anything ('feeds.xml') — the
+    same contract :func:`seeds_from_robots_sitemaps` documents."""
+    bodies = pages.select(
+        F.col("url_norm").alias("url"), F.col("caption").alias("body")
+    )
+    maps = bodies.filter(F.col("url").rlike(r"/[^/]*sitemap[^/]*\.xml$"))
+    return expand_sitemap_indexes(maps, bodies, max_depth=max_depth)
 
 
 _URL_BLOCK = r"(?is)<url\b[^>]*>(.*?)</url>"

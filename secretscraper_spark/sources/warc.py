@@ -97,6 +97,10 @@ def parse_warc_bytes(data: bytes, src_file: str = "") -> list[dict]:
             length = int(headers.get("Content-Length", "0"))
         except ValueError:
             break
+        if length < 0:
+            # malformed/crafted record: a negative length would move the
+            # cursor BACKWARD and loop forever on untrusted archive input
+            break
         body_start = hdr_end + 4
         payload = data[body_start : body_start + length]
         if len(payload) < length:

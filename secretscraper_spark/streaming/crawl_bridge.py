@@ -93,8 +93,16 @@ def stream_land_payloads(
     ``spark.read.parquet(out_dir)`` (partition discovery unions the
     batch dirs). A URL fetched in TWO different micro-batches lands
     twice — run the stream through ``stream_seen_dedup`` first (the
-    crawler's seen semantics) if the fleet can emit repeats. Returns the
-    StreamingQuery; caller awaits/stops."""
+    crawler's seen semantics) if the fleet can emit repeats.
+
+    *pages_store*'s FILE LISTING is resolved when the DataFrame is
+    created, not per micro-batch — `spark.read.parquet(dir)` snapshots
+    an InMemoryFileIndex, so payload files appended to the store AFTER
+    stream start are invisible to the semi-join and their rows silently
+    never land. For a store that grows while the stream runs, pass a
+    table-backed DataFrame whose snapshot resolves per query (Iceberg /
+    a metastore table), or restart the stream after store appends.
+    Returns the StreamingQuery; caller awaits/stops."""
     from ..sinks.payloads import PAYLOAD_COLS
 
     def land(batch_df: DataFrame, batch_id: int) -> None:

@@ -47,13 +47,16 @@ def with_event_time(pages: DataFrame, ts_col: str = "event_time") -> DataFrame:
     return pages.withColumn(ts_col, F.timestamp_seconds(F.lit(1_700_000_000) + idx))
 
 
-def stream_secrets(pages: DataFrame) -> DataFrame:
+def stream_secrets(pages: DataFrame, ts_col: str = "event_time") -> DataFrame:
     """caption → exploded (url_norm, rule_name, match); stateless map, so
-    the batch operator applies verbatim per micro-batch."""
+    the batch operator applies verbatim per micro-batch. *pages* must
+    carry *ts_col* — raw `stream_pages` output does not; interpose
+    :func:`with_event_time` (or pass your fleet's real timestamp
+    column) first."""
     udf = make_secrets_udf(loaded_rules())
     return pages.select(
-        "url_norm", "event_time", F.explode(udf("caption")).alias("s")
-    ).select("url_norm", "event_time", "s.rule_name", "s.match")
+        "url_norm", ts_col, F.explode(udf("caption")).alias("s")
+    ).select("url_norm", ts_col, "s.rule_name", "s.match")
 
 
 def stream_seen_dedup(

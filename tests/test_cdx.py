@@ -103,3 +103,20 @@ def test_cdx_lookup_prefix(spark):
     # domain-level prefix: the point of SURT — one contiguous range
     assert cdx_lookup(cdx, "example,").count() == 3
     assert cdx_lookup(cdx, "org,").count() == 0
+
+
+def test_cdx_lookup_host_prefix_is_token_anchored(spark):
+    rows = [
+        ("http://a.example/one", 200, 1, "text/html", b"x"),
+        ("http://aa.example/two", 200, 2, "text/html", b"y"),
+        ("http://sub.a.example/three", 200, 3, "text/html", b"z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url_norm string, status int, fetched_ms long, mime string, "
+        "bytes binary"
+    )
+    cdx = build_cdx(df, num_shards=2)
+    # 'example,a' must match a.example and its subdomains — never
+    # aa.example, whose key merely shares the text prefix
+    got = {r.url for r in cdx_lookup(cdx, "example,a").collect()}
+    assert got == {"http://a.example/one", "http://sub.a.example/three"}

@@ -179,3 +179,26 @@ def test_parse_sitemap_urls_with_lastmod(spark):
         "2026-01-03T12:00:00Z", base + 2 * day_ms + 12 * 3_600_000
     )
     assert got["http://a.example/p4"] == ("garbage", None)
+
+
+def test_expand_sitemap_indexes_depth_zero_is_empty(spark):
+    bodies = spark.createDataFrame(
+        [("http://a.example/sitemap.xml", URLSET)], "url string, body string"
+    )
+    got = expand_sitemap_indexes(bodies, bodies, max_depth=0).collect()
+    assert got == []  # page URLs only — never the sitemap docs themselves
+
+
+def test_sitemap_seed_urls_resolves_oddly_named_children(spark):
+    # the root is name-filtered, but index CHILDREN may be named anything
+    # — they must resolve against the full pages store
+    index = ("<sitemapindex><sitemap><loc>http://a.example/feeds.xml"
+             "</loc></sitemap></sitemapindex>")
+    child = "<urlset><url><loc>http://a.example/via-feed</loc></url></urlset>"
+    pages = spark.createDataFrame(
+        [("http://a.example/sitemap_index.xml", index),
+         ("http://a.example/feeds.xml", child)],
+        "url_norm string, caption string",
+    )
+    got = {r.url for r in sitemap_seed_urls(pages).collect()}
+    assert got == {"http://a.example/via-feed"}

@@ -104,3 +104,12 @@ def test_parse_warc_truncated_tail_stops_cleanly():
     cut = data[: len(data) - 10]
     back = warc.parse_warc_bytes(cut)
     assert len(back) == 2
+
+
+def test_parse_warc_negative_length_stops_cleanly():
+    # a crafted negative Content-Length must not move the cursor backward
+    # (pre-guard this looped forever appending bogus records)
+    data = warc.build_warc_bytes(_records()[:1])
+    evil = data + b"WARC/1.0\r\nContent-Length: -33\r\n\r\n"
+    back = warc.parse_warc_bytes(evil)
+    assert len(back) == 1  # the valid record only, and we returned at all
