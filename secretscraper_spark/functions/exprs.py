@@ -115,6 +115,8 @@ def root_domain(host: Column) -> Column:
     kk = k + F.lit(1)
     return (
         F.when(n > k, F.array_join(F.slice(labels, -kk, kk), "."))
+        # host IS a known multi-label suffix: tldextract domain '' form
+        .when((n == k) & (k >= 2), F.concat(F.lit("."), F.array_join(labels, ".")))
         .when(n >= 2, lastk(2))
         .otherwise(F.concat(host, F.lit(".")))
     )

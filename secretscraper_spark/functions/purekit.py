@@ -17,10 +17,12 @@ from urllib.parse import urlparse
 # ---------------------------------------------------------------------------
 # F4 static-resource prune — reference util.py:44-50
 # ---------------------------------------------------------------------------
-_STATIC_EXTS = (
-    ".png", ".jpg", ".jpeg", ".gif", ".css", ".ico", ".dtd",
-    ".svg", ".scss", ".vue", ".ts",
-)
+# single source of truth with the Catalyst twin (exprs.is_static_resource
+# _expr reads the same list) — a private copy here would silently desync
+# the Python kernel (links UDF + refsim) from the Column-expression filter
+from secretscraper_spark.config import STATIC_EXTS as _CFG_STATIC_EXTS
+
+_STATIC_EXTS = tuple(_CFG_STATIC_EXTS)
 
 
 def is_static_resource(path: str) -> bool:
@@ -103,6 +105,10 @@ def get_root_domain(host: str) -> str:
     k = _psl.suffix_label_count(labels)
     if len(labels) > k:
         return ".".join(labels[-(k + 1):])
+    if k >= 2:
+        # the host IS a known multi-label public suffix ('github.io',
+        # 'co.uk'): tldextract gives domain '' -> '.github.io'
+        return "." + ".".join(labels)
     if len(labels) >= 2:
         return ".".join(labels[-2:])
     return host + "."  # mirrors tldextract's "domain + '.' + suffix" on bare hosts
@@ -460,11 +466,18 @@ class LinkExtractor:
     ) -> set[tuple[str, str, str, str, str, str]]:
         children: set[tuple[str, str, str, str, str, str]] = set()
 
-        # regex pass — urlparser.py:105-137
+        # regex pass — urlparser.py:105-137. urlparse raises ValueError on
+        # malformed IPv6-looking strings ('http://[::1'); on one hostile
+        # page the reference would lose a thread, but a Spark task crash
+        # aborts the whole JOB — skip the candidate instead (refsim shares
+        # this kernel, so the e2e parity compare sees the same skip).
         for _, link in set(self._regex.extract(text)):
             if len(link) == 0:
                 continue
-            o = urlparse(link)
+            try:
+                o = urlparse(link)
+            except ValueError:
+                continue
             if is_static_resource(o.path):
                 continue
             if len(sanitize_url(link)) == 0:
@@ -477,7 +490,10 @@ class LinkExtractor:
 
         # DOM pass — urlparser.py:19-95 (node built from the PRE-sanitize parse)
         for href in harvest_dom_hrefs(text):
-            o = urlparse(href)
+            try:
+                o = urlparse(href)
+            except ValueError:
+                continue  # same malformed-IPv6 guard as the regex pass
             if is_static_resource(o.path):
                 continue
             if len(sanitize_url(href)) == 0:

@@ -92,10 +92,18 @@ def make_http_fetch_fn(
     def _result(status: int, hdrs, body: bytes) -> dict:
         ctype = (hdrs.get("Content-Type") or "") if hdrs is not None else ""
         clen = hdrs.get("Content-Length") if hdrs is not None else None
+        # a malformed Content-Length ('abc') must never raise: raised
+        # from the HTTPError arm it would ESCAPE fetch() entirely (an
+        # exception inside an except block skips its siblings), kill the
+        # applyInPandas task and abort the crawl on one hostile server
+        try:
+            length = int(clen) if clen is not None else len(body)
+        except (ValueError, TypeError):
+            length = len(body)
         return {
             "status": str(status),
             "content_type": ctype,
-            "content_length": int(clen) if clen is not None else len(body),
+            "content_length": length,
             "caption": body.decode("utf-8", errors="ignore"),
         }
 

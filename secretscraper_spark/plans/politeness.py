@@ -30,10 +30,10 @@ def with_host(frontier: DataFrame) -> DataFrame:
     return frontier.withColumn("host", host_of(F.col("netloc")))
 
 
-def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
-    """North-rule robots.txt gating (absent in reference): drop frontier
-    rows whose path starts with a disallowed prefix for their host.
-    Robots is a small dim → broadcast; left_anti on (host, prefix-match)."""
+def _robots_match(frontier: DataFrame, robots: DataFrame):
+    """(host-tagged frontier, broadcast robots dim, prefix-match cond) —
+    the ONE definition of what 'violates a Disallow' means, shared by the
+    gate and its audit twin so the two can never silently diverge."""
     f = with_host(frontier)
     r = F.broadcast(robots.select(
         F.col("host").alias("r_host"), "disallow_prefix"
@@ -41,6 +41,14 @@ def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     cond = (F.col("host") == F.col("r_host")) & F.col("path").startswith(
         F.col("disallow_prefix")
     )
+    return f, r, cond
+
+
+def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """North-rule robots.txt gating (absent in reference): drop frontier
+    rows whose path starts with a disallowed prefix for their host.
+    Robots is a small dim → broadcast; left_anti on (host, prefix-match)."""
+    f, r, cond = _robots_match(frontier, robots)
     return f.join(r, cond, "left_anti")
 
 
@@ -67,17 +75,28 @@ def assign_fetch_schedule(
 
     w = Window.partitionBy("host").orderBy("discovery_seq")
     slot = F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(cfg.max_concurrent_per_domain))
-    return f.withColumn("slot", slot).withColumn(
-        "virtual_start", F.round(slot * interval, 6)
+    return (
+        f.withColumn("slot", slot)
+        .withColumn("interval", interval)
+        .withColumn("virtual_start", F.round(slot * interval, 6))
     )
 
 
 def tier_makespan(scheduled: DataFrame, cfg: CrawlConfig) -> float:
     """Virtual seconds to drain one tier under the politeness budget:
     max over hosts of (slots(host)) * interval — the exact cost model of
-    k URLs on one host = ceil(k / max_concurrent) * interval."""
+    k URLs on one host = ceil(k / max_concurrent) * interval. Uses each
+    row's EFFECTIVE interval (robots Crawl-delay override included) when
+    the schedule carries it — adding the global minimum instead would
+    underreport the drain of a crawl-delayed host and could attribute
+    the bottleneck to the wrong host."""
+    interval = (
+        F.col("interval")
+        if "interval" in scheduled.columns
+        else F.lit(cfg.min_request_interval)
+    )
     row = scheduled.agg(
-        F.max(F.col("virtual_start") + F.lit(cfg.min_request_interval)).alias("m")
+        F.max(F.col("virtual_start") + interval).alias("m")
     ).first()
     return float(row["m"] or 0.0)
 
@@ -122,8 +141,13 @@ def allocate_host_budget(
     total = demands.agg(F.sum(demand_col).alias("t")).collect()[0]["t"]
     total = int(total or 0)
     if total <= budget:
-        return demands.withColumn(
-            quota_col, F.col(demand_col).cast("long")
+        # same (host, demand, quota) projection as the rationing branch —
+        # a data-volume-dependent schema would break callers only once
+        # the frontier outgrows the budget
+        return demands.select(
+            F.col(host_col).alias("host"),
+            F.col(demand_col).cast("long").alias("demand"),
+            F.col(demand_col).cast("long").alias(quota_col),
         )
     b = F.lit(int(budget))
     prod = F.col(demand_col).cast("long") * b
@@ -202,13 +226,7 @@ def robots_compliance(fetched: DataFrame, robots: DataFrame) -> DataFrame:
     investigates). ``fetched`` needs (netloc, path) like the gate's
     frontier; same broadcast prefix-match, LEFT SEMI for the violation
     side, one groupBy — audit cost is one pass over the fetch log."""
-    f = with_host(fetched)
-    r = F.broadcast(robots.select(
-        F.col("host").alias("r_host"), "disallow_prefix"
-    ))
-    cond = (F.col("host") == F.col("r_host")) & F.col("path").startswith(
-        F.col("disallow_prefix")
-    )
+    f, r, cond = _robots_match(fetched, robots)
     viol = (
         f.join(r, cond, "left_semi")
         .groupBy("host")

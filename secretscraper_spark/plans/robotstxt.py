@@ -71,7 +71,11 @@ def parse_robots_text(
         agents, rules, delay = [], [], None
         in_group_body = False
 
-    for raw in (body or "").splitlines():
+    # a UTF-8 BOM survives errors='ignore' decoding and str.strip()
+    # (it's category Cf, not whitespace) — left in place it makes the
+    # first 'User-agent' line unrecognizable and silently drops the
+    # whole file's rules (host crawled as fully allowed)
+    for raw in (body or "").lstrip("\ufeff").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
             continue

@@ -27,6 +27,16 @@ class _Handler(http.server.BaseHTTPRequestHandler):
     PAGES = {"/index.html": INDEX_HTML, "/child.html": CHILD_HTML}
 
     def do_GET(self):  # noqa: N802
+        if self.path == "/badlen.html":
+            # hostile/broken server: non-integer Content-Length on an
+            # error response — must map to a result, never a raised
+            # ValueError (which would escape the HTTPError arm entirely)
+            self.send_response(404)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", "abc")
+            self.end_headers()
+            self.wfile.write(b"bad length")
+            return
         body = self.PAGES.get(self.path)
         if body is None:
             self.send_response(404)
@@ -140,3 +150,10 @@ class TestLiveCrawl:
         assert res.total_page == 1
         assert res.nodes.count() == 0  # never fetched → no node state row
         assert res.seen.count() == 1
+
+
+def test_malformed_content_length_does_not_raise(http_site):
+    fetch = make_http_fetch_fn(timeout=2)
+    page = fetch(f"{http_site}/badlen.html")
+    assert page is not None and page["status"] == "404"
+    assert page["content_length"] == len(b"bad length")

@@ -591,3 +591,39 @@ def test_robots_compliance_audit(spark):
         "b.test": (1, 0),   # prefix doesn't match
         "c.test": (1, 0),   # no robots entry
     }
+
+
+def test_tier_makespan_uses_effective_interval(spark):
+    from secretscraper_spark.config import CrawlConfig
+    from secretscraper_spark.plans.politeness import (
+        assign_fetch_schedule,
+        tier_makespan,
+    )
+
+    cfg = CrawlConfig()  # min_request_interval 0.2, 5 concurrent
+    rows = [(f"http://b.test/{i}", "b.test", f"/{i}", i) for i in range(15)]
+    f = spark.createDataFrame(
+        rows, "url_norm string, netloc string, path string, discovery_seq long"
+    )
+    robots = spark.createDataFrame(
+        [("b.test", None, 1.0)],
+        "host string, disallow_prefix string, crawl_delay double",
+    )
+    sched = assign_fetch_schedule(f, cfg, robots)
+    # 15 urls / 5 per slot = 3 slots at the 1.0s crawl-delay override:
+    # drain = 3 * 1.0, NOT max virtual_start + the global 0.2 minimum
+    assert tier_makespan(sched, cfg) == pytest.approx(3.0)
+
+
+def test_allocate_host_budget_schema_is_volume_independent(spark):
+    from secretscraper_spark.plans.politeness import allocate_host_budget
+
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 2)], "domain string, need int"
+    )
+    under = allocate_host_budget(df, 100, host_col="domain", demand_col="need")
+    over = allocate_host_budget(df, 4, host_col="domain", demand_col="need")
+    # the under-budget early return must project the SAME schema as the
+    # rationing branch — not leak the caller's column names
+    assert under.columns == over.columns == ["host", "demand", "quota"]
+    assert {r.host: r.quota for r in under.collect()} == {"a": 3, "b": 2}

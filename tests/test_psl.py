@@ -149,3 +149,19 @@ class TestDatLoader:
                 multi=before[0], wild=before[1], exc=before[2],
                 maxk=psl._max_rule_labels(*before),
             )
+
+
+def test_root_domain_of_suffix_host_matches_tldextract_form(spark):
+    from pyspark.sql import functions as F
+
+    from secretscraper_spark.functions.exprs import root_domain
+    from secretscraper_spark.functions.purekit import get_root_domain
+
+    # a host that IS a known multi-label public suffix: tldextract gives
+    # domain '' -> '.github.io' / '.co.uk'; both kernels must agree
+    for host, want in [("github.io", ".github.io"), ("co.uk", ".co.uk")]:
+        assert get_root_domain(host) == want, host
+    df = spark.createDataFrame([("github.io",), ("co.uk",)], "host string")
+    got = {r.host: r.root for r in df.select(
+        "host", root_domain(F.col("host")).alias("root")).collect()}
+    assert got == {"github.io": ".github.io", "co.uk": ".co.uk"}

@@ -160,3 +160,16 @@ class TestPrefilterGates:
         ex = pk.RegexExtractor({"custom": r"zebra\d+"}, use_groups=True)
         assert ex._lit_gates == [None] and ex._re_gates == [None]
         assert ex.extract("a zebra42 b") == [("custom", "zebra42")]
+
+
+def test_link_extractor_survives_malformed_ipv6_href():
+    from secretscraper_spark.config import loaded_rules, url_finder_rules
+    from secretscraper_spark.functions.purekit import LinkExtractor
+
+    ex = LinkExtractor(url_finder_rules())
+    base = ("http", "a.test", "/", "", "", "")
+    # urlparse raises ValueError on 'http://[::1' — one hostile page must
+    # skip the candidate, not kill the extraction task (and the job)
+    text = '<a href="http://[::1">x</a> see http://[broken and /ok.html'
+    kids = ex.extract(base, text)
+    assert all("[" not in c[1] for c in kids)

@@ -157,3 +157,12 @@ def test_robots_from_pages_feeds_gate(spark):
         "http://a.example/open",
         "http://b.example/secret/x",  # b has no disallow
     }
+
+
+def test_parse_robots_text_utf8_bom():
+    from secretscraper_spark.plans.robotstxt import parse_robots_text
+
+    # a BOM survives errors='ignore' decoding and str.strip(); it must not
+    # make the whole file's rules vanish (host crawled as fully allowed)
+    rules, delay = parse_robots_text("﻿User-agent: *\nDisallow: /private")
+    assert rules == ["/private"]
