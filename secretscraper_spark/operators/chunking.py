@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from secretscraper_spark.operators.textstats import WS_SPLIT_PATTERN
+
 
 def chunk_documents(
     df: DataFrame,
@@ -35,7 +37,7 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("require 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.col(text_col), WS_SPLIT_PATTERN), lambda x: x != "")
 
     def _chunks(tk):
         starts = F.sequence(
@@ -77,7 +79,7 @@ def pack_sequences(
 
     Determinism is the point: ``randomSplit``-style packing changes with
     partition layout, this never does. One window shuffle per group."""
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.col(text_col), WS_SPLIT_PATTERN), lambda x: x != "")
     base = df.select(
         F.col(group_col).alias("group"),
         F.col(id_col).alias("doc_id"),

@@ -29,7 +29,12 @@ def funnel_counts(df: DataFrame, stages: list[tuple[str, Column]]) -> DataFrame:
     aggs = [F.count(F.lit(1)).cast("long").alias("n_total")]
     for i, (_, pred) in enumerate(stages):
         cum = cum & pred
-        aggs.append(F.sum(cum.cast("long")).cast("long").alias(f"k{i}"))
+        # coalesce: F.sum over ZERO rows is NULL — an empty corpus must
+        # report 0-everywhere, not break the n_in/n_kept chain with NULLs
+        aggs.append(
+            F.coalesce(F.sum(cum.cast("long")), F.lit(0))
+            .cast("long").alias(f"k{i}")
+        )
     row = df.agg(*aggs)
     entries = []
     prev: Column = F.col("n_total")

@@ -20,6 +20,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+
+from secretscraper_spark.operators.textstats import WS_SPLIT_PATTERN
 from pyspark.sql import types as T
 
 
@@ -127,14 +129,26 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
 
     The token array is let-bound (transform over a 1-element array) so the
     regex split runs once per row — an expression referenced inside a HOF
-    lambda body is otherwise re-evaluated on every lambda iteration."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    lambda body is otherwise re-evaluated on every lambda iteration.
+
+    Empty tokens are filtered and docs with fewer than *k* tokens emit NO
+    shingles: without both guards an empty/whitespace-only text produced
+    the degenerate '' shingle, making every pair of empty docs Jaccard
+    1.0 (and every empty doc a contamination hit against an empty bench
+    item)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), WS_SPLIT_PATTERN),
+        lambda t: t != "",
+    )
 
     def _grams(tk):
-        return F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(tk) - k, F.lit(0))),
-            lambda i: F.array_join(F.slice(tk, i + 1, k), " "),
-        )
+        return F.when(
+            F.size(tk) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - k),
+                lambda i: F.array_join(F.slice(tk, i + 1, k), " "),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
 
     grams = F.element_at(F.transform(F.array(toks), _grams), 1)
     return df.select(
@@ -604,7 +618,7 @@ def simhash_catalyst(
     gate; :func:`simhash64` (FNV-1a + numpy, Arrow-batched) remains the
     wider production kernel, pytest-pinned against brute force."""
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        F.split(F.lower(F.col(text_col)), WS_SPLIT_PATTERN), lambda x: x != ""
     )
     th = F.transform(toks, lambda t: portable_hash64(t))
 
@@ -714,7 +728,7 @@ def positional_grams(
     repeated whitespace. JVM-only: one let-bound transform per row, then
     posexplode."""
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        F.split(F.lower(F.col(text_col)), WS_SPLIT_PATTERN), lambda x: x != ""
     )
 
     def _grams(tk):
@@ -832,7 +846,7 @@ def strip_spans(
         )).alias("spans")
     )
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        F.split(F.lower(F.col(text_col)), WS_SPLIT_PATTERN), lambda x: x != ""
     )
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     joined = base.join(span_arrays, "doc_id", "left").select(
@@ -874,12 +888,15 @@ def canonical_by_quality(
     s = scores.select(
         F.col(id_col).alias("s_doc_id"), F.col(score_col).alias("score")
     )
+    # LEFT join: an unscored member (e.g. bigram_lm_scores emits no row
+    # for <2-token docs) must still count in n_docs and must never make
+    # a whole component vanish — it just loses every score comparison
     j = components.join(
-        s, components[id_col] == s["s_doc_id"]
+        s, components[id_col] == s["s_doc_id"], "left"
     ).select(
         F.col(component_col).alias("component_id"),
-        F.col("s_doc_id").alias("doc_id"),
-        F.col("score"),
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col("score"), F.lit(float("-inf"))).alias("score"),
     )
     # max_by on (score, -doc_id): ties on score resolve to the SMALLEST id
     key = F.struct(F.col("score"), (-F.col("doc_id")).alias("neg_id"))

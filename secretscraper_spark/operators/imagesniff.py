@@ -85,7 +85,14 @@ def sniff_header(data: bytes | None) -> tuple[str | None, int | None, int | None
             w, h = struct.unpack("<HH", data[6:10])
             return ("gif", int(w), int(h))
         if data[:2] == b"BM" and len(data) >= 26:
-            w, h = struct.unpack("<ii", data[18:26])
+            # dims live where the DIB header version puts them:
+            # BITMAPCOREHEADER (size 12) carries int16 w/h at 18/20;
+            # INFO and later carry int32s at 18/22
+            dib = struct.unpack("<I", data[14:18])[0]
+            if dib == 12:
+                w, h = struct.unpack("<HH", data[18:22])
+            else:
+                w, h = struct.unpack("<ii", data[18:26])
             return ("bmp", int(abs(w)), int(abs(h)))
     except struct.error:
         return (None, None, None)

@@ -18,6 +18,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from secretscraper_spark.operators.textstats import WS_SPLIT_PATTERN
 from pyspark.sql import types as T
 
 from .imagecodec import decode_image, phash64, pixels_for, psnr
@@ -113,7 +115,6 @@ def resize_images(pages: DataFrame, out_w: int, out_h: int) -> DataFrame:
     from .imagecodec import encode_image
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ys = None
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
@@ -396,16 +397,17 @@ def hash_embed(text: F.Column, dim: int = 16, mode: str = "xxhash64") -> F.Colum
     would re-run lower+split+filter 2×dim times per row."""
     from .dedup import portable_hash64
 
-    toks_expr = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    toks_expr = F.filter(F.split(F.lower(text), WS_SPLIT_PATTERN), lambda t: t != F.lit(""))
 
     def embed_from(toks: F.Column) -> F.Column:
         def dim_mean(j: int) -> F.Column:
+            # each mode applies its 1000-bucket reduction exactly once
             if mode == "portable":
-                h = lambda t: portable_hash64(t, seed=j)  # noqa: E731
+                h = lambda t: portable_hash64(t, seed=j) % 1000  # noqa: E731
             else:
                 h = lambda t: F.pmod(F.xxhash64(t, F.lit(j)), F.lit(1000))  # noqa: E731
             vals = F.transform(
-                toks, lambda t: (h(t) % 1000).cast("double") / F.lit(1000.0)
+                toks, lambda t: h(t).cast("double") / F.lit(1000.0)
             )
             return F.aggregate(vals, F.lit(0.0), lambda acc, v: acc + v) / F.greatest(
                 F.size(toks), F.lit(1)

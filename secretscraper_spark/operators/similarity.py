@@ -105,9 +105,17 @@ def ivf_centroids(
     df: DataFrame, n_centroids: int = 16, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic k-means-lite coarse quantizer: seed with the first
-    n vectors by id (stable), refine with *iters* Lloyd steps — each step
-    one assignment pass + one posexplode/groupBy mean, all DataFrame ops."""
+    """K-means-lite coarse quantizer: seed with the first n vectors by id
+    (stable), refine with *iters* Lloyd steps — each step one assignment
+    pass + one posexplode/groupBy mean, all DataFrame ops.
+
+    Determinism caveat: the refine step's ``F.avg`` sums doubles in
+    partition order, so centroid coordinates can drift by ULPs across
+    layouts; the 9dp rounding below absorbs that in practice (assignment
+    flips remain possible for a vector EXACTLY equidistant between two
+    centroids — accept it or pre-coalesce to one partition for a
+    bit-stable build). Seeds and the empty-cluster fallback are fully
+    deterministic."""
     seeds = df.orderBy(id_col).limit(n_centroids).collect()
     cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
     for _ in range(iters):
@@ -115,7 +123,7 @@ def ivf_centroids(
         means = (
             assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("v").alias("m"))
+            .agg(F.round(F.avg("v"), 9).alias("m"))
             .groupBy("centroid_id")
             .agg(
                 F.transform(
@@ -190,9 +198,18 @@ def rp_lsh_topk(
         # value-check the bucketing + re-rank machinery
         cand = bucketed
     else:
+        # every bucket within hamming <= probe_hamming of the query
+        # signature — a literal driver-side list of Σ C(n, d) ints
+        # (n≲32, d≲3 in practice: a few thousand literals at most)
+        from itertools import combinations
+
         probes = [qsig]
-        if probe_hamming >= 1:
-            probes += [qsig ^ (1 << i) for i in range(n)]
+        for d in range(1, probe_hamming + 1):
+            for bits in combinations(range(n), d):
+                mask = 0
+                for b in bits:
+                    mask |= 1 << b
+                probes.append(qsig ^ mask)
         cand = bucketed.filter(F.col("bucket").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 

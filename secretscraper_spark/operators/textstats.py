@@ -284,7 +284,7 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (portable to the DuckDB oracle; a rolling/simhash variant lives in
     operators/dedup.py)."""
-    return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+    return F.md5(F.lower(F.regexp_replace(text, WS_SPLIT_PATTERN, " ")))
 
 
 def winnowing_fingerprints(
@@ -304,7 +304,7 @@ def winnowing_fingerprints(
     from .dedup import portable_hash64
 
     hash_fn = portable_hash64 if hash_mode == "portable" else F.xxhash64
-    t = F.lower(F.regexp_replace(text, r"\s+", " "))
+    t = F.lower(F.regexp_replace(text, WS_SPLIT_PATTERN, " "))
     n = F.length(t)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
@@ -559,7 +559,7 @@ def repetition_features(
     per-doc rollup, so the op scales with corpus size, not vocabulary.
     Docs whose text has no words yield no row (both engines agree)."""
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        F.split(F.lower(F.col(text_col)), WS_SPLIT_PATTERN), lambda x: x != ""
     )
     words = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("word"))
     counts = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -767,7 +767,7 @@ def quality_gate(
     plus ``keep`` and a '+'-joined ``reject_reason`` ('-' when kept), so
     drops are auditable instead of silent."""
     t = F.col(text_col)
-    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(t, WS_SPLIT_PATTERN), lambda x: x != "")
 
     def _stats(tk):
         n = F.size(tk)

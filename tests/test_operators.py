@@ -2241,3 +2241,56 @@ def test_heavy_hitters_exact(spark):
     # partition layout cannot move the answer
     again = heavy_hitters(df.repartition(7), "host", top_n=3).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_shingles_empty_and_short_docs_emit_nothing(spark):
+    from secretscraper_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two"), (4, "a b c d"), (5, "a b c e")],
+        "doc_id long, text string",
+    )
+    got = shingles(df, "doc_id", "text", k=3).collect()
+    # no degenerate '' shingle: empty/whitespace/short docs emit nothing,
+    # so two empty docs can never pair at jaccard 1.0 downstream
+    assert {r.doc_id for r in got} == {4, 5}
+    assert all(r.shingle for r in got)
+
+
+def test_canonical_by_quality_keeps_unscored_members(spark):
+    from secretscraper_spark.operators.dedup import canonical_by_quality
+
+    comps = spark.createDataFrame(
+        [(10, 10), (11, 10), (20, 20), (21, 20)],
+        "doc_id long, component_id long",
+    )
+    # component 10: only doc 11 scored -> it wins, n_docs still 2;
+    # component 20: NO member scored -> lowest id wins, row still emitted
+    scores = spark.createDataFrame([(11, 0.5)], "doc_id long, score double")
+    got = {
+        r.component_id: (r.canonical_id, r.n_docs)
+        for r in canonical_by_quality(comps, scores).collect()
+    }
+    assert got == {10: (11, 2), 20: (20, 2)}
+
+
+def test_rp_lsh_topk_probes_multi_bit_buckets(spark):
+    import numpy as np
+
+    from secretscraper_spark.operators.similarity import (
+        make_planes,
+        rp_lsh_topk,
+    )
+
+    planes = make_planes(4, 6)
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=4)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in rng.normal(size=4)]
+    # with probe_hamming = n_planes - 1... use 2: candidates must be a
+    # superset of hamming<=1 probing (previously 2 silently behaved as 1)
+    k1 = {r.vec_id for r in rp_lsh_topk(df, q, planes, k=64, probe_hamming=1).collect()}
+    k2 = {r.vec_id for r in rp_lsh_topk(df, q, planes, k=64, probe_hamming=2).collect()}
+    full = {r.vec_id for r in rp_lsh_topk(df, q, planes, k=64, probe_hamming=6).collect()}
+    assert k1 <= k2 <= full
+    assert k2 != k1 or k1 == full  # 2-bit probing actually widens (unless already exhaustive)
