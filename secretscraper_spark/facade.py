@@ -179,6 +179,17 @@ class CrawlerFacade:
         ):
             if custom.get(key) is not None:
                 settings[key] = custom[key]
+        for key in ("max_connections", "max_keepalive_connections"):
+            if custom.get(key) is not None:
+                # single-process httpx pool knobs (reference C4): a
+                # distributed fetch fleet has no faithful global socket
+                # cap — say so instead of silently ignoring the flag
+                self.print_func(
+                    f"Warning: {key} is kept for settings parity but the "
+                    "engine enforces the PER-HOST bound "
+                    "(max_concurrent_per_domain); total concurrency "
+                    "scales with scheduled hosts."
+                )
 
         if custom.get("detail", False) is True:
             self.detail_output = True
@@ -241,10 +252,25 @@ class CrawlerFacade:
         # reports read the node universe = edge parents ∪ children with
         # crawled state (reference url_dict keys + children); --validate
         # re-resolves unknown statuses first (facade.py:95 start_validate)
-        from .plans.validate import node_universe, validate_pass
+        from .plans.validate import (
+            node_universe,
+            validate_pass,
+            validate_pass_live,
+        )
 
         if self.validate:
-            universe = validate_pass(res.edges, res.nodes, self.crawler.pages)
+            if self.crawler.fetch_mode == "paced":
+                # real-HTTP mode has no pages store to join — re-fetch
+                # unknown URLs through the crawler's fetch fn (reference
+                # start_validate semantics); the store join would be a
+                # silent no-op against the empty placeholder table
+                universe = validate_pass_live(
+                    res.edges, res.nodes, self.crawler._page_fetch_fn
+                )
+            else:
+                universe = validate_pass(
+                    res.edges, res.nodes, self.crawler.pages
+                )
         else:
             universe = node_universe(res.edges, res.nodes)
 
@@ -313,7 +339,11 @@ class FileScannerFacade:
         report = reports.local_scan_report(secrets)
         report.show(50, truncate=False)
         if self.outfile is not None:
-            report.selectExpr(
-                "path", "n_secrets", "array_join(secrets, '\\n') as secrets"
-            ).write.mode("overwrite").option("header", True).csv(str(self.outfile))
+            reports.write_single_csv(
+                report.selectExpr(
+                    "path", "n_secrets",
+                    "array_join(secrets, '\\n') as secrets",
+                ),
+                str(self.outfile),
+            )
         return report

@@ -13,10 +13,14 @@ each: swallow and return None.
 Built on ``urllib.request`` (httpx is not installable here; the stdlib
 client is the public equivalent). Each fetching THREAD builds its own
 opener — handlers are not thread-safe to share, and the paced executor
-runs up to max_concurrent_per_domain threads per host slot — and the reference's
-connection-pool knobs (``max_connections`` C4) bound concurrency at the
-politeness layer (slots × hosts), which is where the paced executor
-enforces them.
+runs up to max_concurrent_per_domain threads per host slot. The
+reference's GLOBAL connection-pool knobs (``max_connections`` /
+``max_keepalive_connections``, C4) are a single-process httpx concept
+with no faithful distributed equivalent: the engine's enforced bound is
+per-host (max_concurrent_per_domain × concurrently-scheduled hosts),
+so total sockets scale with executor count. The facade accepts the
+flags for settings.yml parity and warns that only the per-host bound
+is enforced.
 
 Returned mapping matches what ``paced_fetch_pages`` expects from a fetch
 fn: ``{"status", "content_type", "content_length", "caption"}`` where

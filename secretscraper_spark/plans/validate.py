@@ -55,3 +55,48 @@ def validate_pass(
             "title", "content_length", "content_type",
         )
     )
+
+
+def validate_pass_live(
+    edges: DataFrame, nodes: DataFrame, page_fetch_fn
+) -> DataFrame:
+    """`validate_pass` for the real-HTTP mode (no pages store to join):
+    unknown-status URLs are RE-FETCHED through *page_fetch_fn* — the
+    reference's ``start_validate`` semantics (facade.py:95, a real
+    second request per unknown URL; a fetch that fails again keeps
+    'Unknown'). Arrow-batched mapInPandas, one fetch per DISTINCT
+    unknown URL; unknown sets are report-sized, so this is off the hot
+    path — politeness for the validation burst is the fetch fn's
+    opener/timeout, as in the reference."""
+    import pandas as pd
+
+    universe = node_universe(edges, nodes)
+    unknown = (
+        universe.filter(is_unknown_status(F.col("status")))
+        .select("url_norm")
+        .distinct()
+    )
+
+    def refetch(batches):
+        for pdf in batches:
+            statuses = []
+            for u in pdf["url_norm"]:
+                page = page_fetch_fn(u)
+                statuses.append(
+                    None if page is None else str(page["status"])
+                )
+            yield pd.DataFrame(
+                {"url_norm": pdf["url_norm"], "new_status": statuses}
+            )
+
+    refetched = unknown.mapInPandas(
+        refetch, "url_norm string, new_status string"
+    ).filter(F.col("new_status").isNotNull())
+    return (
+        universe.join(refetched, "url_norm", "left")
+        .select(
+            "url_norm",
+            F.coalesce(F.col("new_status"), F.col("status")).alias("status"),
+            "title", "content_length", "content_type",
+        )
+    )

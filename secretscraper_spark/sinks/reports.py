@@ -40,8 +40,30 @@ def csv_rows(
     )
 
 
+def write_single_csv(df: DataFrame, path: str) -> None:
+    """Write *df* as ONE csv FILE at *path* (reference parity: the CLI's
+    ``-o`` produces a file, and click declares the option dir_okay=False —
+    a raw ``df.write.csv`` would leave a part-file DIRECTORY that makes
+    every subsequent run with the same -o fail at option parsing).
+    Reports are aggregate-sized, so the coalesce(1) is a non-issue; for
+    a genuinely huge export use ``df.write.csv`` directly."""
+    import glob
+    import os
+    import shutil
+
+    tmp = path + ".__spark_tmp__"
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    shutil.move(part, path)
+    shutil.rmtree(tmp)
+
+
 def write_csv(universe: DataFrame, secrets: DataFrame, path: str) -> None:
-    csv_rows(universe, secrets).write.mode("overwrite").option("header", True).csv(path)
+    write_single_csv(csv_rows(universe, secrets), path)
 
 
 def url_hierarchy(

@@ -375,3 +375,49 @@ class TestCli:
         if result.exception is not None:
             raise result.exception
         assert cli.facade_obj is not None
+
+
+def test_write_single_csv_is_a_file_and_rerunnable(spark, tmp_path):
+    from secretscraper_spark.sinks import reports
+
+    df = spark.createDataFrame([("u1", "s1"), ("u2", "s2")], "a string, b string")
+    out = tmp_path / "result.csv"
+    reports.write_single_csv(df, str(out))
+    assert out.is_file()  # a FILE, not a part-dir (click dir_okay=False)
+    first = out.read_text()
+    reports.write_single_csv(df, str(out))  # second run with same -o works
+    assert out.is_file() and sorted(out.read_text()) == sorted(first)
+
+
+def test_validate_pass_live_refetches_unknown(spark):
+    from pyspark.sql import functions as F
+
+    from secretscraper_spark.plans.validate import validate_pass_live
+
+    nodes = spark.createDataFrame(
+        [("http://a/x", "Unknown"), ("http://a/y", "200"),
+         ("http://a/z", "Unknown")],
+        "url_norm string, status string",
+    ).select(
+        "url_norm", "status", F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("long").alias("content_length"),
+        F.lit(None).cast("string").alias("content_type"),
+        F.lit("http").alias("scheme"), F.lit("a").alias("netloc"),
+        F.lit("/").alias("path"), F.lit("").alias("params"),
+        F.lit("").alias("query"), F.lit("").alias("fragment"),
+        F.lit(0).alias("depth"),
+    )
+    edges = spark.createDataFrame(
+        [("http://a/y", "http://a/x", "url"),
+         ("http://a/y", "http://a/z", "url")],
+        "parent_norm string, child_norm string, kind string",
+    )
+    site = {"http://a/x": {"status": 301}}  # /z fails again -> stays Unknown
+    got = {
+        r.url_norm: r.status
+        for r in validate_pass_live(
+            edges, nodes, lambda u: site.get(u)
+        ).collect()
+    }
+    assert got == {"http://a/x": "301", "http://a/y": "200",
+                   "http://a/z": "Unknown"}
