@@ -12,6 +12,7 @@ Spark Python UDFs.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from urllib.parse import urlparse
 
 # ---------------------------------------------------------------------------
@@ -457,6 +458,34 @@ class BSElementExtractor:
 # RegexURLParser.extract_urls = regex pass ∪ DOM pass).  Returns the set of
 # child 6-tuples; the caller owns depth bookkeeping.
 # ---------------------------------------------------------------------------
+@lru_cache(maxsize=1 << 17)
+def _classify_link(link: str) -> tuple[str, str, str, str, str, str] | None:
+    """Per-candidate parse+filter pipeline, memoized on the raw link string.
+
+    Everything here is a pure function of *link* (urlparse, the static-
+    resource prune on its path, the sanitizer reject), so the result is
+    cacheable across pages and across the regex/DOM passes — real sites
+    repeat nav hrefs on every page (≈9× repetition on the bench corpus),
+    and each repeated href previously paid urlparse+sanitize twice per
+    page. None = rejected. The combination with the page's base 6-tuple
+    stays in the caller because it is per-page.
+
+    urlparse raises ValueError on malformed IPv6-looking strings
+    ('http://[::1'); on one hostile page the reference would lose a
+    thread, but a Spark task crash aborts the whole JOB — reject the
+    candidate instead (refsim shares this kernel, so the e2e parity
+    compare sees the same skip)."""
+    try:
+        o = urlparse(link)
+    except ValueError:
+        return None
+    if is_static_resource(o.path):
+        return None
+    if len(sanitize_url(link)) == 0:
+        return None
+    return (o.scheme, o.netloc, o.path, o.params, o.query, o.fragment)
+
+
 class LinkExtractor:
     def __init__(self, finder_rules: dict[str, str]):
         self._regex = RegexExtractor(finder_rules, use_groups=True)
@@ -466,42 +495,29 @@ class LinkExtractor:
     ) -> set[tuple[str, str, str, str, str, str]]:
         children: set[tuple[str, str, str, str, str, str]] = set()
 
-        # regex pass — urlparser.py:105-137. urlparse raises ValueError on
-        # malformed IPv6-looking strings ('http://[::1'); on one hostile
-        # page the reference would lose a thread, but a Spark task crash
-        # aborts the whole JOB — skip the candidate instead (refsim shares
-        # this kernel, so the e2e parity compare sees the same skip).
+        # regex pass — urlparser.py:105-137: scheme kept only when
+        # http/https (else the base's), netloc from base when empty.
         for _, link in set(self._regex.extract(text)):
             if len(link) == 0:
                 continue
-            try:
-                o = urlparse(link)
-            except ValueError:
-                continue
-            if is_static_resource(o.path):
-                continue
-            if len(sanitize_url(link)) == 0:
+            t = _classify_link(link)
+            if t is None:
                 continue
             children.add((
-                base6[0] if (o.scheme == "" or o.scheme not in ("http", "https")) else o.scheme,
-                base6[1] if o.netloc == "" else o.netloc,
-                o.path, o.params, o.query, o.fragment,
+                t[0] if t[0] in ("http", "https") else base6[0],
+                t[1] if t[1] != "" else base6[1],
+                t[2], t[3], t[4], t[5],
             ))
 
         # DOM pass — urlparser.py:19-95 (node built from the PRE-sanitize parse)
         for href in harvest_dom_hrefs(text):
-            try:
-                o = urlparse(href)
-            except ValueError:
-                continue  # same malformed-IPv6 guard as the regex pass
-            if is_static_resource(o.path):
+            t = _classify_link(href)
+            if t is None:
                 continue
-            if len(sanitize_url(href)) == 0:
-                continue
-            if len(o.scheme) > 0 and o.netloc is not None and len(o.netloc) > 0:
-                children.add((o.scheme, o.netloc, o.path, o.params, o.query, o.fragment))
+            if len(t[0]) > 0 and len(t[1]) > 0:
+                children.add(t)
             else:
                 # relative: scheme+netloc from base; path kept VERBATIM —
                 # deliberately NOT RFC 3986 resolution (urlparser.py:80-94)
-                children.add((base6[0], base6[1], o.path, o.params, o.query, o.fragment))
+                children.add((base6[0], base6[1], t[2], t[3], t[4], t[5]))
         return children

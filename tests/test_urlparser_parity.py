@@ -78,6 +78,47 @@ def test_regex_scheme_netloc_rules():
     assert kids == {"https://x.test/path/q"}
 
 
+def test_classify_link_cache_matches_uncached_pipeline():
+    """_classify_link memoizes the pure per-candidate pipeline (urlparse +
+    static prune + sanitize reject). Guard it against a straight-line
+    uncached re-implementation on adversarial candidates — refsim shares
+    the LinkExtractor kernel, so the e2e parity gate would NOT catch a
+    kernel-level divergence here."""
+    from urllib.parse import urlparse
+
+    from secretscraper_spark.functions.purekit import (
+        _classify_link,
+        is_static_resource,
+        sanitize_url,
+    )
+
+    def uncached(link):
+        try:
+            o = urlparse(link)
+        except ValueError:
+            return None
+        if is_static_resource(o.path):
+            return None
+        if len(sanitize_url(link)) == 0:
+            return None
+        return (o.scheme, o.netloc, o.path, o.params, o.query, o.fragment)
+
+    cases = [
+        "", "/p/child1", "http://other.test/abs", "normal", "../up.html",
+        "ftp://x.test/path/q", "mailto:a@b.c", "javascript:void(0)",
+        "http://[::1", "http://[::1]/ok", "x.png", "/a/x.PNG?v=1",
+        "//proto-relative.test/p", "http://h/p;params?q=1#frag",
+        "https://example.com/reject", "http://localhost/reject",
+        "  spaced  ", "%3A%2F", "a" * 3000, "/p/1#", "/p/1",
+        "http://site0.test/assets/app.js?v=2", "HTTP://UPPER.TEST/P",
+    ]
+    for link in cases:
+        assert _classify_link(link) == uncached(link), link
+    # repeated lookups hit the cache and stay identical
+    for link in cases:
+        assert _classify_link(link) == uncached(link), link
+
+
 def test_dedup_on_six_tuple(html_text):
     """Children are a set keyed by the parsed 6-tuple."""
     ex = LinkExtractor(url_finder_rules())
