@@ -3,16 +3,14 @@
 A naive ``row_number() OVER (ORDER BY ...)`` collapses to one task — a
 non-starter at 10^10 frontier scale. This helper range-partitions on the
 order key, counts per partition, and assigns ``offset + local_index``
-inside each partition: fully parallel, one extra pass for the counts.
+inside each partition: fully parallel, one extra pass for the counts,
+and the tag itself is a pure-JVM expression (monotonically_increasing_id
+arithmetic + a broadcast offsets join) — no Python in the path.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql import types as T
 
 
 SMALL_INPUT_ROWS = 1_000_000
@@ -88,26 +86,26 @@ def assign_global_seq_with_count(
         offsets[pid] = acc
         acc += sizes[pid]
 
-    # build a fresh StructType: StructType.add MUTATES, and DataFrame.schema
-    # is cached on the df — mutating it corrupts later calls on the same df
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(seq_col, T.LongType())]
+    # Tag pass stays entirely JVM-side: monotonically_increasing_id() on the
+    # CHECKPOINTED ranged data is (partition_id << 33) + local row index in
+    # stored (= sorted) order, so seq = offset[pid] + (mid & (2^33 - 1)).
+    # The offsets join is a broadcast of ≤`parts` rows. The previous
+    # mapInPandas tag shipped every frontier column through an Arrow
+    # round-trip just to add one long — at the 10^7 leg that pass was the
+    # bulk of a 20 s enqueue phase for a 2 M-row tier.
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()],
+        "__pid int, __off long",
     )
-    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
-
-    def tag(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
-        pid = None
-        for pdf in pdf_iter:
-            if pid is None and len(pdf):
-                pid = int(pdf["__pid"].iloc[0])
-            base = b_offsets.value.get(pid, 0) if pid is not None else 0
-            pdf = pdf.drop(columns="__pid")
-            pdf[seq_col] = range(base + local, base + local + len(pdf))
-            local += len(pdf)
-            yield pdf
-
+    local_idx = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
     return (
-        ranged.withColumn("__pid", F.spark_partition_id())
-        .mapInPandas(tag, out_schema)
+        ranged.select(
+            "*",
+            F.spark_partition_id().alias("__pid"),
+            F.monotonically_increasing_id().alias("__mid"),
+        )
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(seq_col, (F.col("__off") + local_idx).cast("long"))
+        .drop("__pid", "__mid", "__off")
     ), n_rows

@@ -482,6 +482,53 @@ class TestShardedSeenExactnessAtScale:
             spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
+class TestDistributedRank:
+    """O1's two-phase rank: the forced-distributed plan (range partition +
+    per-partition offsets + JVM monotonically_increasing_id arithmetic)
+    must equal a single-window row_number for any partition count, start
+    offset, and skewed key distribution."""
+
+    @pytest.mark.parametrize("parts,start", [(1, 0), (5, 0), (13, 42)])
+    def test_matches_window_rank(self, spark, parts, start):
+        from pyspark.sql.window import Window
+
+        from secretscraper_spark.plans.ranking import (
+            assign_global_seq_with_count,
+        )
+
+        df = spark.range(0, 4001).select(
+            ((F.col("id") * 2654435761) % 65537).alias("k"),
+            F.col("id").alias("payload"),
+        ).dropDuplicates(["k"])
+        got, n = assign_global_seq_with_count(
+            df, ["k"], seq_col="s", start=start,
+            num_partitions=parts, small_input_rows=0,
+        )
+        ref = df.withColumn(
+            "s",
+            (F.row_number().over(Window.orderBy("k")) - 1 + F.lit(start))
+            .cast("long"),
+        )
+        assert n == df.count()
+        assert {(r.k, r.s) for r in got.collect()} == {
+            (r.k, r.s) for r in ref.collect()
+        }
+
+    def test_empty_and_single_row(self, spark):
+        from secretscraper_spark.plans.ranking import (
+            assign_global_seq,
+            assign_global_seq_with_count,
+        )
+
+        df = spark.createDataFrame([(7,)], "k long")
+        empty, n0 = assign_global_seq_with_count(
+            df.filter("k < 0"), ["k"], small_input_rows=0
+        )
+        assert empty.count() == 0 and n0 == 0
+        one = assign_global_seq(df, ["k"], small_input_rows=0)
+        assert one.collect()[0].discovery_seq == 0
+
+
 def test_allocate_host_budget_largest_remainder(spark):
     """Hand case + property sweep vs a python Hamilton reference."""
     from secretscraper_spark.plans.politeness import allocate_host_budget
