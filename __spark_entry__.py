@@ -1364,6 +1364,23 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, n_iter=3).orderBy("node")
 
 
+def q_opic(spark, sf_dir):
+    """OPIC cash/history importance (operators/graph.py:opic_rounds —
+    Abiteboul et al., WWW 2003) over the same derived link graph as
+    q_pagerank: the incremental frontier-prioritization signal a crawler
+    can update mid-crawl. 3 synchronous rounds so the identical
+    computation unrolls into the oracle's chained CTEs; values rounded to
+    6 dp so float summation order cannot diverge the engines."""
+    from secretscraper_spark.operators.graph import opic_rounds
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 300).alias("src"),
+        (F.col("l_partkey") % 300).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return opic_rounds(edges, n_rounds=3).orderBy("node")
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC source round-trip (sources/warc.py): the documents table is
     serialized into a spec-shaped WARC/1.0 file (driver-side fixture
@@ -2770,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_filter": q_image_filter,
         "q_dup_spans": q_dup_spans,
         "q_pagerank": q_pagerank,
+        "q_opic": q_opic,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_wds_roundtrip": q_wds_roundtrip,
         "q_robots_parse": q_robots_parse,
@@ -4152,6 +4170,55 @@ def oracle_sql() -> dict[str, str]:
                           + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, 0) AS pr
                    FROM n LEFT JOIN c3 c USING (node))
             SELECT node, round(pr, 6) AS pagerank FROM r3 ORDER BY node
+        """,
+        # OPIC: same graph as q_pagerank, 3 unrolled synchronous rounds;
+        # dangling cash -> virtual root -> uniform redistribution. Scalar
+        # subqueries carry N and the per-round dangling total.
+        "q_opic": """
+            WITH e AS (
+              SELECT DISTINCT l_orderkey % 300 AS src, l_partkey % 300 AS dst
+              FROM lineitem
+              WHERE l_orderkey % 300 <> l_partkey % 300),
+            n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM n),
+            s0 AS (SELECT node,
+                          1.0 / (SELECT n_nodes FROM nn) AS cash,
+                          CAST(0 AS DOUBLE) AS history
+                   FROM n),
+            rcv1 AS (SELECT e.dst, sum(s.cash / d.deg) AS recv
+                     FROM e JOIN s0 s ON e.src = s.node JOIN d ON d.src = e.src
+                     GROUP BY e.dst),
+            dg1 AS (SELECT coalesce(sum(cash), 0) AS t FROM s0
+                    WHERE node NOT IN (SELECT src FROM d)),
+            s1 AS (SELECT s.node,
+                          coalesce(r.recv, 0)
+                          + (SELECT t FROM dg1) / (SELECT n_nodes FROM nn) AS cash,
+                          s.history + s.cash AS history
+                   FROM s0 s LEFT JOIN rcv1 r ON r.dst = s.node),
+            rcv2 AS (SELECT e.dst, sum(s.cash / d.deg) AS recv
+                     FROM e JOIN s1 s ON e.src = s.node JOIN d ON d.src = e.src
+                     GROUP BY e.dst),
+            dg2 AS (SELECT coalesce(sum(cash), 0) AS t FROM s1
+                    WHERE node NOT IN (SELECT src FROM d)),
+            s2 AS (SELECT s.node,
+                          coalesce(r.recv, 0)
+                          + (SELECT t FROM dg2) / (SELECT n_nodes FROM nn) AS cash,
+                          s.history + s.cash AS history
+                   FROM s1 s LEFT JOIN rcv2 r ON r.dst = s.node),
+            rcv3 AS (SELECT e.dst, sum(s.cash / d.deg) AS recv
+                     FROM e JOIN s2 s ON e.src = s.node JOIN d ON d.src = e.src
+                     GROUP BY e.dst),
+            dg3 AS (SELECT coalesce(sum(cash), 0) AS t FROM s2
+                    WHERE node NOT IN (SELECT src FROM d)),
+            s3 AS (SELECT s.node,
+                          coalesce(r.recv, 0)
+                          + (SELECT t FROM dg3) / (SELECT n_nodes FROM nn) AS cash,
+                          s.history + s.cash AS history
+                   FROM s2 s LEFT JOIN rcv3 r ON r.dst = s.node)
+            SELECT node, round(cash, 6) AS cash, round(history, 6) AS history,
+                   round(cash + history, 6) AS importance
+            FROM s3 ORDER BY node
         """,
         # WARC round-trip: the oracle never sees WARC bytes — it digests
         # the source rows directly, so framing/codec bugs in the Spark

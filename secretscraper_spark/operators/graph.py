@@ -136,6 +136,100 @@ def prioritize_frontier(
     )
 
 
+def opic_rounds(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_rounds: int = 3,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Adaptive On-line Page Importance Computation (OPIC — Abiteboul,
+    Preda, Cobéna, WWW 2003) → (node, cash, history, importance).
+
+    The crawl-native importance signal: unlike PageRank's global power
+    iteration, OPIC's per-page (cash, history) state updates INCREMENTALLY
+    as pages are processed, so a frontier can be re-prioritized mid-crawl
+    from whatever state exists. This is the synchronous-rounds batch form
+    (every node distributes once per round — the tier-engine analogue of
+    "each page crawled once per round"):
+
+      - cash starts 1/N per node, history 0
+      - each round every node sends cash/outdeg along each outlink;
+        DANGLING nodes (no outlinks) send their cash to the virtual root,
+        which redistributes it uniformly to all N nodes (the paper's
+        virtual-page trick that makes the graph strongly connected)
+      - history += cash just distributed; new cash = total received
+      - importance = history + cash (the paper's estimate at any instant;
+        un-normalized ORDER is what frontier scheduling consumes)
+
+    Invariant (tested): sum(cash) == 1 after every round; sum(history)
+    == rounds_run.
+
+    Scale shape mirrors :func:`pagerank`: the (src, dst, deg) frame is
+    built once, repartitioned by src and checkpointed; each round is ONE
+    shuffle join on src + ONE map-side-combined groupBy(dst); the dangling
+    total rides a 1-row broadcast crossJoin (never a driver collect);
+    lineage is cut per round. Fixed-round form is deliberately
+    oracle-expressible (unrolled CTEs — __spark_entry__.q_opic)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    static = e.join(deg, "src").repartition("src").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = float(nodes.count())
+    state = nodes.select(
+        "node",
+        (F.lit(1.0) / F.lit(n)).alias("cash"),
+        F.lit(0.0).alias("history"),
+    ).localCheckpoint()
+    has_out = deg.select(F.col("src").alias("node"))
+    for _ in range(n_rounds):
+        recv = (
+            static.join(
+                state.select(F.col("node").alias("src"), "cash"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("cash") / F.col("deg")).alias("recv"))
+        )
+        dang = (
+            state.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("dang_total"))
+        )
+        state = (
+            state.join(recv, state["node"] == recv["dst"], "left")
+            .drop("dst")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.coalesce("recv", F.lit(0.0))
+                    + F.col("dang_total") / F.lit(n)
+                ).alias("cash"),
+                (F.col("history") + F.col("cash")).alias("history"),
+            )
+            .localCheckpoint()
+        )
+    out = state.select(
+        "node", "cash", "history",
+        (F.col("cash") + F.col("history")).alias("importance"),
+    )
+    if round_to is not None:
+        out = out.select(
+            "node",
+            F.round("cash", round_to).alias("cash"),
+            F.round("history", round_to).alias("history"),
+            F.round("importance", round_to).alias("importance"),
+        )
+    return out
+
+
 def host_pagerank(edges: DataFrame, n_iter: int = 10) -> DataFrame:
     """Host-level pagerank of a URL edge list: collapse (parent, child)
     URLs to their hosts, drop intra-host self-edges, run :func:`pagerank`

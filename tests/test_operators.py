@@ -1303,6 +1303,68 @@ def test_pagerank_matches_numpy(spark):
     assert abs(got[4] - 0.15) < 1e-12
 
 
+def _opic_python(edges, n_rounds):
+    """Straight-line OPIC reference: synchronous rounds, dangling cash to
+    the virtual root, redistributed uniformly."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out = {}
+    for s, d in set(edges):
+        out.setdefault(s, set()).add(d)
+    n = len(nodes)
+    cash = {v: 1.0 / n for v in nodes}
+    hist = {v: 0.0 for v in nodes}
+    for _ in range(n_rounds):
+        recv = {v: 0.0 for v in nodes}
+        dang = 0.0
+        for v in nodes:
+            if v in out:
+                share = cash[v] / len(out[v])
+                for d in out[v]:
+                    recv[d] += share
+            else:
+                dang += cash[v]
+        for v in nodes:
+            hist[v] += cash[v]
+            cash[v] = recv[v] + dang / n
+    return {v: (cash[v], hist[v]) for v in nodes}
+
+
+def test_opic_matches_python_reference(spark):
+    from secretscraper_spark.operators import graph
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (1, 2)]  # dup + dangling 4
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.cash, r.history, r.importance)
+        for r in graph.opic_rounds(df, n_rounds=4, round_to=None).collect()
+    }
+    want = _opic_python(edges, 4)
+    assert set(got) == set(want)
+    for v, (c, h) in want.items():
+        assert got[v][0] == pytest.approx(c, abs=1e-12)
+        assert got[v][1] == pytest.approx(h, abs=1e-12)
+        assert got[v][2] == pytest.approx(c + h, abs=1e-12)
+    # conservation: cash sums to 1, history to rounds_run
+    assert sum(c for c, _, _ in got.values()) == pytest.approx(1.0, abs=1e-12)
+    assert sum(h for _, h, _ in got.values()) == pytest.approx(4.0, abs=1e-12)
+    # node 3 receives from three in-links -> most important
+    assert max(got, key=lambda v: got[v][2]) == 3
+
+
+def test_opic_all_dangling_uniform(spark):
+    """A graph whose only edges lead to sinks: dangling cash cycles through
+    the virtual root and stays uniform in the limit symmetry case."""
+    from secretscraper_spark.operators import graph
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {
+        r.node: (r.cash, r.history)
+        for r in graph.opic_rounds(df, n_rounds=3, round_to=6).collect()
+    }
+    # perfectly symmetric 2-cycle: cash stays 0.5/0.5, history accumulates
+    assert got[1] == (0.5, 1.5) and got[2] == (0.5, 1.5)
+
+
 def test_pagerank_star_graph_known_values(spark):
     from secretscraper_spark.operators import graph
 
