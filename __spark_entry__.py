@@ -1364,6 +1364,39 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, n_iter=3).orderBy("node")
 
 
+def q_trustrank(spark, sf_dir):
+    """TrustRank (operators/graph.py:trustrank — Gyöngyi et al., VLDB
+    2004) over the q_pagerank link graph with trusted seeds {0..9}: the
+    spam-demotion frontier signal (trust attenuates with link distance
+    from the seeds). 3 fixed iterations, unrolled into the oracle's
+    chained CTEs; 6 dp rounding."""
+    from secretscraper_spark.operators.graph import trustrank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 300).alias("src"),
+        (F.col("l_partkey") % 300).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    seeds = spark.range(10).select(F.col("id").alias("node"))
+    return trustrank(edges, seeds, n_iter=3).orderBy("node")
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (operators/graph.py:hits — Kleinberg 1999)
+    over the q_pagerank link graph: authorities = content worth fetching,
+    hubs = index pages worth re-fetching for fresh outlinks. 2 rounds
+    (each = auth half-step + L2 norm, hub half-step + L2 norm), unrolled
+    into the oracle's CTEs with scalar-subquery norms; 6 dp rounding."""
+    from secretscraper_spark.operators.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 300).alias("src"),
+        (F.col("l_partkey") % 300).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return hits(edges, n_iter=2).orderBy("node")
+
+
 def q_opic(spark, sf_dir):
     """OPIC cash/history importance (operators/graph.py:opic_rounds —
     Abiteboul et al., WWW 2003) over the same derived link graph as
@@ -2788,6 +2821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": q_dup_spans,
         "q_pagerank": q_pagerank,
         "q_opic": q_opic,
+        "q_trustrank": q_trustrank,
+        "q_hits": q_hits,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_wds_roundtrip": q_wds_roundtrip,
         "q_robots_parse": q_robots_parse,
@@ -4170,6 +4205,87 @@ def oracle_sql() -> dict[str, str]:
                           + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, 0) AS pr
                    FROM n LEFT JOIN c3 c USING (node))
             SELECT node, round(pr, 6) AS pagerank FROM r3 ORDER BY node
+        """,
+        # TrustRank: q_pagerank's graph, teleport mass on seeds 0..9 only;
+        # r0 = tele, rK = 0.15*tele + 0.85*contrib(r{K-1})
+        "q_trustrank": """
+            WITH e AS (
+              SELECT DISTINCT l_orderkey % 300 AS src, l_partkey % 300 AS dst
+              FROM lineitem
+              WHERE l_orderkey % 300 <> l_partkey % 300),
+            n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            tele AS (SELECT node,
+                            CASE WHEN node < 10 THEN 1.0 / 10 ELSE 0.0 END AS tele
+                     FROM n),
+            r0 AS (SELECT node, tele AS rank, tele FROM tele),
+            c1 AS (SELECT e.dst, sum(r.rank / d.deg) AS contrib
+                   FROM e JOIN r0 r ON e.src = r.node JOIN d ON d.src = e.src
+                   GROUP BY e.dst),
+            r1 AS (SELECT t.node,
+                          0.15 * t.tele + 0.85 * coalesce(c.contrib, 0) AS rank,
+                          t.tele
+                   FROM tele t LEFT JOIN c1 c ON c.dst = t.node),
+            c2 AS (SELECT e.dst, sum(r.rank / d.deg) AS contrib
+                   FROM e JOIN r1 r ON e.src = r.node JOIN d ON d.src = e.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT t.node,
+                          0.15 * t.tele + 0.85 * coalesce(c.contrib, 0) AS rank,
+                          t.tele
+                   FROM tele t LEFT JOIN c2 c ON c.dst = t.node),
+            c3 AS (SELECT e.dst, sum(r.rank / d.deg) AS contrib
+                   FROM e JOIN r2 r ON e.src = r.node JOIN d ON d.src = e.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT t.node,
+                          0.15 * t.tele + 0.85 * coalesce(c.contrib, 0) AS rank,
+                          t.tele
+                   FROM tele t LEFT JOIN c3 c ON c.dst = t.node)
+            SELECT node, round(rank, 6) AS trustrank FROM r3 ORDER BY node
+        """,
+        # HITS: 2 rounds, each auth half-step + L2 norm then hub half-step
+        # + L2 norm; norms as scalar subqueries
+        "q_hits": """
+            WITH e AS (
+              SELECT DISTINCT l_orderkey % 300 AS src, l_partkey % 300 AS dst
+              FROM lineitem
+              WHERE l_orderkey % 300 <> l_partkey % 300),
+            n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM n),
+            a1r AS (SELECT e.dst, sum(h.hub) AS raw
+                    FROM e JOIN h0 h ON e.src = h.node GROUP BY e.dst),
+            a1n AS (SELECT sqrt(sum(raw * raw)) AS nrm FROM a1r),
+            a1 AS (SELECT n.node,
+                          CASE WHEN (SELECT nrm FROM a1n) > 0
+                               THEN coalesce(r.raw, 0) / (SELECT nrm FROM a1n)
+                               ELSE 0.0 END AS auth
+                   FROM n LEFT JOIN a1r r ON r.dst = n.node),
+            h1r AS (SELECT e.src, sum(a.auth) AS raw
+                    FROM e JOIN a1 a ON e.dst = a.node GROUP BY e.src),
+            h1n AS (SELECT sqrt(sum(raw * raw)) AS nrm FROM h1r),
+            h1 AS (SELECT n.node,
+                          CASE WHEN (SELECT nrm FROM h1n) > 0
+                               THEN coalesce(r.raw, 0) / (SELECT nrm FROM h1n)
+                               ELSE 0.0 END AS hub
+                   FROM n LEFT JOIN h1r r ON r.src = n.node),
+            a2r AS (SELECT e.dst, sum(h.hub) AS raw
+                    FROM e JOIN h1 h ON e.src = h.node GROUP BY e.dst),
+            a2n AS (SELECT sqrt(sum(raw * raw)) AS nrm FROM a2r),
+            a2 AS (SELECT n.node,
+                          CASE WHEN (SELECT nrm FROM a2n) > 0
+                               THEN coalesce(r.raw, 0) / (SELECT nrm FROM a2n)
+                               ELSE 0.0 END AS auth
+                   FROM n LEFT JOIN a2r r ON r.dst = n.node),
+            h2r AS (SELECT e.src, sum(a.auth) AS raw
+                    FROM e JOIN a2 a ON e.dst = a.node GROUP BY e.src),
+            h2n AS (SELECT sqrt(sum(raw * raw)) AS nrm FROM h2r),
+            h2 AS (SELECT n.node,
+                          CASE WHEN (SELECT nrm FROM h2n) > 0
+                               THEN coalesce(r.raw, 0) / (SELECT nrm FROM h2n)
+                               ELSE 0.0 END AS hub
+                   FROM n LEFT JOIN h2r r ON r.src = n.node)
+            SELECT h2.node, round(h2.hub, 6) AS hub,
+                   round(a2.auth, 6) AS authority
+            FROM h2 JOIN a2 ON a2.node = h2.node ORDER BY h2.node
         """,
         # OPIC: same graph as q_pagerank, 3 unrolled synchronous rounds;
         # dangling cash -> virtual root -> uniform redistribution. Scalar

@@ -12,6 +12,12 @@ first-class iterative DataFrame computation:
                 (edges x ranks on src, edges pre-partitioned once and
                 reused) + ONE partial-agg groupBy(dst), lineage cut with
                 localCheckpoint per round; driver-side work is O(1)
+- trustrank   : pagerank with teleport mass on a trusted seed set
+                (spam demotion — Gyöngyi et al., VLDB 2004)
+- hits        : hubs/authorities with per-half-step L2 norms as 1-row
+                broadcast crossJoins (Kleinberg, JACM 1999)
+- opic_rounds : incremental cash/history importance (Abiteboul et al.,
+                WWW 2003) — the signal a crawler updates mid-crawl
 
 Semantics follow the classic formulation used by the Spark examples
 (`examples/src/main/python/pagerank.py` in apache/spark): ranks start at
@@ -134,6 +140,169 @@ def prioritize_frontier(
         .sortWithinPartitions(F.desc("priority"), F.asc("discovery_seq"))
         .drop("salt")
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    n_iter: int = 10,
+    damping: float = 0.85,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB 2004) → (node,
+    trustrank): PageRank with the teleport vector concentrated on a
+    trusted *seeds* set instead of uniform — trust attenuates with link
+    distance from the seeds, so link-farm clusters with no trusted
+    in-paths score ~0. The crawl-scheduling use is spam demotion: order
+    the frontier by trustrank (or pagerank/trustrank ratio) to starve
+    spam networks of fetch budget.
+
+    ``rank0(v) = s(v)``; each round ``rank(v) = (1-d)·s(v) + d·Σ
+    rank(u)/deg(u)`` over in-edges, where ``s(v) = 1/|S|`` for seed nodes
+    and 0 otherwise. Dangling mass is not redistributed (same
+    un-normalized order-only convention as :func:`pagerank`). Scale shape
+    identical to :func:`pagerank`: static (src,dst,deg) frame built once,
+    one shuffle join + one partial-agg groupBy per round, seed dim
+    broadcast. Fixed-round form unrolls into the oracle's chained CTEs
+    (__spark_entry__.q_trustrank)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    static = e.join(deg, "src").repartition("src").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    s = seeds.select(F.col(seed_col).alias("node")).distinct()
+    n_seeds = float(s.count())
+    tele = (
+        nodes.join(
+            F.broadcast(s.withColumn("__seed", F.lit(1))), "node", "left"
+        )
+        .select(
+            "node",
+            (F.coalesce("__seed", F.lit(0)) / F.lit(n_seeds)).alias("tele"),
+        )
+        .localCheckpoint()
+    )
+    ranks = tele.select("node", F.col("tele").alias("rank"), "tele")
+    d = float(damping)
+    for _ in range(n_iter):
+        contribs = (
+            static.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            tele.join(contribs, tele["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - d) * F.col("tele")
+                    + F.lit(d) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+                "tele",
+            )
+            .localCheckpoint()
+        )
+    out = ranks.select("node", F.col("rank").alias("trustrank"))
+    if round_to is not None:
+        out = out.select(
+            "node", F.round("trustrank", round_to).alias("trustrank")
+        )
+    return out
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 2,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """HITS (Kleinberg, JACM 1999) → (node, hub, authority), L2-normalized
+    per half-step. The crawl reading: authorities are the content worth
+    fetching; hubs are the directory/index pages worth RE-fetching for
+    fresh outlinks — a different frontier signal than either PageRank
+    (in-link popularity) or OPIC (incremental cash).
+
+    Per round: ``auth(v) = Σ hub(u)`` over in-edges then L2-normalize;
+    ``hub(v) = Σ auth(w)`` over out-edges then L2-normalize. Scale shape:
+    the edge list is materialized once; each half-step is one shuffle
+    join + one partial-agg groupBy (keyed by dst for the auth step, src
+    for the hub step), and each L2 norm rides a 1-row broadcast crossJoin
+    (never a driver collect). Fixed rounds unroll into the oracle's CTEs
+    (__spark_entry__.q_hits)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(n_iter):
+        raw_auth = (
+            e.join(hub.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("raw"))
+        )
+        auth_norm = raw_auth.agg(
+            F.sqrt(F.coalesce(F.sum(F.col("raw") * F.col("raw")), F.lit(0.0))).alias("nrm")
+        )
+        auth = (
+            nodes.join(raw_auth, nodes["node"] == raw_auth["dst"], "left")
+            .crossJoin(F.broadcast(auth_norm))
+            .select(
+                "node",
+                F.when(
+                    F.col("nrm") > 0, F.coalesce("raw", F.lit(0.0)) / F.col("nrm")
+                ).otherwise(F.lit(0.0)).alias("authority"),
+            )
+            .localCheckpoint()
+        )
+        raw_hub = (
+            e.join(
+                auth.select(F.col("node").alias("dst"), "authority"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.sum("authority").alias("raw"))
+        )
+        hub_norm = raw_hub.agg(
+            F.sqrt(F.coalesce(F.sum(F.col("raw") * F.col("raw")), F.lit(0.0))).alias("nrm")
+        )
+        hub = (
+            nodes.join(raw_hub, nodes["node"] == raw_hub["src"], "left")
+            .crossJoin(F.broadcast(hub_norm))
+            .select(
+                "node",
+                F.when(
+                    F.col("nrm") > 0, F.coalesce("raw", F.lit(0.0)) / F.col("nrm")
+                ).otherwise(F.lit(0.0)).alias("hub"),
+            )
+            .localCheckpoint()
+        )
+    out = hub.join(auth, "node").select("node", "hub", "authority")
+    if round_to is not None:
+        out = out.select(
+            "node",
+            F.round("hub", round_to).alias("hub"),
+            F.round("authority", round_to).alias("authority"),
+        )
+    return out
 
 
 def opic_rounds(

@@ -1303,6 +1303,98 @@ def test_pagerank_matches_numpy(spark):
     assert abs(got[4] - 0.15) < 1e-12
 
 
+def _trustrank_python(edges, seeds, n_iter, d=0.85):
+    nodes = sorted({s for s, _ in edges} | {x for _, x in edges})
+    e = sorted(set(edges))
+    deg = {}
+    for s, _ in e:
+        deg[s] = deg.get(s, 0) + 1
+    tele = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    rank = dict(tele)
+    for _ in range(n_iter):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in e:
+            contrib[t] += rank[s] / deg[s]
+        rank = {v: (1 - d) * tele[v] + d * contrib[v] for v in nodes}
+    return rank
+
+
+def test_trustrank_matches_python_reference(spark):
+    from secretscraper_spark.operators import graph
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (1, 4)]
+    seeds = {1}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.trustrank
+        for r in graph.trustrank(df, sd, n_iter=6, round_to=None).collect()
+    }
+    want = _trustrank_python(edges, seeds, 6)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # every node here is reachable from the seed -> strictly positive trust
+    assert all(v > 0 for v in got.values())
+
+
+def test_trustrank_unreachable_island_scores_zero(spark):
+    from secretscraper_spark.operators import graph
+
+    # island {10,11} has no in-path from the seed: zero trust
+    edges = [(1, 2), (2, 1), (10, 11), (11, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.trustrank
+        for r in graph.trustrank(df, sd, n_iter=8).collect()
+    }
+    assert got[10] == 0.0 and got[11] == 0.0
+    assert got[1] > 0.0 and got[2] > 0.0
+
+
+def _hits_python(edges, n_iter):
+    import math
+
+    nodes = sorted({s for s, _ in edges} | {x for _, x in edges})
+    e = sorted(set(edges))
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    for _ in range(n_iter):
+        auth = {v: 0.0 for v in nodes}
+        for s, t in e:
+            auth[t] += hub[s]
+        nrm = math.sqrt(sum(a * a for a in auth.values()))
+        if nrm > 0:
+            auth = {v: a / nrm for v, a in auth.items()}
+        hub = {v: 0.0 for v in nodes}
+        for s, t in e:
+            hub[s] += auth[t]
+        nrm = math.sqrt(sum(h * h for h in hub.values()))
+        if nrm > 0:
+            hub = {v: h / nrm for v, h in hub.items()}
+    return hub, auth
+
+
+def test_hits_matches_python_reference(spark):
+    from secretscraper_spark.operators import graph
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.hub, r.authority)
+        for r in graph.hits(df, n_iter=3, round_to=None).collect()
+    }
+    hub, auth = _hits_python(edges, 3)
+    assert set(got) == set(hub)
+    for v in hub:
+        assert got[v][0] == pytest.approx(hub[v], abs=1e-12)
+        assert got[v][1] == pytest.approx(auth[v], abs=1e-12)
+    # 3 has three distinct in-links -> top authority; 1 links to 2,3 -> top hub
+    assert max(got, key=lambda v: got[v][1]) == 3
+    assert max(got, key=lambda v: got[v][0]) == 1
+
+
 def _opic_python(edges, n_rounds):
     """Straight-line OPIC reference: synchronous rounds, dangling cash to
     the virtual root, redistributed uniformly."""
