@@ -1364,6 +1364,40 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, n_iter=3).orderBy("node")
 
 
+def q_adaptive_delay(spark, sf_dir):
+    """AIMD politeness auto-tuning (plans/politeness.py:adapt_crawl_delay):
+    per-host error rate + exact type-1 p95 latency decide backoff
+    (delay × 2, capped) vs recover (delay − 0.05, floored) vs hold (no
+    fetches this tier). Synthetic fetch log from lineitem: 20 hosts,
+    err rate rises with host%4 so decisions mix; hosts 15-19 are first
+    sightings (default start), h99.test is known-but-idle (hold)."""
+    from secretscraper_spark.plans.politeness import adapt_crawl_delay
+
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.select(
+        F.concat(
+            F.lit("h"), (F.col("l_orderkey") % 20).cast("string"),
+            F.lit(".test"),
+        ).alias("host"),
+        (F.col("l_partkey") % 1500).cast("double").alias("latency_ms"),
+        (
+            (F.col("l_suppkey") % 17)
+            >= ((F.col("l_orderkey") % 20) % 4) * 2
+        ).alias("ok"),
+    )
+    prev = spark.range(15).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test"))
+        .alias("host"),
+        (F.lit(0.2) + (F.col("id") % 5).cast("double") * F.lit(0.1))
+        .alias("crawl_delay"),
+    ).union(
+        spark.createDataFrame(
+            [("h99.test", 1.0)], "host string, crawl_delay double"
+        )
+    )
+    return adapt_crawl_delay(stats, prev).orderBy("host")
+
+
 def q_trustrank(spark, sf_dir):
     """TrustRank (operators/graph.py:trustrank — Gyöngyi et al., VLDB
     2004) over the q_pagerank link graph with trusted seeds {0..9}: the
@@ -2823,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_opic": q_opic,
         "q_trustrank": q_trustrank,
         "q_hits": q_hits,
+        "q_adaptive_delay": q_adaptive_delay,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_wds_roundtrip": q_wds_roundtrip,
         "q_robots_parse": q_robots_parse,
@@ -4205,6 +4240,48 @@ def oracle_sql() -> dict[str, str]:
                           + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, 0) AS pr
                    FROM n LEFT JOIN c3 c USING (node))
             SELECT node, round(pr, 6) AS pagerank FROM r3 ORDER BY node
+        """,
+        # AIMD adaptive crawl delay: exact type-1 p95 via rank CTE (the
+        # q_group_quantiles convention), AIMD CASE mirrored verbatim
+        "q_adaptive_delay": """
+            WITH st AS (
+              SELECT 'h' || CAST(l_orderkey % 20 AS VARCHAR) || '.test' AS host,
+                     CAST(l_partkey % 1500 AS DOUBLE) AS latency_ms,
+                     (l_suppkey % 17) >= ((l_orderkey % 20) % 4) * 2 AS ok
+              FROM lineitem),
+            agg AS (SELECT host, count(*) AS n_fetches,
+                           round(avg(CASE WHEN ok THEN 0.0 ELSE 1.0 END), 6)
+                             AS err_rate
+                    FROM st GROUP BY host),
+            rk AS (SELECT host, latency_ms,
+                          row_number() OVER (PARTITION BY host
+                                             ORDER BY latency_ms) - 1 AS rk,
+                          count(*) OVER (PARTITION BY host) AS n
+                   FROM st),
+            p95 AS (SELECT host, latency_ms AS p95_latency_ms FROM rk
+                    WHERE rk = CAST(floor(0.95 * (n - 1)) AS BIGINT)),
+            prev AS (SELECT 'h' || CAST(i AS VARCHAR) || '.test' AS host,
+                            0.2 + CAST(i % 5 AS DOUBLE) * 0.1 AS prev
+                     FROM range(15) t(i)
+                     UNION ALL SELECT 'h99.test', 1.0),
+            m AS (SELECT coalesce(a.host, p.host) AS host, a.n_fetches,
+                         a.err_rate, q.p95_latency_ms, p.prev
+                  FROM agg a FULL OUTER JOIN prev p ON a.host = p.host
+                  LEFT JOIN p95 q ON q.host = coalesce(a.host, p.host))
+            SELECT host,
+                   round(CASE
+                           WHEN n_fetches IS NULL THEN coalesce(prev, 0.2)
+                           WHEN err_rate > 0.1 OR p95_latency_ms > 2000.0
+                                THEN least(8.0, coalesce(prev, 0.2) * 2.0)
+                           ELSE greatest(0.05, coalesce(prev, 0.2) - 0.05)
+                         END, 6) AS crawl_delay,
+                   err_rate, p95_latency_ms,
+                   CAST(coalesce(n_fetches, 0) AS BIGINT) AS n_fetches,
+                   CASE WHEN n_fetches IS NULL THEN 'hold'
+                        WHEN err_rate > 0.1 OR p95_latency_ms > 2000.0
+                             THEN 'backoff'
+                        ELSE 'recover' END AS decision
+            FROM m ORDER BY host
         """,
         # TrustRank: q_pagerank's graph, teleport mass on seeds 0..9 only;
         # r0 = tele, rK = 0.15*tele + 0.85*contrib(r{K-1})

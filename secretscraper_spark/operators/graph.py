@@ -241,6 +241,8 @@ def hits(
     for the hub step), and each L2 norm rides a 1-row broadcast crossJoin
     (never a driver collect). Fixed rounds unroll into the oracle's CTEs
     (__spark_entry__.q_hits)."""
+    if n_iter < 1:
+        raise ValueError("hits needs n_iter >= 1 (authority is undefined before the first half-step)")
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()

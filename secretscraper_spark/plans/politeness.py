@@ -218,6 +218,98 @@ def politeness_audit(
     )
 
 
+def adapt_crawl_delay(
+    fetch_stats: DataFrame,
+    prev_delays: DataFrame,
+    default_delay: float = 0.2,
+    min_delay: float = 0.05,
+    max_delay: float = 8.0,
+    err_threshold: float = 0.1,
+    latency_cap_ms: float = 2000.0,
+    backoff_factor: float = 2.0,
+    recovery_step: float = 0.05,
+) -> DataFrame:
+    """AIMD politeness auto-tuning → (host, crawl_delay, err_rate,
+    p95_latency_ms, n_fetches, decision).
+
+    The reference's 0.2 s min-interval is static config; a production
+    crawler ADAPTS it from the server's observed behavior — the TCP
+    congestion-control shape (additive-increase of rate / multiplicative
+    back-off) that polite crawlers apply per host. Per tier:
+
+      - stressed host (error rate > *err_threshold* OR exact type-1 p95
+        latency > *latency_cap_ms*): delay ← min(max_delay,
+        prev × backoff_factor)                       → decision 'backoff'
+      - healthy host: delay ← max(min_delay, prev − recovery_step)
+                                                      → decision 'recover'
+      - host in *prev_delays* with no fetches this tier: unchanged
+                                                      → decision 'hold'
+
+    Hosts fetched for the first time start from *default_delay* before
+    the rule applies. The output is next tier's crawl-delay dim —
+    `assign_fetch_schedule` consumes it through the robots/crawl-delay
+    broadcast path, so adaptation adds no new shuffle to scheduling.
+
+    Inputs: ``fetch_stats`` (host, latency_ms double, ok boolean) — one
+    row per fetch from the tier's log; ``prev_delays`` (host,
+    crawl_delay double). Plan: one map-side-combined groupBy(host) for
+    counts/error rate, one host-partitioned window pass for the exact
+    p95 (operators/stats.grouped_quantiles — per-host row counts are
+    already bounded by the politeness budget, so the window partition
+    cannot be corpus-skewed), a full-outer join with the prev dim. All
+    per-host state is columnar; nothing collects to the driver."""
+    from ..operators.stats import grouped_quantiles
+
+    agg = fetch_stats.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.round(
+            F.avg(F.when(F.col("ok"), 0.0).otherwise(1.0)), 6
+        ).alias("err_rate"),
+    )
+    p95 = grouped_quantiles(
+        fetch_stats, "host", "latency_ms", qs=(0.95,),
+        group_out="host", value_out="p95_latency_ms",
+    ).drop("q")
+    stats = agg.join(p95, "host")
+    merged = stats.join(
+        prev_delays.select("host", F.col("crawl_delay").alias("__prev")),
+        "host",
+        "full_outer",
+    )
+    prev = F.coalesce("__prev", F.lit(float(default_delay)))
+    stressed = (F.col("err_rate") > F.lit(float(err_threshold))) | (
+        F.col("p95_latency_ms") > F.lit(float(latency_cap_ms))
+    )
+    has_stats = F.col("n_fetches").isNotNull()
+    new_delay = (
+        F.when(~has_stats, prev)
+        .when(
+            stressed,
+            F.least(
+                F.lit(float(max_delay)), prev * F.lit(float(backoff_factor))
+            ),
+        )
+        .otherwise(
+            F.greatest(
+                F.lit(float(min_delay)), prev - F.lit(float(recovery_step))
+            )
+        )
+    )
+    decision = (
+        F.when(~has_stats, F.lit("hold"))
+        .when(stressed, F.lit("backoff"))
+        .otherwise(F.lit("recover"))
+    )
+    return merged.select(
+        "host",
+        F.round(new_delay, 6).alias("crawl_delay"),
+        "err_rate",
+        "p95_latency_ms",
+        F.coalesce("n_fetches", F.lit(0)).cast("long").alias("n_fetches"),
+        decision.alias("decision"),
+    )
+
+
 def robots_compliance(fetched: DataFrame, robots: DataFrame) -> DataFrame:
     """Post-hoc compliance audit — the verification twin of
     :func:`robots_gate`: per host, how many fetched pages there were and

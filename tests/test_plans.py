@@ -611,6 +611,91 @@ def test_politeness_audit_exact(spark):
     assert again == got
 
 
+def test_adapt_crawl_delay_aimd(spark):
+    """AIMD decisions against hand-computed per-host stats: backoff on
+    error rate, backoff on p95 latency, recover when healthy, hold when
+    a known host saw no fetches, default start for new hosts; bounds
+    clamp at both ends."""
+    from secretscraper_spark.plans.politeness import adapt_crawl_delay
+
+    rows = []
+    # h-err: 2/10 errors (err_rate .2 > .1), fast
+    rows += [("h-err", 100.0, i >= 2) for i in range(10)]
+    # h-slow: no errors; 6 latencies [0,500,1000,1500,9000,9100] ->
+    # type-1 p95 rank floor(.95*5)=4 -> 9000 > 2000 cap -> backoff
+    rows += [("h-slow", 500.0 * i, True) for i in range(4)] + [
+        ("h-slow", 9000.0, True),
+        ("h-slow", 9100.0, True),
+    ]
+    # h-ok: healthy and fast
+    rows += [("h-ok", 50.0, True) for _ in range(5)]
+    # h-new: first sighting, healthy
+    rows += [("h-new", 10.0, True) for _ in range(3)]
+    # h-floor: healthy, prev at the floor already
+    rows += [("h-floor", 10.0, True)]
+    # h-ceil: erroring, prev near the cap
+    rows += [("h-ceil", 10.0, False)]
+    stats = spark.createDataFrame(
+        rows, "host string, latency_ms double, ok boolean"
+    )
+    prev = spark.createDataFrame(
+        [
+            ("h-err", 0.4),
+            ("h-slow", 0.2),
+            ("h-ok", 0.3),
+            ("h-floor", 0.05),
+            ("h-ceil", 6.0),
+            ("h-gone", 1.25),
+        ],
+        "host string, crawl_delay double",
+    )
+    got = {
+        r.host: (r.crawl_delay, r.decision, r.n_fetches)
+        for r in adapt_crawl_delay(stats, prev).collect()
+    }
+    assert got["h-err"] == (0.8, "backoff", 10)
+    assert got["h-slow"] == (0.4, "backoff", 6)
+    assert got["h-ok"] == (0.25, "recover", 5)
+    assert got["h-new"] == (0.15, "recover", 3)      # default 0.2 - 0.05
+    assert got["h-floor"] == (0.05, "recover", 1)    # clamped at min
+    assert got["h-ceil"] == (8.0, "backoff", 1)      # clamped at max
+    assert got["h-gone"] == (1.25, "hold", 0)
+
+
+def test_adapted_delays_feed_schedule(spark):
+    """adapt_crawl_delay's output IS a (host, crawl_delay) dim:
+    assign_fetch_schedule consumes it through its robots/crawl-delay
+    broadcast path, so adaptation composes with scheduling unchanged."""
+    from secretscraper_spark.plans.politeness import (
+        adapt_crawl_delay,
+        assign_fetch_schedule,
+    )
+
+    stats = spark.createDataFrame(
+        [("slow.test", 100.0, False)] * 5 + [("fast.test", 10.0, True)] * 5,
+        "host string, latency_ms double, ok boolean",
+    )
+    prev = spark.createDataFrame(
+        [("slow.test", 1.0), ("fast.test", 1.0)],
+        "host string, crawl_delay double",
+    )
+    adapted = adapt_crawl_delay(stats, prev)
+    frontier = make_frontier(
+        spark,
+        [
+            (f"http://{h}/p/{i}", h, f"/p/{i}", i)
+            for h in ("slow.test", "fast.test")
+            for i in range(12)
+        ],
+    )
+    sched = assign_fetch_schedule(frontier, CrawlConfig(), robots=adapted)
+    ivals = {
+        r.host: r.interval for r in sched.select("host", "interval").distinct().collect()
+    }
+    assert ivals["slow.test"] == 2.0    # backoff: 1.0 * 2
+    assert ivals["fast.test"] == 0.95   # recover: 1.0 - 0.05
+
+
 def test_robots_compliance_audit(spark):
     """Counts violations per host against the Disallow dim; compliant and
     robots-less hosts report zero."""
