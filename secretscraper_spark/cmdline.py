@@ -133,6 +133,9 @@ class ExternalEntry:
 @click.option("--quarantine-cooldown", help="Release a quarantined host for "
               "a fresh probe after this many tiers (default: quarantined for "
               "the rest of the run)", type=click.INT)
+@click.option("--adaptive-delay", help="AIMD politeness auto-tuning: erroring "
+              "hosts back off x2 per tier (capped), healthy hosts recover; "
+              "scheduling-only, outputs unchanged", is_flag=True, default=None)
 @click.option("--checkpoint-dir", help="Round-snapshot dir for resume",
               type=click.STRING)
 def main(**options):

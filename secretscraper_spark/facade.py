@@ -236,6 +236,7 @@ class CrawlerFacade:
             trap_cap=custom.get("trap_cap"),
             quarantine_fails=custom.get("quarantine_fails"),
             quarantine_cooldown_tiers=custom.get("quarantine_cooldown"),
+            adaptive_delay=bool(custom.get("adaptive_delay")),
             # any real fetcher — default HTTP or caller-supplied — honors
             # the politeness schedule on the wall clock; only the
             # deterministic pages-store replay keeps the virtual clock

@@ -24,7 +24,10 @@ from dataclasses import asdict, dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MANIFEST = "manifest.json"
-TABLES = ("frontier", "seen", "nodes", "edges", "secrets", "host_fails")
+TABLES = (
+    "frontier", "seen", "nodes", "edges", "secrets", "host_fails",
+    "host_delays",
+)
 
 
 @dataclass

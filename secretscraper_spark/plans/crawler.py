@@ -68,6 +68,10 @@ NODES_DDL = (
 #: fetches since the host's last success, and the tier that tripped it
 QUARANTINE_DDL = "host string, n_fails long, quarantined_at int"
 
+#: AIMD adaptive-politeness state (adaptive_delay mode): the per-host
+#: crawl delay carried across tiers
+DELAYS_DDL = "host string, crawl_delay double"
+
 
 @dataclass
 class CrawlResult:
@@ -79,6 +83,7 @@ class CrawlResult:
     total_page: int = 0
     tiers: list[dict] = field(default_factory=list)  # per-round metrics/lineage
     overhead: dict = field(default_factory=dict)     # non-tier wall costs (sec)
+    host_delays: DataFrame | None = None  # adaptive_delay: final (host, crawl_delay)
 
 
 def _accept_expr(cfg: CrawlConfig):
@@ -177,6 +182,7 @@ class SparkCrawler:
         trap_prefix_depth: int = 2,
         quarantine_fails: int | None = None,
         quarantine_cooldown_tiers: int | None = None,
+        adaptive_delay: bool = False,
     ):
         """fetch_mode='join' (default): fetch = hash join vs the pages
         store — the pure, deterministic sandbox scan (SURVEY S2).
@@ -237,7 +243,21 @@ class SparkCrawler:
         (plans/recrawl.retry_backoff / host_quarantine over its fetch
         log). State is a host-cardinality table (broadcast at the
         gate, one tiny full-outer fold per tier) and is checkpointed
-        with the round snapshot, so resume reproduces the gated run."""
+        with the round snapshot, so resume reproduces the gated run.
+
+        adaptive_delay (opt-in, False = reference parity — the static
+        0.2 s interval) turns each tier's fetch outcomes into the next
+        tier's per-host crawl delay via the AIMD rule
+        (plans/politeness.adapt_crawl_delay): hosts whose fetches error
+        (join-mode miss / paced error arm / 5xx / 429) back off ×2
+        (capped), healthy hosts recover −0.05 s (the scheduler still
+        floors at cfg.min_request_interval). The delay dim merges with
+        robots Crawl-delay through assign_fetch_schedule's existing
+        max() path, affects SCHEDULING only (which pages are fetched is
+        unchanged — e2e outputs stay reference-parity), and is
+        checkpointed with the round snapshot like the breaker state.
+        Latency-based backoff stays inert in the sandbox (no wall-clock
+        latencies in join mode; stats carry latency_ms=0)."""
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.robots = robots
@@ -266,6 +286,7 @@ class SparkCrawler:
         )
         self.quarantine_fails = quarantine_fails
         self.quarantine_cooldown_tiers = quarantine_cooldown_tiers
+        self.adaptive_delay = adaptive_delay
         self._page_fetch_fn = page_fetch_fn
         # paced_virtual=False makes the paced executor sleep each slot into
         # real wall-clock place (live HTTP politeness); True keeps the
@@ -354,6 +375,7 @@ class SparkCrawler:
             "next_seq": frontier.count(),
             "tiers": [],
             "host_fails": self._empty(QUARANTINE_DDL),
+            "host_delays": self._empty(DELAYS_DDL),
         }
         st["overhead"] = {"seed_sec": round(time.perf_counter() - t_seed, 3)}
         return self._loop(st)
@@ -378,6 +400,9 @@ class SparkCrawler:
             "tiers": list(state.tiers),
             "host_fails": tables.get(
                 "host_fails", self._empty(QUARANTINE_DDL)
+            ),
+            "host_delays": tables.get(
+                "host_delays", self._empty(DELAYS_DDL)
             ),
         }
         return self._loop(st)
@@ -589,6 +614,7 @@ class SparkCrawler:
             total_page=st["total_page"],
             tiers=st["tiers"],
             overhead=overhead,
+            host_delays=st["host_delays"] if self.adaptive_delay else None,
         )
 
     def _tier(self, st: dict, seen_state) -> object:
@@ -665,7 +691,20 @@ class SparkCrawler:
         # a real-network deployment fetches per (host, slot) group)
         makespan = None
         if self.schedule_politeness and n_processed:
-            scheduled = assign_fetch_schedule(to_process, cfg, self.robots)
+            sched_dim = self.robots
+            if self.adaptive_delay:
+                # merge the adapted per-host delays with robots
+                # Crawl-delay; assign_fetch_schedule takes max() per host,
+                # so neither source can undercut the other
+                adapted = st["host_delays"]
+                sched_dim = (
+                    adapted
+                    if sched_dim is None
+                    else sched_dim.select("host", "crawl_delay").unionByName(
+                        adapted
+                    )
+                )
+            scheduled = assign_fetch_schedule(to_process, cfg, sched_dim)
             makespan = tier_makespan(scheduled, cfg)
         mark("politeness")
 
@@ -729,6 +768,46 @@ class SparkCrawler:
                 st["host_fails"], ok_counts, fail_counts, depth
             ).localCheckpoint()
             mark("quarantine_fold")
+
+        # AIMD fold: this tier's fetch outcomes → next tier's crawl-delay
+        # dim. ok = the server answered and wasn't erroring (join-mode
+        # miss / paced error arm stay 'Unknown'; 5xx and 429 are stress).
+        # Same ''-host exclusion as the breaker. Host-cardinality agg —
+        # tiny, one pass over rows already materialized in `combined`.
+        if self.adaptive_delay:
+            from .politeness import adapt_crawl_delay
+
+            status = F.col("status").cast("string")
+            ok_col = ~(
+                (status == "Unknown")
+                | status.startswith("5")
+                | (status == "429")
+            )
+            tier_stats = (
+                with_host(combined)
+                .filter(F.col("host") != "")
+                .select("host", ok_col.alias("ok"))
+                .unionByName(
+                    with_host(to_process)
+                    .filter(F.col("host") != "")
+                    .select("host", "url_norm")
+                    .join(
+                        combined.select("url_norm"), "url_norm", "left_anti"
+                    )
+                    .select("host", F.lit(False).alias("ok"))
+                )
+                .withColumn("latency_ms", F.lit(0.0))
+            )
+            st["host_delays"] = (
+                adapt_crawl_delay(
+                    tier_stats,
+                    st["host_delays"],
+                    default_delay=cfg.min_request_interval,
+                )
+                .select("host", "crawl_delay")
+                .localCheckpoint()
+            )
+            mark("delay_fold")
 
         # P10 metadata projection + P7 title
         st["nodes"] = st["nodes"].unionByName(extraction.nodes_of(combined))
@@ -819,6 +898,8 @@ class SparkCrawler:
         }
         if self.quarantine_fails is not None:
             tables["host_fails"] = st["host_fails"]
+        if self.adaptive_delay:
+            tables["host_delays"] = st["host_delays"]
         lineage = ckpt.write_round(self.checkpoint_dir, state, tables)
         st["tiers"][-1]["lineage"] = {k: len(v) for k, v in lineage.items()}
         # re-read snapshots so downstream lineage points at parquet, not RAM

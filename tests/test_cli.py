@@ -178,6 +178,14 @@ class TestCrawlerFacadeOptions:
         assert fb.crawler.quarantine_fails is None
         assert fb.crawler.quarantine_cooldown_tiers is None
 
+    def test_adaptive_delay_wired(self, spark):
+        fa = self.facade(
+            spark, {"url": "http://t.test/", "adaptive_delay": True}
+        )
+        assert fa.crawler.adaptive_delay is True
+        fb = self.facade(spark, {"url": "http://t.test/"})
+        assert fb.crawler.adaptive_delay is False
+
     def test_socks_proxy_rejected(self, spark):
         # the stdlib fetcher cannot speak SOCKS — fail loudly at facade
         # build, never silently return an empty crawl

@@ -662,6 +662,57 @@ def test_adapt_crawl_delay_aimd(spark):
     assert got["h-gone"] == (1.25, "hold", 0)
 
 
+def test_crawler_adaptive_delay_mode(spark, tmp_path):
+    """SparkCrawler(adaptive_delay=True): per-host delays evolve by the
+    AIMD rule across tiers (erroring host backs off x2 per tier, healthy
+    host recovers), crawl OUTPUTS are bit-identical to the non-adaptive
+    run (scheduling-only effect), and the state is checkpoint-resumable."""
+    pages = spark.createDataFrame(
+        [
+            ("http://a.test/p/0", "503", "text/html", 40,
+             '<a href="/p/1">x</a>'),
+            ("http://a.test/p/1", "503", "text/html", 10, "leaf"),
+            ("http://b.test/p/0", "200", "text/html", 40,
+             '<a href="/p/1">x</a>'),
+            ("http://b.test/p/1", "200", "text/html", 10, "leaf"),
+        ],
+        "url_norm string, status string, content_type string, "
+        "content_length long, caption string",
+    )
+    seeds = ["http://a.test/p/0", "http://b.test/p/0"]
+    cfg = CrawlConfig(max_depth=1)
+
+    def key_sets(res):
+        return (
+            {(r.url_norm, r.depth, r.discovery_seq) for r in res.seen.collect()},
+            {(r.parent_norm, r.child_norm, r.kind) for r in res.edges.collect()},
+            {(r.url_norm, r.status) for r in res.nodes.collect()},
+            res.total_page,
+        )
+
+    plain_sets = key_sets(SparkCrawler(spark, pages, cfg).run(seeds))
+    ck = str(tmp_path / "adaptive_ck")
+    adaptive = SparkCrawler(
+        spark, pages, cfg, adaptive_delay=True, checkpoint_dir=ck
+    ).run(seeds)
+    # collect everything BEFORE resuming: resume re-commits round
+    # snapshots over the parquet these DataFrames lazily point at
+    adaptive_sets = key_sets(adaptive)
+    delays = {r.host: r.crawl_delay for r in adaptive.host_delays.collect()}
+    assert plain_sets == adaptive_sets
+    # two tiers fetched per host: a.test (503) backs off 0.2->0.4->0.8;
+    # b.test (200) recovers 0.2->0.15->0.1
+    assert delays == {"a.test": 0.8, "b.test": 0.1}
+
+    # resume from round 0 reproduces the run, including the delay state
+    resumed = SparkCrawler(
+        spark, pages, cfg, adaptive_delay=True, checkpoint_dir=ck
+    ).resume(from_round=0)
+    assert key_sets(resumed) == adaptive_sets
+    rdelays = {r.host: r.crawl_delay for r in resumed.host_delays.collect()}
+    assert rdelays == delays
+
+
 def test_adapted_delays_feed_schedule(spark):
     """adapt_crawl_delay's output IS a (host, crawl_delay) dim:
     assign_fetch_schedule consumes it through its robots/crawl-delay
