@@ -1364,6 +1364,63 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, n_iter=3).orderBy("node")
 
 
+def q_sitemap_hints(spark, sf_dir):
+    """Sitemap <changefreq>/<priority>/<lastmod> hints folded into the
+    recrawl schedule (sources/sitemap.py parse + plans/recrawl.py
+    merge_sitemap_hints): the site's own hint may TIGHTEN the observed
+    revisit gap but never loosen it; a lastmod newer than our last fetch
+    flags known_changed. Spark parses real XML built per part key; the
+    oracle recomputes the closed form (it never sees XML), so parser or
+    merge bugs cannot cancel."""
+    from secretscraper_spark.plans.recrawl import merge_sitemap_hints
+    from secretscraper_spark.sources.sitemap import (
+        parse_sitemap_urls_with_lastmod,
+    )
+
+    DAY = 86_400_000
+    BASE = 1_767_225_600_000  # 2026-01-01T00:00:00Z
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey").cast("long")
+    ks = k.cast("string")
+    tokens = F.array(
+        *[F.lit(t) for t in (
+            "always", "hourly", "daily", "weekly", "monthly", "yearly",
+            "never",
+        )]
+    )
+    day2 = F.lpad(((k % 28) + 1).cast("string"), 2, "0")
+    lastmod = F.when(
+        k % 3 == 0,
+        F.concat(F.lit("<lastmod>2026-01-"), day2, F.lit("</lastmod>")),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("<urlset><url><loc>http://h.example/a"), ks, F.lit("</loc>"),
+        lastmod,
+        F.lit("<changefreq>"),
+        F.element_at(tokens, (k % 7 + 1).cast("int")),
+        F.lit("</changefreq><priority>0."),
+        (k % 11).cast("string"),
+        F.lit("</priority></url></urlset>"),
+    )
+    hints = parse_sitemap_urls_with_lastmod(
+        p.select(
+            F.concat(F.lit("http://h.example/sm"), ks, F.lit(".xml"))
+            .alias("url"),
+            body.alias("body"),
+        )
+    )
+    schedule = p.select(
+        F.concat(F.lit("http://h.example/a"), ks).alias("url"),
+        (F.lit(BASE) + (k % 10) * F.lit(DAY)).alias("last_ms"),
+        (((k % 5) + 1) * F.lit(DAY)).alias("gap_ms"),
+    )
+    out = merge_sitemap_hints(schedule, hints, now_ms=BASE + 50 * DAY)
+    return out.select(
+        "url", "gap_ms", "next_due_ms", "overdue_ms", "known_changed",
+        "hint_priority",
+    ).orderBy("url")
+
+
 def q_adaptive_delay(spark, sf_dir):
     """AIMD politeness auto-tuning (plans/politeness.py:adapt_crawl_delay):
     per-host error rate + exact type-1 p95 latency decide backoff
@@ -2858,6 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trustrank": q_trustrank,
         "q_hits": q_hits,
         "q_adaptive_delay": q_adaptive_delay,
+        "q_sitemap_hints": q_sitemap_hints,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_wds_roundtrip": q_wds_roundtrip,
         "q_robots_parse": q_robots_parse,
@@ -4240,6 +4298,48 @@ def oracle_sql() -> dict[str, str]:
                           + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, 0) AS pr
                    FROM n LEFT JOIN c3 c USING (node))
             SELECT node, round(pr, 6) AS pagerank FROM r3 ORDER BY node
+        """,
+        # sitemap hints -> recrawl merge: pure closed form (the oracle
+        # never parses XML). Token by k%7; priority '0.'||k%11; lastmod
+        # only when k%3=0 at day (k%28)+1; hint tightens, never loosens.
+        "q_sitemap_hints": """
+            WITH k AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+            c AS (
+              SELECT k,
+                     'http://h.example/a' || CAST(k AS VARCHAR) AS url,
+                     CAST(1767225600000 AS BIGINT)
+                       + (k % 10) * 86400000 AS last_ms,
+                     ((k % 5) + 1) * 86400000 AS gap_ms,
+                     CASE CAST(k % 7 AS INTEGER)
+                       WHEN 0 THEN 3600000            -- always (clamped up)
+                       WHEN 1 THEN 3600000            -- hourly
+                       WHEN 2 THEN 86400000           -- daily
+                       WHEN 3 THEN 7 * CAST(86400000 AS BIGINT)
+                       WHEN 4 THEN 30 * CAST(86400000 AS BIGINT)
+                       WHEN 5 THEN 30 * CAST(86400000 AS BIGINT)
+                       ELSE NULL                      -- never
+                     END AS hinted_ms,
+                     CASE WHEN k % 3 = 0
+                          THEN CAST(1767225600000 AS BIGINT)
+                               + (k % 28) * 86400000
+                     END AS hint_lastmod_ms,
+                     CAST('0.' || CAST(k % 11 AS VARCHAR) AS DOUBLE)
+                       AS hint_priority
+              FROM k),
+            m AS (
+              SELECT url, last_ms,
+                     least(gap_ms, coalesce(hinted_ms, gap_ms)) AS gap_ms,
+                     coalesce(hint_lastmod_ms > last_ms, FALSE)
+                       AS known_changed,
+                     hint_priority
+              FROM c)
+            SELECT url, gap_ms,
+                   last_ms + gap_ms AS next_due_ms,
+                   CAST(1767225600000 AS BIGINT)
+                     + 50 * CAST(86400000 AS BIGINT)
+                     - (last_ms + gap_ms) AS overdue_ms,
+                   known_changed, hint_priority
+            FROM m ORDER BY url
         """,
         # AIMD adaptive crawl delay: exact type-1 p95 via rank CTE (the
         # q_group_quantiles convention), AIMD CASE mirrored verbatim

@@ -134,6 +134,88 @@ def recrawl_schedule(
     )
 
 
+#: sitemaps-protocol <changefreq> tokens → expected ms between changes.
+#: 'always' maps to 0 (clamped up to min_interval by the merge); 'never'
+#: maps to NULL → the observed gap stands alone.
+CHANGEFREQ_MS: dict[str, int] = {
+    "always": 0,
+    "hourly": 3_600_000,
+    "daily": MS_PER_DAY,
+    "weekly": 7 * MS_PER_DAY,
+    "monthly": 30 * MS_PER_DAY,
+    "yearly": 365 * MS_PER_DAY,
+}
+
+
+def merge_sitemap_hints(
+    schedule: DataFrame,
+    hints: DataFrame,
+    now_ms: int,
+    min_interval_ms: int = 3_600_000,
+    max_interval_ms: int = 30 * MS_PER_DAY,
+) -> DataFrame:
+    """Fold sitemap ``<changefreq>/<priority>/<lastmod>`` hints into a
+    :func:`recrawl_schedule` frame → the schedule columns recomputed plus
+    ``known_changed`` and ``hint_priority``.
+
+    - ``changefreq`` maps through :data:`CHANGEFREQ_MS`, clamps to
+      [min, max], and the EFFECTIVE gap is ``least(observed, hinted)`` —
+      the site's own hint can tighten the revisit but never lets a
+      fast-changing page (observed) coast on a lazy 'monthly' claim;
+      unknown tokens and 'never' leave the observed gap alone.
+    - ``known_changed`` = the sitemap's lastmod postdates our last fetch:
+      the page is KNOWN stale regardless of schedule — the
+      freshness-priority dequeue sorts it first.
+    - ``hint_priority`` = the protocol's 0.0-1.0 weight (default 0.5 per
+      the spec) — the tiebreak within equal overdue.
+
+    Duplicate locs (a URL listed in several sitemaps) pre-aggregate to
+    the freshest lastmod / tightest changefreq / highest priority, so the
+    left join stays 1:1 against the URL-sized schedule. Pure Column
+    arithmetic + one host-free hash join — no new shuffle shape beyond
+    the join itself; sort consumers feed `graph.prioritize_frontier`."""
+    freq_ms = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in CHANGEFREQ_MS.items() for x in kv]
+        ),
+        F.col("changefreq"),
+    ).cast("long")
+    h = (
+        hints.select(
+            F.col("loc").alias("url"),
+            "lastmod_ms",
+            freq_ms.alias("__freq_ms"),
+            F.col("priority").alias("__prio"),
+        )
+        .groupBy("url")
+        .agg(
+            F.max("lastmod_ms").alias("hint_lastmod_ms"),
+            F.min("__freq_ms").alias("hint_freq_ms"),
+            F.max("__prio").alias("hint_priority"),
+        )
+    )
+    m = schedule.join(h, "url", "left")
+    hinted = F.when(
+        F.col("hint_freq_ms").isNotNull(),
+        F.least(
+            F.greatest(F.col("hint_freq_ms"), F.lit(int(min_interval_ms))),
+            F.lit(int(max_interval_ms)),
+        ),
+    )
+    eff_gap = F.least(F.col("gap_ms"), F.coalesce(hinted, F.col("gap_ms")))
+    next_due = F.col("last_ms") + eff_gap
+    return m.select(
+        *[c for c in schedule.columns if c not in ("gap_ms", "next_due_ms", "overdue_ms")],
+        eff_gap.alias("gap_ms"),
+        next_due.alias("next_due_ms"),
+        (F.lit(int(now_ms)) - next_due).alias("overdue_ms"),
+        F.coalesce(
+            F.col("hint_lastmod_ms") > F.col("last_ms"), F.lit(False)
+        ).alias("known_changed"),
+        F.coalesce("hint_priority", F.lit(0.5)).alias("hint_priority"),
+    )
+
+
 def _consec_fail_rollup(
     attempts: DataFrame,
     key: F.Column,

@@ -164,24 +164,28 @@ def sitemap_seed_urls(pages: DataFrame, max_depth: int = 3) -> DataFrame:
 
 _URL_BLOCK = r"(?is)<url\b[^>]*>(.*?)</url>"
 _LASTMOD_PATTERN = r"<lastmod>\s*([^<]*?)\s*</lastmod>"
+_CHANGEFREQ_PATTERN = r"<changefreq>\s*([^<]*?)\s*</changefreq>"
+_PRIORITY_PATTERN = r"<priority>\s*([^<]*?)\s*</priority>"
 
 
 def parse_sitemap_urls_with_lastmod(
     bodies: DataFrame, url_col: str = "url", body_col: str = "body"
 ) -> DataFrame:
-    """(sitemap_url, loc, lastmod, lastmod_ms) per ``<url>`` block of
-    urlset bodies — the freshness signal the sitemaps protocol carries
-    and :func:`parse_sitemap_entries` drops. ``lastmod`` is NULL when the
-    block has none; ``lastmod_ms`` is the epoch-millisecond parse
-    (``try_to_timestamp`` under the engine's pinned UTC session tz — NULL
-    on absent or unparseable values, never a task error), ready to
-    compare against a fetch log for lastmod-driven recrawl (join with
-    `plans/recrawl.recrawl_schedule`'s frame: refetch where lastmod_ms >
-    last fetch).
+    """(sitemap_url, loc, lastmod, lastmod_ms, changefreq, priority) per
+    ``<url>`` block of urlset bodies — the freshness/importance signals
+    the sitemaps protocol carries and :func:`parse_sitemap_entries`
+    drops. ``lastmod`` is NULL when the block has none; ``lastmod_ms`` is
+    the epoch-millisecond parse (``try_to_timestamp`` under the engine's
+    pinned UTC session tz — NULL on absent or unparseable values, never a
+    task error), ready to compare against a fetch log for lastmod-driven
+    recrawl. ``changefreq`` is the raw lowercased token (NULL when
+    absent), ``priority`` the 0.0-1.0 double (NULL when absent or
+    unparseable — try_cast). `plans/recrawl.merge_sitemap_hints` consumes
+    all three against `recrawl_schedule`'s frame.
 
-    Pure Catalyst: one pass extracts ``<url>`` blocks, a second pulls
-    loc + lastmod per block — pairing is structural (same block), not
-    positional, so a missing lastmod can never shift onto a neighbour."""
+    Pure Catalyst: one pass extracts ``<url>`` blocks, a second pulls the
+    fields per block — pairing is structural (same block), not
+    positional, so a missing field can never shift onto a neighbour."""
     body = F.coalesce(F.col(body_col), F.lit(""))
     blocks = F.regexp_extract_all(body, F.lit(_URL_BLOCK), F.lit(1))
     out = bodies.select(
@@ -195,10 +199,20 @@ def parse_sitemap_urls_with_lastmod(
         F.nullif(
             F.regexp_extract("block", _LASTMOD_PATTERN, 1), F.lit("")
         ).alias("lastmod"),
+        F.lower(
+            F.nullif(
+                F.regexp_extract("block", _CHANGEFREQ_PATTERN, 1), F.lit("")
+            )
+        ).alias("changefreq"),
+        F.nullif(
+            F.regexp_extract("block", _PRIORITY_PATTERN, 1), F.lit("")
+        ).alias("__prio_raw"),
     ).filter(F.col("loc") != "")
     return out.select(
         "sitemap_url",
         "loc",
         "lastmod",
         F.unix_millis(F.expr("try_to_timestamp(lastmod)")).alias("lastmod_ms"),
+        "changefreq",
+        F.expr("try_cast(__prio_raw AS DOUBLE)").alias("priority"),
     )

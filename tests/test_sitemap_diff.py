@@ -148,6 +148,85 @@ def test_crawl_diff_no_fingerprint(spark):
     assert got[0].change == "unchanged"  # content ignored when disabled
 
 
+def test_parse_sitemap_hints_changefreq_priority(spark):
+    """changefreq/priority parse per block with structural pairing;
+    absent → NULL; unparseable priority → NULL (try_cast); changefreq
+    lowercased."""
+    from secretscraper_spark.sources.sitemap import (
+        parse_sitemap_urls_with_lastmod,
+    )
+
+    body = (
+        "<urlset>"
+        "<url><loc>http://a.example/p1</loc>"
+        "<changefreq>Daily</changefreq><priority>0.9</priority></url>"
+        "<url><loc>http://a.example/p2</loc></url>"
+        "<url><loc>http://a.example/p3</loc>"
+        "<priority>high</priority><changefreq>never</changefreq></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("http://a.example/sm.xml", body)], "url string, body string"
+    )
+    got = {
+        r.loc: (r.changefreq, r.priority)
+        for r in parse_sitemap_urls_with_lastmod(df).collect()
+    }
+    assert got["http://a.example/p1"] == ("daily", 0.9)
+    assert got["http://a.example/p2"] == (None, None)
+    assert got["http://a.example/p3"] == ("never", None)
+
+
+def test_merge_sitemap_hints(spark):
+    """Hand-computed merge: changefreq tightens but never loosens the
+    observed gap; 'never'/unknown tokens leave it alone; lastmod newer
+    than the last fetch flags known_changed; duplicate locs pre-aggregate;
+    priority defaults to 0.5."""
+    from secretscraper_spark.plans.recrawl import merge_sitemap_hints
+
+    day = 86_400_000
+    now = 100 * day
+    schedule = spark.createDataFrame(
+        [
+            # url, last_ms, gap_ms (observed)
+            ("u-tight", 90 * day, 10 * day),   # hinted daily -> gap 1 day
+            ("u-loose", 90 * day, 2 * day),    # hinted monthly -> stays 2d
+            ("u-never", 90 * day, 5 * day),    # 'never' -> stays 5d
+            ("u-nohint", 90 * day, 3 * day),   # absent -> stays 3d
+            ("u-changed", 99 * day, 10 * day), # lastmod > last fetch
+        ],
+        "url string, last_ms long, gap_ms long",
+    ).withColumns(
+        {
+            "next_due_ms": F.col("last_ms") + F.col("gap_ms"),
+            "overdue_ms": F.lit(now) - (F.col("last_ms") + F.col("gap_ms")),
+        }
+    )
+    hints = spark.createDataFrame(
+        [
+            ("u-tight", None, "daily", 0.9),
+            # duplicate loc: tightest freq + freshest lastmod + max prio win
+            ("u-tight", 80 * day, "monthly", 0.2),
+            ("u-loose", None, "monthly", None),
+            ("u-never", None, "never", 0.1),
+            ("u-changed", 99 * day + 1, None, None),
+        ],
+        "loc string, lastmod_ms long, changefreq string, priority double",
+    )
+    got = {
+        r.url: r
+        for r in merge_sitemap_hints(schedule, hints, now_ms=now).collect()
+    }
+    assert got["u-tight"].gap_ms == day and got["u-tight"].hint_priority == 0.9
+    assert got["u-tight"].overdue_ms == now - (90 * day + day)
+    assert not got["u-tight"].known_changed  # lastmod 80d < last fetch 90d
+    assert got["u-loose"].gap_ms == 2 * day          # hint never loosens
+    assert got["u-never"].gap_ms == 5 * day          # 'never' -> NULL freq
+    assert got["u-nohint"].gap_ms == 3 * day
+    assert got["u-nohint"].hint_priority == 0.5      # spec default
+    assert got["u-changed"].known_changed
+
+
 def test_parse_sitemap_urls_with_lastmod(spark):
     """Structural pairing: a block without lastmod yields NULL and never
     borrows a neighbour's; date and datetime forms parse to epoch ms;
