@@ -181,6 +181,10 @@ def trustrank(
     )
     s = seeds.select(F.col(seed_col).alias("node")).distinct()
     n_seeds = float(s.count())
+    if n_seeds == 0:
+        # 1/|S| below would divide by zero per row (ANSI mode) — and a
+        # trust computation with nothing trusted is a caller bug
+        raise ValueError("trustrank needs a non-empty seeds frame")
     tele = (
         nodes.join(
             F.broadcast(s.withColumn("__seed", F.lit(1))), "node", "left"
@@ -355,12 +359,26 @@ def opic_rounds(
         .localCheckpoint()
     )
     n = float(nodes.count())
+    if n == 0:
+        # constant 1.0/0.0 would throw at constant-folding under ANSI;
+        # an empty graph has an empty (correct) answer
+        return nodes.select(
+            "node",
+            F.lit(0.0).alias("cash"),
+            F.lit(0.0).alias("history"),
+            F.lit(0.0).alias("importance"),
+        )
     state = nodes.select(
         "node",
         (F.lit(1.0) / F.lit(n)).alias("cash"),
         F.lit(0.0).alias("history"),
     ).localCheckpoint()
-    has_out = deg.select(F.col("src").alias("node"))
+    # derived from the CHECKPOINTED static frame (not the raw deg/e
+    # lineage) and materialized once: the per-round dangling check would
+    # otherwise re-run the edge dedup + degree shuffle every round
+    has_out = (
+        static.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
     for _ in range(n_rounds):
         recv = (
             static.join(

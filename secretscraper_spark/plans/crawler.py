@@ -740,29 +740,38 @@ class SparkCrawler:
         ).localCheckpoint()
         mark("extract")
 
+        # shared per-tier frame for the breaker and AIMD folds:
+        # scheduled-but-not-fetched hosts (join mode: URL absent from the
+        # pages store; paced mode: fetch_fn error arm). Empty hosts are
+        # excluded everywhere: verbatim relative-href children (netloc='',
+        # a reference-parity invariant) and unparseable authorities would
+        # otherwise pool into ONE shared '' key. Materialized only when
+        # BOTH consumers are on (each alone executes the join once anyway).
+        missed_hosts = None
+        if self.quarantine_fails is not None or self.adaptive_delay:
+            missed_hosts = (
+                with_host(to_process)
+                .filter(F.col("host") != "")
+                .select("host", "url_norm")
+                .join(combined.select("url_norm"), "url_norm", "left_anti")
+                .select("host")
+            )
+            if self.quarantine_fails is not None and self.adaptive_delay:
+                missed_hosts = missed_hosts.localCheckpoint()
+
         # circuit-breaker fold: this tier's per-host outcomes into the
         # quarantine state. Successes = combined (the checkpointed fetch
-        # result); failures = scheduled-but-not-fetched (join mode: URL
-        # absent from the pages store; paced mode: fetch_fn error arm).
-        # Both sides are host-rollups of this tier only — tiny aggs.
+        # result); failures = the shared missed_hosts frame. Both sides
+        # are host-rollups of this tier only — tiny aggs.
         if self.quarantine_fails is not None:
-            # empty hosts never enter the breaker: verbatim relative-href
-            # children (netloc='', a reference-parity invariant) and
-            # unparseable authorities would otherwise pool into ONE
-            # shared '' key and trip together
             ok_counts = (
                 with_host(combined)
                 .filter(F.col("host") != "")
                 .groupBy("host")
                 .agg(F.count(F.lit(1)).alias("n_ok"))
             )
-            fail_counts = (
-                with_host(to_process)
-                .filter(F.col("host") != "")
-                .select("host", "url_norm")
-                .join(combined.select("url_norm"), "url_norm", "left_anti")
-                .groupBy("host")
-                .agg(F.count(F.lit(1)).alias("n_fail"))
+            fail_counts = missed_hosts.groupBy("host").agg(
+                F.count(F.lit(1)).alias("n_fail")
             )
             st["host_fails"] = self._quarantine_fold(
                 st["host_fails"], ok_counts, fail_counts, depth
@@ -788,13 +797,7 @@ class SparkCrawler:
                 .filter(F.col("host") != "")
                 .select("host", ok_col.alias("ok"))
                 .unionByName(
-                    with_host(to_process)
-                    .filter(F.col("host") != "")
-                    .select("host", "url_norm")
-                    .join(
-                        combined.select("url_norm"), "url_norm", "left_anti"
-                    )
-                    .select("host", F.lit(False).alias("ok"))
+                    missed_hosts.select("host", F.lit(False).alias("ok"))
                 )
                 .withColumn("latency_ms", F.lit(0.0))
             )

@@ -1338,6 +1338,28 @@ def test_trustrank_matches_python_reference(spark):
     assert all(v > 0 for v in got.values())
 
 
+def test_trustrank_empty_seeds_raises(spark):
+    """An empty trusted-seed set would divide by zero per row under ANSI
+    mode — reject it loudly instead."""
+    from secretscraper_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    none = spark.createDataFrame([], "node long")
+    with pytest.raises(ValueError, match="non-empty seeds"):
+        graph.trustrank(edges, none, n_iter=2)
+
+
+def test_opic_empty_graph_returns_empty(spark):
+    """A zero-edge graph yields an empty result, not an ANSI
+    divide-by-zero at constant folding (1.0/0 nodes)."""
+    from secretscraper_spark.operators import graph
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = graph.opic_rounds(empty, n_rounds=2)
+    assert out.columns == ["node", "cash", "history", "importance"]
+    assert out.count() == 0
+
+
 def test_trustrank_unreachable_island_scores_zero(spark):
     from secretscraper_spark.operators import graph
 
