@@ -462,7 +462,7 @@ class SparkCrawler:
             return (
                 paced.filter(F.col("fetched"))
                 .select("url_norm", "status", "content_type",
-                        "content_length", "caption")
+                        "content_length", "caption", "latency_ms")
                 .join(to_process, "url_norm")
             )
         # sandbox scan: hash join vs the pages store. The frontier tier
@@ -723,7 +723,12 @@ class SparkCrawler:
                 to_process, self.fetch_cache, now, self.fetch_ttl
             )
             fetched_new = self._do_fetch(misses, n_processed).localCheckpoint()
-            fetched = hits.unionByName(fetched_new).localCheckpoint()
+            # cache hits replay without a latency_ms column (paced mode
+            # measures it on fresh fetches only) — they union as NULL and
+            # the AIMD fold coalesces to 0
+            fetched = hits.unionByName(
+                fetched_new, allowMissingColumns=True
+            ).localCheckpoint()
             self.fetch_cache = fc.upsert(
                 self.fetch_cache, fetched_new, now
             ).localCheckpoint()
@@ -792,14 +797,27 @@ class SparkCrawler:
                 | status.startswith("5")
                 | (status == "429")
             )
+            # observed latency when the paced executor measured it
+            # (real-fetch mode); join mode carries no latency column and
+            # the p95 arm stays inert at 0
+            latency = (
+                F.coalesce("latency_ms", F.lit(0.0))
+                if "latency_ms" in combined.columns
+                else F.lit(0.0)
+            )
             tier_stats = (
                 with_host(combined)
                 .filter(F.col("host") != "")
-                .select("host", ok_col.alias("ok"))
-                .unionByName(
-                    missed_hosts.select("host", F.lit(False).alias("ok"))
+                .select(
+                    "host", ok_col.alias("ok"), latency.alias("latency_ms")
                 )
-                .withColumn("latency_ms", F.lit(0.0))
+                .unionByName(
+                    missed_hosts.select(
+                        "host",
+                        F.lit(False).alias("ok"),
+                        F.lit(0.0).alias("latency_ms"),
+                    )
+                )
             )
             st["host_delays"] = (
                 adapt_crawl_delay(

@@ -31,9 +31,17 @@ _CARRY_COLS = [
 
 def extract_combined(fetched: DataFrame, extract_udf) -> DataFrame:
     """F7-gated P1∪P2 + P3 + P7 in one pass: fetched pages →
-    carry-columns + ``ex`` struct(children, secrets, title)."""
+    carry-columns + ``ex`` struct(children, secrets, title).
+
+    ``latency_ms`` (paced real-fetch mode only — fetch_exec measures the
+    fetch call) is carried through when present so the crawler's AIMD
+    fold can feed observed latencies to adapt_crawl_delay; the join-mode
+    schema is unchanged."""
+    carry = list(_CARRY_COLS)
+    if "latency_ms" in fetched.columns:
+        carry.append("latency_ms")
     return fetched.select(
-        *_CARRY_COLS,
+        *carry,
         extract_udf(
             F.col("scheme"), F.col("netloc"), F.col("caption"),
             is_extend_expr(F.col("content_type")),

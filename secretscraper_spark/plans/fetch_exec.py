@@ -82,12 +82,17 @@ FETCH_RESULT_FIELDS = [
 ]
 
 # full-page variant: the fetch function returns the page body too (HTTP GET
-# in a live deployment; a store lookup in the sandbox)
+# in a live deployment; a store lookup in the sandbox). latency_ms is the
+# wall-clock duration of the fetch call itself — the observed-latency
+# input of AIMD politeness adaptation (politeness.adapt_crawl_delay); a
+# sandbox store lookup measures ~0, far under any backoff cap, so it
+# never perturbs deterministic tests.
 PAGE_FETCH_FIELDS = FETCH_RESULT_FIELDS + [
     T.StructField("content_type", T.StringType()),
     T.StructField("content_length", T.LongType()),
     T.StructField("caption", T.StringType()),
     T.StructField("fetched", T.BooleanType()),
+    T.StructField("latency_ms", T.DoubleType()),
 ]
 
 
@@ -134,11 +139,13 @@ def paced_fetch_pages(
     out_schema = T.StructType(PAGE_FETCH_FIELDS)
 
     def call(r) -> tuple:
+        t0 = time.perf_counter()
         page = page_fetch_fn(r.url_norm)
+        ms = round((time.perf_counter() - t0) * 1000.0, 3)
         if page is None:
-            return ("Unknown", None, None, None, False)
+            return ("Unknown", None, None, None, False, ms)
         return (str(page["status"]), page["content_type"],
-                int(page["content_length"]), page["caption"], True)
+                int(page["content_length"]), page["caption"], True, ms)
 
     def run_host(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = _issue_host(pdf, virtual, cfg.max_concurrent_per_domain, call)

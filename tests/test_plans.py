@@ -713,6 +713,41 @@ def test_crawler_adaptive_delay_mode(spark, tmp_path):
     assert rdelays == delays
 
 
+def test_adaptive_delay_uses_measured_latency_in_paced_mode(spark):
+    """The paced executor measures each fetch call's wall-clock latency;
+    with adaptive_delay on, a host whose fetches exceed the p95 cap backs
+    off even when every fetch SUCCEEDS — the latency arm is live in
+    real-fetch mode (join mode carries no latencies and stays inert)."""
+    import time as _t
+
+    site = {
+        "http://slow.test/p/0": {"status": "200", "content_type": "text/html",
+                                 "content_length": 4, "caption": "leaf"},
+        "http://fast.test/p/0": {"status": "200", "content_type": "text/html",
+                                 "content_length": 4, "caption": "leaf"},
+    }
+
+    def fetch(url):
+        if url.startswith("http://slow.test/"):
+            _t.sleep(2.1)  # > the 2000 ms p95 cap
+        return site.get(url)
+
+    pages = spark.createDataFrame(
+        [(u, p["status"], p["content_type"], p["content_length"],
+          p["caption"]) for u, p in site.items()],
+        "url_norm string, status string, content_type string, "
+        "content_length long, caption string",
+    )
+    res = SparkCrawler(
+        spark, pages, CrawlConfig(max_depth=0),
+        fetch_mode="paced", page_fetch_fn=fetch, adaptive_delay=True,
+    ).run(list(site))
+    assert res.total_page == 2
+    delays = {r.host: r.crawl_delay for r in res.host_delays.collect()}
+    assert delays["slow.test"] == 0.4   # latency backoff despite 200s
+    assert delays["fast.test"] == 0.15  # healthy recover
+
+
 def test_adapted_delays_feed_schedule(spark):
     """adapt_crawl_delay's output IS a (host, crawl_delay) dim:
     assign_fetch_schedule consumes it through its robots/crawl-delay
