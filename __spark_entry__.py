@@ -1364,6 +1364,24 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, n_iter=3).orderBy("node")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (operators/sampling.py:
+    weighted_sample — Efraimidis–Spirakis A-ES): top-25 documents by
+    sample_key = u^(1/w) with w = text length and u drawn from the
+    portable seeded hash of doc_id, so the oracle reproduces the exact
+    draw. The production hash_mode stays xxhash64; 'portable' pins the
+    identical pipeline under the independent engine."""
+    from secretscraper_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.length("text").cast("double").alias("wgt")
+    )
+    return weighted_sample(
+        d, 25, "wgt", "doc_id", hash_mode="portable", seed=3
+    ).orderBy(F.desc("sample_key"), F.asc("id"))
+
+
 def q_sitemap_hints(spark, sf_dir):
     """Sitemap <changefreq>/<priority>/<lastmod> hints folded into the
     recrawl schedule (sources/sitemap.py parse + plans/recrawl.py
@@ -2916,6 +2934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hits": q_hits,
         "q_adaptive_delay": q_adaptive_delay,
         "q_sitemap_hints": q_sitemap_hints,
+        "q_weighted_sample": q_weighted_sample,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_wds_roundtrip": q_wds_roundtrip,
         "q_robots_parse": q_robots_parse,
@@ -4298,6 +4317,26 @@ def oracle_sql() -> dict[str, str]:
                           + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, 0) AS pr
                    FROM n LEFT JOIN c3 c USING (node))
             SELECT node, round(pr, 6) AS pagerank FROM r3 ORDER BY node
+        """,
+        # weighted sampling (A-ES): identical draw via the portable hash;
+        # u in (0,1], key = u^(1/w), top-k with id tiebreak
+        "q_weighted_sample": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(strlen(text) AS DOUBLE) AS weight,
+                     (CAST(concat('0x', substr(md5(
+                          CAST(doc_id AS VARCHAR) || chr(1) || '3'
+                        ), 1, 15)) AS BIGINT) % 2147483648 + 1)
+                       / 2147483648.0 AS u
+              FROM documents),
+            keyed AS (
+              SELECT doc_id AS id, weight,
+                     POWER(u, 1.0 / weight) AS raw_key
+              FROM d WHERE weight > 0)
+            SELECT id, weight, round(raw_key, 6) AS sample_key
+            FROM keyed
+            ORDER BY raw_key DESC, id ASC
+            LIMIT 25
         """,
         # sitemap hints -> recrawl merge: pure closed form (the oracle
         # never parses XML). Token by k%7; priority '0.'||k%11; lastmod

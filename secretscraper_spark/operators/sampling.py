@@ -119,6 +119,55 @@ def epoch_mix(
     return df.withColumn("copy", F.explode(copies))
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    hash_mode: str = "fast",
+    seed: int = 0,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Weighted random sampling without replacement (Efraimidis–Spirakis
+    A-ES, IPL 2006) → the k rows with the largest ``sample_key``.
+
+    Each row draws ``u ∈ (0,1]`` from a seeded hash of its id and keys on
+    ``u^(1/w)``: the top-k by key is an exact-size-k sample with inclusion
+    probability proportional to weight — the one-pass distributed form of
+    "sample documents ∝ quality score" that a training-mixture builder
+    needs (true weighted sampling, unlike a per-stratum rate). Rows with
+    ``w <= 0`` or NULL are excluded (outside the algorithm's domain).
+
+    Deterministic by construction: u is a pure function of (id, seed) via
+    `dedup.mode_hash64` — 'portable' makes the full draw reproducible in
+    an independent engine (q_weighted_sample oracle); 'fast' (xxhash64)
+    is the production default. Plan: one scan + TakeOrderedAndProject
+    (per-partition top-k, k-row driver merge) — the corpus is never
+    shuffled, same shape as cosine_topk."""
+    if k < 1:
+        raise ValueError("weighted_sample needs k >= 1")
+    M = float(1 << 31)
+    h = mode_hash64(id_col, hash_mode, seed=seed)
+    u = (F.pmod(h, F.lit(int(M))) + 1) / F.lit(M)  # (0, 1]
+    w = F.col(weight_col).cast("double")
+    key = F.pow(u, F.lit(1.0) / w)
+    out = (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            w.alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("id"))
+        .limit(int(k))
+    )
+    if round_to is not None:
+        out = out.select(
+            "id", "weight", F.round("sample_key", round_to).alias("sample_key")
+        )
+    return out
+
+
 def cap_per_group(
     df: DataFrame, group_col: str, n: int, key_col: str,
     mode: str = "fast", seed: int | None = None,

@@ -520,6 +520,50 @@ def test_contamination_pairs(spark):
     assert capped == {(1, 100): 2}
 
 
+def test_weighted_sample_matches_python_reference(spark):
+    """A-ES exactness in portable hash mode against an independent python
+    implementation of the same draw (md5-prefix hash -> u -> u^(1/w),
+    top-k with id tiebreak); zero/negative/NULL weights excluded."""
+    import hashlib
+
+    from secretscraper_spark.operators import sampling
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(200)]
+    rows += [(900, 0.0), (901, -2.0), (902, None)]
+    df = spark.createDataFrame(rows, "doc_id long, quality double")
+
+    def pref(i, seed=3):
+        h = int(
+            hashlib.md5(f"{i}\x01{seed}".encode()).hexdigest()[:15], 16
+        )
+        return (h % (1 << 31) + 1) / float(1 << 31)
+
+    want = sorted(
+        ((pref(i) ** (1.0 / w), i, w) for i, w in rows if w and w > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = sampling.weighted_sample(
+        df, 10, "quality", "doc_id", hash_mode="portable", seed=3,
+        round_to=None,
+    ).collect()
+    assert [(r.id, r.weight) for r in got] == [(i, w) for _, i, w in want]
+    for r, (key, _, _) in zip(got, want):
+        assert r.sample_key == pytest.approx(key, abs=1e-12)
+
+
+def test_weighted_sample_weight_dominance(spark):
+    """A row whose weight dwarfs everything else is effectively always
+    selected (u^(1/w) -> 1 as w -> inf), regardless of its hash draw."""
+    from secretscraper_spark.operators import sampling
+
+    rows = [(i, 1e-6) for i in range(500)] + [(999, 1e9)]
+    df = spark.createDataFrame(rows, "doc_id long, quality double")
+    got = {r.id for r in sampling.weighted_sample(df, 5, "quality", "doc_id").collect()}
+    assert 999 in got
+    with pytest.raises(ValueError, match="k >= 1"):
+        sampling.weighted_sample(df, 0, "quality", "doc_id")
+
+
 def test_assign_split_properties(spark):
     from secretscraper_spark.operators import sampling
 
