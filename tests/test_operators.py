@@ -551,6 +551,21 @@ def test_weighted_sample_matches_python_reference(spark):
         assert r.sample_key == pytest.approx(key, abs=1e-12)
 
 
+def test_weighted_sample_plan_is_topk_no_shuffle(spark):
+    """The A-ES top-k compiles to TakeOrderedAndProject over the scan —
+    per-partition top-k + k-row driver merge, never a corpus sort or
+    shuffle (the documented 100 TB shape)."""
+    from secretscraper_spark.operators import sampling
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).cast("double").alias("q")
+    )
+    out = sampling.weighted_sample(df, 5, "q", "doc_id", round_to=None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
 def test_weighted_sample_weight_dominance(spark):
     """A row whose weight dwarfs everything else is effectively always
     selected (u^(1/w) -> 1 as w -> inf), regardless of its hash draw."""
