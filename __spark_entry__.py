@@ -1370,7 +1370,10 @@ def q_weighted_sample(spark, sf_dir):
     sample_key = u^(1/w) with w = text length and u drawn from the
     portable seeded hash of doc_id, so the oracle reproduces the exact
     draw. The production hash_mode stays xxhash64; 'portable' pins the
-    identical pipeline under the independent engine."""
+    identical pipeline under the independent engine. The top-25 CUT keys
+    on round(key, 12) with the id tiebreak — identically in the oracle —
+    so row membership can't hinge on pow's final ulp (JVM Math.pow is up
+    to 1 ulp off correctly-rounded libm pow)."""
     from secretscraper_spark.operators.sampling import weighted_sample
 
     docs = _t(spark, sf_dir, "documents")
@@ -1378,7 +1381,8 @@ def q_weighted_sample(spark, sf_dir):
         "doc_id", F.length("text").cast("double").alias("wgt")
     )
     return weighted_sample(
-        d, 25, "wgt", "doc_id", hash_mode="portable", seed=3
+        d, 25, "wgt", "doc_id", hash_mode="portable", seed=3,
+        select_round_to=12,
     ).orderBy(F.desc("sample_key"), F.asc("id"))
 
 
@@ -4335,7 +4339,10 @@ def oracle_sql() -> dict[str, str]:
               FROM d WHERE weight > 0)
             SELECT id, weight, round(raw_key, 6) AS sample_key
             FROM keyed
-            ORDER BY raw_key DESC, id ASC
+            -- membership keys on the 12dp-quantized key (matching the
+            -- Spark side's select_round_to=12): raw pow differs by up to
+            -- 1 ulp between JVM Math.pow and libm pow
+            ORDER BY round(raw_key, 12) DESC, id ASC
             LIMIT 25
         """,
         # sitemap hints -> recrawl merge: pure closed form (the oracle

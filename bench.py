@@ -667,7 +667,7 @@ def main() -> None:
         }
 
     total = round(sum(queries.values()) + crawl["wall_sec"], 3)
-    print(json.dumps({
+    full = {
         "metric": "headline suite + crawl wall time",
         "value": total,
         "unit": "sec",
@@ -675,7 +675,38 @@ def main() -> None:
         "sf": SF,
         "crawl": crawl,
         "scaling": scaling,
-    }))
+    }
+    print(json.dumps(full))
+    # the FULL record above can outgrow a log tail capture (BENCH_r02 was
+    # recorded as parsed:null exactly that way) — so the very last stdout
+    # line is a TRIMMED compact record that always fits: headline table +
+    # crawl summary + the scaling-efficiency numbers, no per-run arrays.
+    crawl_slim = {
+        k: crawl[k]
+        for k in ("master", "n_pages_site", "pages_fetched", "urls_seen",
+                  "secrets", "wall_sec", "pages_per_sec", "urls_per_sec")
+        if k in crawl
+    }
+    scaling_slim = None
+    if scaling is not None and "error" not in scaling:
+        scaling_slim = {
+            k: scaling[k]
+            for k in ("scaling_efficiency", "fixed3_efficiency",
+                      "pairwise_efficiency", "cores_ratio", "stage_scaling")
+            if k in scaling
+        }
+        for leg in ("low", "high"):
+            if leg in scaling:
+                scaling_slim[f"{leg}_pps"] = scaling[leg]["pages_per_sec"]
+    print(json.dumps({
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF,
+        "crawl": crawl_slim,
+        "scaling": scaling_slim,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -458,8 +458,22 @@ class BSElementExtractor:
 # RegexURLParser.extract_urls = regex pass ∪ DOM pass).  Returns the set of
 # child 6-tuples; the caller owns depth bookkeeping.
 # ---------------------------------------------------------------------------
-@lru_cache(maxsize=1 << 17)
+# lru_cache bounds entry COUNT, not bytes — the key is the raw candidate
+# string, and regex-extracted candidates can be arbitrarily long (data:
+# URIs, minified-JS garbage). Candidates above this length bypass the
+# cache entirely so an adversarial corpus of unique multi-KB candidates
+# can't pin hundreds of MB per long-lived Python worker; nav hrefs (the
+# ~9×-repeated rows the memo exists for) are far below it.
+_CLASSIFY_CACHE_MAX_LEN = 2048
+
+
 def _classify_link(link: str) -> tuple[str, str, str, str, str, str] | None:
+    if len(link) > _CLASSIFY_CACHE_MAX_LEN:
+        return _classify_link_impl(link)
+    return _classify_link_cached(link)
+
+
+def _classify_link_impl(link: str) -> tuple[str, str, str, str, str, str] | None:
     """Per-candidate parse+filter pipeline, memoized on the raw link string.
 
     Everything here is a pure function of *link* (urlparse, the static-
@@ -484,6 +498,9 @@ def _classify_link(link: str) -> tuple[str, str, str, str, str, str] | None:
     if len(sanitize_url(link)) == 0:
         return None
     return (o.scheme, o.netloc, o.path, o.params, o.query, o.fragment)
+
+
+_classify_link_cached = lru_cache(maxsize=1 << 17)(_classify_link_impl)
 
 
 class LinkExtractor:

@@ -127,6 +127,7 @@ def weighted_sample(
     hash_mode: str = "fast",
     seed: int = 0,
     round_to: int | None = 6,
+    select_round_to: int | None = None,
 ) -> DataFrame:
     """Weighted random sampling without replacement (Efraimidis–Spirakis
     A-ES, IPL 2006) → the k rows with the largest ``sample_key``.
@@ -143,7 +144,15 @@ def weighted_sample(
     an independent engine (q_weighted_sample oracle); 'fast' (xxhash64)
     is the production default. Plan: one scan + TakeOrderedAndProject
     (per-partition top-k, k-row driver merge) — the corpus is never
-    shuffled, same shape as cosine_topk."""
+    shuffled, same shape as cosine_topk.
+
+    ``select_round_to`` quantizes the SELECTION key (which rows make the
+    top-k, id tiebreak below it) — pow is a transcendental whose last ulp
+    is platform-dependent (JVM Math.pow is not correctly rounded; libm
+    pow on modern glibc is), so an unrounded cut at the k boundary can
+    flip row MEMBERSHIP across engines. Cross-engine-reproducible draws
+    (hash_mode='portable' + an independent oracle) should set it (~12);
+    None keeps the raw-key cut."""
     if k < 1:
         raise ValueError("weighted_sample needs k >= 1")
     M = float(1 << 31)
@@ -151,15 +160,20 @@ def weighted_sample(
     u = (F.pmod(h, F.lit(int(M))) + 1) / F.lit(M)  # (0, 1]
     w = F.col(weight_col).cast("double")
     key = F.pow(u, F.lit(1.0) / w)
+    sel_key = (
+        key if select_round_to is None else F.round(key, int(select_round_to))
+    )
     out = (
         df.filter(w > 0)
         .select(
             F.col(id_col).alias("id"),
             w.alias("weight"),
             key.alias("sample_key"),
+            sel_key.alias("_sel_key"),
         )
-        .orderBy(F.desc("sample_key"), F.asc("id"))
+        .orderBy(F.desc("_sel_key"), F.asc("id"))
         .limit(int(k))
+        .drop("_sel_key")
     )
     if round_to is not None:
         out = out.select(

@@ -183,6 +183,7 @@ class SparkCrawler:
         quarantine_fails: int | None = None,
         quarantine_cooldown_tiers: int | None = None,
         adaptive_delay: bool = False,
+        paced_collect_cap: int = 200_000,
     ):
         """fetch_mode='join' (default): fetch = hash join vs the pages
         store — the pure, deterministic sandbox scan (SURVEY S2).
@@ -300,6 +301,10 @@ class SparkCrawler:
 
         self.fetch_ttl = fetch_ttl
         self._clock = clock or _time.time
+        # per-tier (url_norm, latency_ms) of paced-mode FAILED fetches —
+        # set by _do_fetch when adaptive_delay is on, consumed by the
+        # AIMD fold (join-mode misses carry no measured latency)
+        self._tier_fail_latency = None
         self.fetch_cache = (
             self._empty_cache(spark) if fetch_ttl is not None else None
         )
@@ -317,6 +322,19 @@ class SparkCrawler:
             loaded_rules() if rules is None else rules,
         )
         if self.fetch_mode == "paced" and self._page_fetch_fn is None:
+            # test-scale convenience only: the pages table transits the
+            # driver as a broadcast dict. Capped — a production pages
+            # store must come in through page_fetch_fn (HTTP fetcher) or
+            # fetch_mode='join'; collecting an unbounded table would OOM
+            # the driver long before 100 TB.
+            cap = int(paced_collect_cap)
+            if self.pages.limit(cap + 1).count() > cap:
+                raise ValueError(
+                    f"fetch_mode='paced' without page_fetch_fn collects "
+                    f"the pages table driver-side; it exceeds "
+                    f"paced_collect_cap={cap} rows. Pass page_fetch_fn "
+                    f"(live fetcher) or use fetch_mode='join'."
+                )
             site = {
                 r["url_norm"]: {
                     "status": r["status"], "content_type": r["content_type"],
@@ -459,12 +477,25 @@ class SparkCrawler:
                 to_process, self.cfg, self._page_fetch_fn, self.robots,
                 virtual=self.paced_virtual,
             )
+            if self.adaptive_delay:
+                # materialize ONCE before splitting success/failure — a
+                # second lazy consumer would re-run the fetch UDF (real
+                # HTTP + sleeps). Failed fetches keep their MEASURED
+                # wall-clock latency (often a timeout — the largest
+                # latencies a host produces) so the AIMD p95 sees them;
+                # F.lit(0.0) here would read a slow-failing host as
+                # healthy and recover instead of backing off.
+                paced = paced.localCheckpoint()
+                self._tier_fail_latency = paced.filter(
+                    ~F.col("fetched")
+                ).select("url_norm", "latency_ms")
             return (
                 paced.filter(F.col("fetched"))
                 .select("url_norm", "status", "content_type",
                         "content_length", "caption", "latency_ms")
                 .join(to_process, "url_norm")
             )
+        self._tier_fail_latency = None
         # sandbox scan: hash join vs the pages store. The frontier tier
         # is broadcast while it fits (deterministic plan, no pages
         # shuffle); a 10^8-row tier at real scale exceeds any broadcast
@@ -759,7 +790,6 @@ class SparkCrawler:
                 .filter(F.col("host") != "")
                 .select("host", "url_norm")
                 .join(combined.select("url_norm"), "url_norm", "left_anti")
-                .select("host")
             )
             if self.quarantine_fails is not None and self.adaptive_delay:
                 missed_hosts = missed_hosts.localCheckpoint()
@@ -805,6 +835,18 @@ class SparkCrawler:
                 if "latency_ms" in combined.columns
                 else F.lit(0.0)
             )
+            # failure arm: same row set as the breaker (the anti-join),
+            # but paced mode carries the MEASURED latency of each failed
+            # fetch (stashed by _do_fetch); rows the executor never
+            # issued (robots-denied, join-mode misses) coalesce to 0
+            fail_side = missed_hosts
+            if self._tier_fail_latency is not None:
+                fail_side = fail_side.join(
+                    self._tier_fail_latency, "url_norm", "left"
+                )
+                fail_lat = F.coalesce("latency_ms", F.lit(0.0))
+            else:
+                fail_lat = F.lit(0.0)
             tier_stats = (
                 with_host(combined)
                 .filter(F.col("host") != "")
@@ -812,10 +854,10 @@ class SparkCrawler:
                     "host", ok_col.alias("ok"), latency.alias("latency_ms")
                 )
                 .unionByName(
-                    missed_hosts.select(
+                    fail_side.select(
                         "host",
                         F.lit(False).alias("ok"),
-                        F.lit(0.0).alias("latency_ms"),
+                        fail_lat.alias("latency_ms"),
                     )
                 )
             )

@@ -748,6 +748,63 @@ def test_adaptive_delay_uses_measured_latency_in_paced_mode(spark):
     assert delays["fast.test"] == 0.15  # healthy recover
 
 
+def test_adaptive_delay_failed_fetch_latency_counts(spark):
+    """Paced-mode FAILED fetches carry their MEASURED wall-clock latency
+    into the AIMD fold, not 0.0: a host whose only failures are slow
+    timeouts but whose err_rate stays <= the threshold must still back
+    off on the p95 arm (latency 0.0 for the error arm would read the
+    host as healthy and recover instead)."""
+    import time as _t
+
+    # 19 fast successes + 2 slow timeouts: err_rate 2/21 <= 0.1 (the err
+    # arm stays quiet) and the type-1 p95 rank floor(.95*20)=19 lands on
+    # a timeout — ONLY the measured failure latency can trip the backoff
+    n_ok, n_slow = 19, 2
+    site = {
+        f"http://mixed.test/p/{i}": {
+            "status": "200", "content_type": "text/html",
+            "content_length": 4, "caption": "leaf",
+        }
+        for i in range(n_ok)
+    }
+    slow_urls = {f"http://mixed.test/p/{n_ok + j}" for j in range(n_slow)}
+
+    def fetch(url):
+        if url in slow_urls:
+            _t.sleep(2.1)  # slow timeout, then FAILS
+            return None
+        return site.get(url)
+
+    pages = spark.createDataFrame(
+        [(u, p["status"], p["content_type"], p["content_length"],
+          p["caption"]) for u, p in site.items()],
+        "url_norm string, status string, content_type string, "
+        "content_length long, caption string",
+    )
+    res = SparkCrawler(
+        spark, pages, CrawlConfig(max_depth=0),
+        fetch_mode="paced", page_fetch_fn=fetch, adaptive_delay=True,
+    ).run(list(site) + sorted(slow_urls))
+    delays = {r.host: r.crawl_delay for r in res.host_delays.collect()}
+    assert delays["mixed.test"] == 0.4
+
+
+def test_paced_collect_cap(spark):
+    """fetch_mode='paced' without a page_fetch_fn collects the pages
+    table driver-side as a test convenience — over paced_collect_cap
+    rows it must refuse instead of OOMing the driver."""
+    pages = spark.range(11).selectExpr(
+        "concat('http://cap.test/p/', id) AS url_norm",
+        "'200' AS status", "'text/html' AS content_type",
+        "CAST(10 AS LONG) AS content_length", "'leaf' AS caption",
+    )
+    with pytest.raises(ValueError, match="paced_collect_cap"):
+        SparkCrawler(
+            spark, pages, CrawlConfig(max_depth=1),
+            fetch_mode="paced", paced_collect_cap=10,
+        )
+
+
 def test_adapted_delays_feed_schedule(spark):
     """adapt_crawl_delay's output IS a (host, crawl_delay) dim:
     assign_fetch_schedule consumes it through its robots/crawl-delay

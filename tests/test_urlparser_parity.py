@@ -119,6 +119,30 @@ def test_classify_link_cache_matches_uncached_pipeline():
         assert _classify_link(link) == uncached(link), link
 
 
+def test_classify_link_long_candidates_bypass_cache():
+    """lru_cache bounds entry COUNT, not bytes — multi-KB candidates
+    (data: URIs, minified-JS garbage that survives the gates) must bypass
+    the memo entirely so unique long strings can't pin worker memory,
+    while returning the identical classification."""
+    from secretscraper_spark.functions.purekit import (
+        _CLASSIFY_CACHE_MAX_LEN,
+        _classify_link,
+        _classify_link_cached,
+        _classify_link_impl,
+    )
+
+    long_link = "http://h.test/" + "a" * _CLASSIFY_CACHE_MAX_LEN
+    before = _classify_link_cached.cache_info()
+    assert _classify_link(long_link) == _classify_link_impl(long_link)
+    after = _classify_link_cached.cache_info()
+    assert after.misses == before.misses
+    assert after.currsize == before.currsize
+    # a short candidate still populates the cache
+    short = "http://h.test/cache-probe-unique-xyzq"
+    _classify_link(short)
+    assert _classify_link_cached.cache_info().currsize == after.currsize + 1
+
+
 def test_dedup_on_six_tuple(html_text):
     """Children are a set keyed by the parsed 6-tuple."""
     ex = LinkExtractor(url_finder_rules())
