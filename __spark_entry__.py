@@ -710,11 +710,19 @@ def q_dedup_groups(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact; oracle-checked). The 100 TB
-    path LSH-prefilters candidates — see q_lsh_ann / operators.similarity."""
+    """Embedding-cosine near-dup pairs through the banded-LSH operator
+    (operators/similarity.py:cosine_neardup_pairs) in its exhaustive
+    degenerate mode (band_bits=0: every row shares one bucket, so the
+    candidate set is PROVABLY all pairs and the answer is exactly the
+    all-pairs one the DuckDB oracle computes) — the plan is the same
+    equi-join + verify machinery production banding uses, with no
+    CartesianProduct anywhere (plan-asserted in test_operators.py). Real
+    banding (recall < 1 by LSH design) is pytest-gated on planted
+    near-dups; the quadratic crossJoin survives only as the row-guarded
+    cosine_neardup_pairs_exact."""
     emb = _t_cpu(spark, sf_dir, "embeddings")
     return (
-        similarity.cosine_neardup_pairs(emb, threshold=0.4)
+        similarity.cosine_neardup_pairs(emb, threshold=0.4, band_bits=0)
         .select("vec_a", "vec_b", F.round("cosine", 3).alias("cosine_r3"))
         .orderBy("vec_a", "vec_b")
     )

@@ -75,15 +75,112 @@ def rp_lsh_buckets(
 def cosine_neardup_pairs(
     df: DataFrame, threshold: float = 0.4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    n_bands: int = 8, band_bits: int = 8, seed: int = 7,
+    max_bucket: int | None = 20_000, planes=None,
 ) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ t).
+    """Embedding-cosine near-dup pairs (vec_a < vec_b, cosine ≥ t) via
+    banded random-hyperplane LSH — the scale-safe DEFAULT.
 
-    Exact all-pairs is quadratic by definition; this is the oracle-exact
-    variant used at verification scale. The 100 TB path prefilters
-    candidates with rp_lsh_buckets (same-bucket or Hamming≤1 probes) and
-    re-ranks exactly — see rp_lsh_topk; simhash/minhash cover the text
-    channel in operators/dedup.py.
+    Candidates = pairs sharing a (band, band-signature) bucket in ANY of
+    *n_bands* bands of *band_bits* sign bits each; candidates are
+    dedup'd, then exact-cosine verified against *threshold*. The plan is
+    an equi-join keyed on (band, band_sig) — shuffle O(candidates),
+    NEVER a CartesianProduct (plan-asserted in tests) — so it survives a
+    corpus the crossJoin variant cannot. Recall < 1 by LSH design (a
+    pair found by no band is missed; miss probability per true pair is
+    ∏ bands (1 − p^band_bits) with p = 1 − θ/π), rising toward 1 as
+    *threshold* → 1; ``cosine_neardup_pairs_exact`` is the quadratic
+    oracle-exact variant for verification scale.
+
+    ``band_bits=0`` degenerates every row into ONE shared bucket: the
+    candidate set is provably all pairs, making the output exactly the
+    all-pairs answer through the SAME join machinery (used by the
+    oracle-gated q_embedding_neardup entry) — still no CartesianProduct,
+    but one hot bucket, so verification scale only.
+
+    ``max_bucket`` drops hotter buckets (a near-constant embedding
+    region would otherwise quadratically explode one key — same skew
+    cap contract as minhash_near_dups); None disables.
     """
+    if band_bits <= 0 or n_bands <= 0:
+        # constant-0 signature DERIVED FROM THE ROW: a literal would be
+        # constant-folded out of the join condition and Catalyst would
+        # plan the degenerate mode as a CartesianProduct — pmod(hash, 1)
+        # is provably 0 yet non-foldable, keeping the equi-join shape
+        bands = df.select(
+            F.col(id_col),
+            F.lit(0).alias("band"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1)).alias("band_sig"),
+        )
+    else:
+        if planes is None:
+            dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+            planes = make_planes(int(dim), n_bands * band_bits, seed)
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                rp_signature_expr(
+                    vec_col, planes[b * band_bits:(b + 1) * band_bits]
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+        bands = df.select(
+            F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+        ).select(id_col, F.col("bb.band").alias("band"),
+                 F.col("bb.band_sig").alias("band_sig"))
+    if max_bucket is not None and band_bits > 0 and n_bands > 0:
+        hot = (
+            bands.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > int(max_bucket))
+            .select("band", "band_sig")
+        )
+        bands = bands.join(
+            F.broadcast(hot), ["band", "band_sig"], "left_anti"
+        )
+    a = bands.select(F.col(id_col).alias("vec_a"), "band", "band_sig")
+    b = bands.select(F.col(id_col).alias("vec_b"), "band", "band_sig")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = df.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_neardup_pairs_exact(
+    df: DataFrame, threshold: float = 0.4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    max_rows: int = 100_000,
+) -> DataFrame:
+    """Exact all-pairs embedding-cosine near-dups — an explicit O(n²)
+    crossJoin, guarded by *max_rows*: verification-scale ONLY (recall
+    baselines, oracle cross-checks). Production corpora go through the
+    banded ``cosine_neardup_pairs``; the guard turns a would-be
+    cluster-killer into a loud error."""
+    n = df.limit(int(max_rows) + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_neardup_pairs_exact is O(n^2); input exceeds "
+            f"max_rows={max_rows}. Use cosine_neardup_pairs (banded LSH "
+            f"candidates + exact verify) at scale."
+        )
     a = df.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
         (_norm(F.col(vec_col))).alias("na"),

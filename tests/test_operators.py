@@ -856,21 +856,71 @@ def test_exact_jaccard_max_df_guard(docs):
     assert capped == []  # every shared shingle has df>=2, all dropped
 
 
-def test_cosine_neardup_pairs_vs_numpy(spark):
-    rng = np.random.default_rng(5)
-    vecs = rng.standard_normal((40, 8)).astype(np.float32)
-    vecs[7] = vecs[3] + 0.01 * rng.standard_normal(8).astype(np.float32)  # plant a near dup
+def _neardup_fixture(spark, n=40, dim=8, seed=5):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    vecs[7] = vecs[3] + 0.01 * rng.standard_normal(dim).astype(np.float32)  # plant a near dup
     df = spark.createDataFrame(
-        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
         "vec_id long, embedding array<float>",
     )
-    got = {(r.vec_a, r.vec_b): r.cosine
-           for r in similarity.cosine_neardup_pairs(df, threshold=0.9).collect()}
     norms = np.linalg.norm(vecs, axis=1)
     sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    return df, sims
+
+
+def test_cosine_neardup_pairs_exact_vs_numpy(spark):
+    df, sims = _neardup_fixture(spark)
+    got = {(r.vec_a, r.vec_b): r.cosine
+           for r in similarity.cosine_neardup_pairs_exact(df, threshold=0.9).collect()}
     expected = {(a, b) for a in range(40) for b in range(a + 1, 40) if sims[a, b] >= 0.9}
     assert set(got) == expected
     assert (3, 7) in got and got[(3, 7)] > 0.99
+
+
+def test_cosine_neardup_exact_row_guard(spark):
+    df, _ = _neardup_fixture(spark)
+    with pytest.raises(ValueError, match="max_rows"):
+        similarity.cosine_neardup_pairs_exact(df, threshold=0.9, max_rows=10)
+
+
+def test_cosine_neardup_banded_exhaustive_equals_exact(spark):
+    """band_bits=0 (one shared bucket) makes the banded operator's
+    candidate set provably all pairs — the q_embedding_neardup oracle
+    contract — through the equi-join machinery, with NO CartesianProduct
+    or nested-loop join in the plan."""
+    df, sims = _neardup_fixture(spark)
+    banded = similarity.cosine_neardup_pairs(df, threshold=0.9, band_bits=0)
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    got = {(r.vec_a, r.vec_b): r.cosine for r in banded.collect()}
+    expected = {(a, b) for a in range(40) for b in range(a + 1, 40) if sims[a, b] >= 0.9}
+    assert set(got) == expected
+
+
+def test_cosine_neardup_banded_finds_planted_dup(spark):
+    """Real banding (the production default): the planted cosine≈0.999
+    pair must surface (per-pair miss probability ≲1e-5 at 8 bands × 8
+    bits), every emitted pair must be a TRUE pair (exact verify — no
+    false positives by construction), and the plan stays equi-join."""
+    df, sims = _neardup_fixture(spark)
+    banded = similarity.cosine_neardup_pairs(df, threshold=0.9)
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    got = {(r.vec_a, r.vec_b): r.cosine for r in banded.collect()}
+    expected = {(a, b) for a in range(40) for b in range(a + 1, 40) if sims[a, b] >= 0.9}
+    assert (3, 7) in got and got[(3, 7)] > 0.99
+    assert set(got) <= expected  # verify step admits no false positives
+
+
+def test_cosine_neardup_banded_max_bucket_cap(spark):
+    """max_bucket drops hotter-than-cap buckets: with a cap of 1 no
+    bucket can pair anything — empty output, not an explosion."""
+    df, _ = _neardup_fixture(spark)
+    capped = similarity.cosine_neardup_pairs(df, threshold=0.9, max_bucket=1)
+    assert capped.count() == 0
 
 
 def test_ivf_full_probe_equals_bruteforce(spark):
