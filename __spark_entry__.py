@@ -1021,26 +1021,25 @@ def q_robots_gate(spark, sf_dir):
 
 
 def q_image_verify(spark, sf_dir):
-    """Multimodal channel: deterministic image+caption slice → Arrow-batched
-    decode (real PNG codec; clearly-marked fake lossy codec) → PSNR + phash
-    invariant check (BASELINE.json input_hint). Binary decode is not
-    SQL-expressible → rows-only check; exact pytest coverage in
-    tests/test_operators.py."""
+    """Multimodal channel, VALUE-GATED (upgraded from rows-only in round
+    3): deterministic image+caption slice → Arrow-batched decode — real
+    PNG codec AND real baseline JPEG codec (operators/jpegcodec.py,
+    ITU-T T.81; the lossy arm of the input-hint PSNR≥40 dB invariant now
+    runs end-to-end on genuine FFD8 streams) → per-row PSNR + phash
+    invariants plus the DECODED geometry. The DuckDB oracle recomputes
+    every row in closed form from the generator's residue arithmetic
+    (fmt by id parity, dims from the size table) with the invariant
+    flags pinned TRUE — any decode failure, sub-40 dB row, or geometry
+    bug breaks the hash gate. Exact-PSNR pytest coverage in
+    tests/test_operators.py + tests/test_jpegcodec.py."""
     from secretscraper_spark.operators.multimodal import verify_pixels
     from secretscraper_spark.sources.sitegen import SEED, generate_pages_spark
 
     pages = generate_pages_spark(spark, 64, n_hosts=4, include_images=True, partitions=8)
     v = verify_pixels(pages, seed_base=SEED)
-    return (
-        v.groupBy("fmt")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("pixels_ok"), 1).otherwise(0)).alias("n_pixels_ok"),
-            F.sum(F.when(F.col("phash_ok"), 1).otherwise(0)).alias("n_phash_ok"),
-            F.round(F.min("psnr_db"), 3).alias("min_psnr_db"),
-        )
-        .orderBy("fmt")
-    )
+    return v.select(
+        "image_id", "fmt", "dec_w", "dec_h", "pixels_ok", "phash_ok"
+    ).orderBy("image_id")
 
 
 def q_shipping_priority(spark, sf_dir):
@@ -2913,6 +2912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_select": q_dsir_select,
         "q_sniff_audit": q_sniff_audit,
         "q_host_quarantine": q_host_quarantine,
+        # --- round-3 upgrade: rows-only → value-gated (real JPEG codec) ---
+        "q_image_verify": q_image_verify,
         # --- never driver-checked: remaining value-gated entries ---
         "q_ivf_ann_full": q_ivf_ann_full,
         "q_audio_features": q_audio_features,
@@ -2977,7 +2978,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_politeness_schedule": q_politeness_schedule,
         "q_global_seq": q_global_seq,
         "q_robots_gate": q_robots_gate,
-        "q_image_verify": q_image_verify,
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_image_resize": q_image_resize,
         "q_shipping_priority": q_shipping_priority,
@@ -5355,6 +5355,25 @@ def oracle_sql() -> dict[str, str]:
         # sniff audit: Spark PARSES real container bytes; the oracle
         # derives the expected verdicts in closed form from the same
         # doc_id residue arithmetic (no binary in DuckDB)
+        # q_image_verify: closed-form mirror of the generator's residue
+        # arithmetic (sitegen.page_row: fmt by id parity, dims from the
+        # [32,64,128] size table) with the per-row invariant flags pinned
+        # TRUE — the Spark side must DECODE real PNG/JPEG bytes to
+        # reproduce these rows (dec_w/dec_h come from the codec output,
+        # pixels_ok from PSNR, phash_ok from the ground-truth pixels)
+        "q_image_verify": """
+            WITH ids AS (SELECT unnest(range(64)) AS i)
+            SELECT printf('img_%08d', i) AS image_id,
+                   CASE WHEN i % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+                   CAST(CASE CAST(i % 3 AS INTEGER)
+                        WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128
+                        END AS INTEGER) AS dec_w,
+                   CAST(CASE CAST((i // 3) % 3 AS INTEGER)
+                        WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128
+                        END AS INTEGER) AS dec_h,
+                   TRUE AS pixels_ok, TRUE AS phash_ok
+            FROM ids ORDER BY image_id
+        """,
         "q_sniff_audit": r"""
             SELECT doc_id AS image_id,
                    CASE CAST(doc_id % 5 AS INTEGER)

@@ -2,14 +2,20 @@
 
 The input_hint mandates ``bytes:binary`` image payloads with a per-row
 invariant: decoded-pixel allclose (PSNR≥40 dB for lossy fmt). No image
-library (PIL etc.) is installed in this container, so:
+library (PIL etc.) is installed in this container, so both codecs are
+pure Python/numpy from the public specs:
 
 - ``png``  — REAL minimal RGB8 PNG codec (zlib + CRC), lossless: decode
   returns the exact pixel array (PSNR = ∞).
-- ``jpeg`` — DETERMINISTIC FAKE: a clearly-marked container (``FJPG`` magic)
-  that stores pixels quantized to 5 bits/channel — a stand-in for a lossy
-  codec with PSNR ≈ 46 dB > 40 dB, so the verification invariant is
-  exercised for real. Swap with a real JPEG codec when the library exists.
+- ``jpeg`` — REAL baseline sequential JFIF codec (operators/jpegcodec.py,
+  ITU-T T.81: DCT + Annex-K quant/Huffman tables, FFD8…FFD9 streams any
+  external decoder can read). Encoded at quality 100 — the store's
+  ground truth is uniform-noise pixels, JPEG's worst case, and lower
+  qualities dip under the 40 dB invariant on noise (q97 ≈ 40.3 dB,
+  q100 ≈ 53 dB; still genuinely lossy: coefficient quantization and
+  YCbCr rounding both survive). The historical clearly-marked fake
+  (``FJPG`` magic, 5-bit quantizer) remains decodable for legacy
+  payloads and keeps its encode_fake_jpeg surface for tests.
 
 All functions operate on numpy uint8 arrays of shape (h, w, 3) and are
 called only from Arrow-batched UDFs / the generator — never per-row Python
@@ -128,10 +134,21 @@ def decode_fake_jpeg(data: bytes) -> np.ndarray:
     return (quant.astype(np.uint16) * 8 + 4).clip(0, 255).astype(np.uint8)
 
 
+# store-wide JPEG quality: see module docstring (noise ground truth needs
+# q100 to clear the 40 dB lossy invariant; still a true lossy round trip)
+JPEG_QUALITY = 100
+
+
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
     if fmt == "jpeg":
+        # dispatch on magic: real JFIF streams start FFD8; legacy fake
+        # payloads carry the explicit FJPG marker
+        if data[:2] == b"\xff\xd8":
+            from .jpegcodec import decode_jpeg
+
+            return decode_jpeg(data)
         return decode_fake_jpeg(data)
     raise NotImplementedError(f"fmt {fmt!r}: real decoders not available in this container")
 
@@ -140,7 +157,9 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(pixels)
     if fmt == "jpeg":
-        return encode_fake_jpeg(pixels)
+        from .jpegcodec import encode_jpeg
+
+        return encode_jpeg(pixels, quality=JPEG_QUALITY)
     raise NotImplementedError(f"fmt {fmt!r}")
 
 

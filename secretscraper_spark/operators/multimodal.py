@@ -68,14 +68,18 @@ VERIFY_SCHEMA = T.StructType(
         T.StructField("psnr_db", T.DoubleType()),
         T.StructField("pixels_ok", T.BooleanType()),
         T.StructField("phash_ok", T.BooleanType()),
+        T.StructField("dec_w", T.IntegerType()),
+        T.StructField("dec_h", T.IntegerType()),
     ]
 )
 
 
 def verify_pixels(pages: DataFrame, seed_base: int, min_psnr_db: float = 40.0) -> DataFrame:
     """Per-row invariant job: decode stored bytes, regenerate ground-truth
-    pixels from the generator seed, check PSNR + phash. Kept OUT of the
-    crawl hot path (verification job only, SURVEY §7)."""
+    pixels from the generator seed, check PSNR + phash; ``dec_w``/``dec_h``
+    report the DECODED geometry (from the codec, not the metadata columns)
+    so a closed-form oracle can gate the decoder's output shape. Kept OUT
+    of the crawl hot path (verification job only, SURVEY §7)."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -87,7 +91,8 @@ def verify_pixels(pages: DataFrame, seed_base: int, min_psnr_db: float = 40.0) -
                 p = psnr(truth, got)
                 ok = (p == float("inf")) if r.fmt == "png" else (p >= min_psnr_db)
                 rows.append((r.image_id, r.fmt, round(min(p, 1e9), 3), bool(ok),
-                             phash64(truth) == int(r.phash)))
+                             phash64(truth) == int(r.phash),
+                             int(got.shape[1]), int(got.shape[0])))
             yield pd.DataFrame(rows, columns=[f.name for f in VERIFY_SCHEMA.fields])
 
     return pages.select("image_id", "bytes", "w", "h", "fmt", "phash").mapInPandas(
