@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import re
 from functools import lru_cache
+from html import unescape as _html_unescape
 from urllib.parse import urlparse
 
 # ---------------------------------------------------------------------------
@@ -382,16 +383,21 @@ except ImportError:  # regex harvester stands in (well-formed-markup parity)
 
 def harvest_dom_hrefs_regex(text: str) -> set[str]:
     """The href set of urlparser.py:27-54 (a/link href ∪ script src *.js),
-    via tag regexes — matches the bs4 tree walk on well-formed markup."""
+    via tag regexes — matches the bs4 tree walk on well-formed markup.
+    Attribute values are entity-UNESCAPED (html.unescape) because the
+    reference's bs4 walk returns unescaped values: real pages write
+    ``?id=1&amp;how=up`` and the crawler must enqueue ``?id=1&how=up`` —
+    parity pinned on the reference's HackerNews.html fixture in
+    tests/test_urlparser_parity.py."""
     hrefs: set[str] = set()
     for tag in _A_LINK_TAG.finditer(text):
         m = _HREF_ATTR.search(tag.group(0))
         if m is not None:
-            hrefs.add(_attr_value(m))
+            hrefs.add(_html_unescape(_attr_value(m)))
     for tag in _SCRIPT_TAG.finditer(text):
         m = _SRC_ATTR.search(tag.group(0))
         if m is not None:
-            src = _attr_value(m)
+            src = _html_unescape(_attr_value(m))
             if src.endswith(".js"):
                 hrefs.add(src)
     return hrefs

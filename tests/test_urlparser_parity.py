@@ -119,6 +119,49 @@ def test_classify_link_cache_matches_uncached_pipeline():
         assert _classify_link(link) == uncached(link), link
 
 
+REF_FIXTURE = "/root/reference/tests/resources/HackerNews.html"
+
+
+def test_dom_harvest_parity_on_reference_fixture():
+    """Fallback-tightening gate (round-2 verdict item 6): the regex
+    harvester must reproduce the reference's bs4 DOM walk on the
+    reference repo's own real-world fixture (tests/test_urlparser.py:
+    12-33 exercises URLParser over this page). bs4's html.parser backend
+    is stdlib HTMLParser, so a clean-room HTMLParser walker here IS the
+    reference semantics — a/link[href] ∪ script[src] ending .js, with
+    entity-unescaped attribute values (the page's hrefs carry &amp;) and
+    script bodies treated as CDATA."""
+    import html.parser
+    import os
+
+    if not os.path.exists(REF_FIXTURE):
+        pytest.skip("reference fixture tree not present")
+    text = open(REF_FIXTURE, encoding="utf-8", errors="replace").read()
+
+    class Walker(html.parser.HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.hrefs = set()
+
+        def handle_starttag(self, tag, attrs):
+            d = dict(attrs)
+            if tag in ("a", "link") and d.get("href") is not None:
+                self.hrefs.add(d["href"])
+            elif tag == "script" and (d.get("src") or "").endswith(".js"):
+                self.hrefs.add(d["src"])
+
+    wk = Walker()
+    wk.feed(text)
+    from secretscraper_spark.functions.purekit import harvest_dom_hrefs_regex
+
+    got = harvest_dom_hrefs_regex(text)
+    assert got == wk.hrefs
+    # real-page sanity: the harvest is substantial and entity-unescaped
+    assert len(got) > 50
+    assert any("&how=up" in h for h in got)       # unescaped &amp;
+    assert not any("&amp;" in h for h in got)
+
+
 def test_classify_link_long_candidates_bypass_cache():
     """lru_cache bounds entry COUNT, not bytes — multi-KB candidates
     (data: URIs, minified-JS garbage that survives the gates) must bypass
