@@ -308,13 +308,20 @@ class SparkCrawler:
         self.fetch_cache = (
             self._empty_cache(spark) if fetch_ttl is not None else None
         )
-        # pre-project the fetch side once; url_hash join key for cheap shuffle
-        self.pages = (
-            pages.select(
-                "url_norm", "status", "content_type", "content_length", "caption"
+        # pre-project the fetch side once; url_hash join key for cheap
+        # shuffle. A STORED url_hash (sources/pages_store.py bucketed
+        # store) is kept rather than recomputed: recomputing would orphan
+        # the scan's HashPartitioning(url_hash) and re-introduce the
+        # pages-side Exchange the bucketed layout exists to remove.
+        fetch_cols = [
+            "url_norm", "status", "content_type", "content_length", "caption"
+        ]
+        if "url_hash" in pages.columns:
+            self.pages = pages.select("url_hash", *fetch_cols)
+        else:
+            self.pages = pages.select(*fetch_cols).withColumn(
+                "url_hash", F.xxhash64("url_norm")
             )
-            .withColumn("url_hash", F.xxhash64("url_norm"))
-        )
         # rules/link_rules: externally-loaded regex sets (settings.py YAML/
         # env merge); default to the shipped config (reference settings.yml)
         self._extract_udf = make_extract_udf(
@@ -503,6 +510,13 @@ class SparkCrawler:
         keyed = to_process.withColumn("url_hash", F.xxhash64("url_norm"))
         if tier_rows <= self.cfg.broadcast_frontier_rows:
             keyed = F.broadcast(keyed)
+        # A bucketed pages side (sources/pages_store.py) scans in place
+        # here: url_hash — the bucket key — is a subset of the join
+        # keys, and the session sets
+        # spark.sql.requireAllClusterKeysForCoPartition=false so the
+        # planner accepts subset-key co-partitioning instead of
+        # re-shuffling the 100 TB side (plan-asserted in
+        # tests/test_pages_store.py).
         return keyed.join(
             self.pages, ["url_hash", "url_norm"], "inner"
         ).drop("url_hash")

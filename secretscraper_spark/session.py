@@ -26,6 +26,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # accept subset-of-join-keys co-partitioning: a store bucketed
+        # by url_hash (sources/pages_store.py, plans/bucketed_seen.py)
+        # then joins on [url_hash, url_norm] without re-shuffling the
+        # bucketed side; default true would shuffle both sides
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # default 10000-row Arrow batches are ~160 MB per in-flight batch

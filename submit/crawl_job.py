@@ -37,6 +37,15 @@ def main() -> None:
     ap.add_argument("--max-pages", type=int, default=0)
     ap.add_argument("--pages-parquet", default=None,
                     help="read the pages table instead of generating it")
+    ap.add_argument("--pages-bucketed", default=None,
+                    help="read a bucketed pages store written by "
+                         "submit/gen_site.py --bucketed (dir path); the "
+                         "fetch join then scans the pages side in place — "
+                         "no Exchange on the 100 TB side even past the "
+                         "broadcast-frontier regime")
+    ap.add_argument("--pages-buckets", type=int, default=256,
+                    help="bucket count the --pages-bucketed store was "
+                         "written with (catalog re-registration needs it)")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--use-bloom", action="store_true",
@@ -45,10 +54,22 @@ def main() -> None:
                     choices=["exact", "broadcast-bloom", "bucketed-bloom", "cuckoo"],
                     help="URL-seen prefilter; bucketed-bloom/cuckoo are the "
                          "sharded 10^10-scale forms (no driver-side bitmap)")
+    ap.add_argument("--seen-n-buckets", type=int, default=None,
+                    help="sharded seen-filter shard count (default 64); size "
+                         "n_buckets*capacity to the expected seen-set, e.g. "
+                         "256x2^17 for a 10^8-page leg")
+    ap.add_argument("--seen-bucket-capacity", type=int, default=None,
+                    help="per-shard capacity of the sharded seen filter "
+                         "(default 2^16)")
     ap.add_argument("--white-list", action="append", default=[],
                     help="domain glob whitelist (reference -d/--domain)")
     ap.add_argument("--black-list", action="append", default=[],
                     help="domain glob blacklist (reference -D/--danger-domain)")
+    ap.add_argument("--checksum", action="store_true",
+                    help="emit order-invariant value digests of seen/edges/"
+                         "secrets (sum of xxhash64 over rows) so two runs at "
+                         "different scale/parallelism can be compared "
+                         "bit-for-bit, not just by row count")
     args = ap.parse_args()
 
     # spark-submit owns the session config (master, task.cpus, memory);
@@ -57,13 +78,23 @@ def main() -> None:
     spark = SparkSession.builder.appName("secretscraper-crawl").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sql("SELECT lower('WarḿÉ')").collect()  # ICU class-init, uncontended
+    # subset-key co-partitioning: a --pages-bucketed store joins without
+    # re-shuffling the pages side (see session.get_spark)
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
 
     from secretscraper_spark.config import CrawlConfig
     from secretscraper_spark.plans.crawler import SparkCrawler
     from secretscraper_spark.sinks.reports import csv_rows
     from secretscraper_spark.sources.sitegen import generate_pages_spark, url_for
 
-    if args.pages_parquet:
+    if args.pages_bucketed:
+        from secretscraper_spark.sources.pages_store import register_pages_table
+
+        register_pages_table(
+            spark, "pages_site", args.pages_bucketed, args.pages_buckets
+        )
+        pages = spark.table("pages_site")
+    elif args.pages_parquet:
         pages = spark.read.parquet(args.pages_parquet)
     else:
         # partitions ≥ 2× slots: the broadcast fetch join streams the pages
@@ -75,9 +106,15 @@ def main() -> None:
         ).localCheckpoint()
         pages.count()  # materialize outside the timed window
 
+    cfg_kw = {}
+    if args.seen_n_buckets:
+        cfg_kw["seen_n_buckets"] = args.seen_n_buckets
+    if args.seen_bucket_capacity:
+        cfg_kw["seen_bucket_capacity"] = args.seen_bucket_capacity
     cfg = CrawlConfig(
         max_depth=args.max_depth, max_page_num=args.max_pages,
         white_list=args.white_list, black_list=args.black_list,
+        **cfg_kw,
     )
 
     t0 = time.perf_counter()
@@ -104,6 +141,30 @@ def main() -> None:
     n_secrets = res.secrets.count()
     wall = time.perf_counter() - t0
 
+    digests = None
+    if args.checksum:
+        # Order-invariant, filler-invariant digests: the link structure and
+        # planted secrets depend only on (i, n_pages, n_hosts), so the same
+        # site crawled with different filler/parallelism/seen-filter must
+        # reproduce these sums exactly. Outside the timed window.
+        from pyspark.sql import functions as F
+
+        def digest(df, cols):
+            # decimal(38,0) sum: exact and overflow-free (ANSI mode makes a
+            # bigint sum of millions of 64-bit hashes a runtime error), and
+            # unlike bit_xor it cannot cancel duplicate rows.
+            row = df.select(
+                F.sum(F.xxhash64(*[F.col(c) for c in cols])
+                      .cast("decimal(38,0)")).alias("d"),
+            ).collect()[0]
+            return str(row["d"])  # str: JSON keeps the sum exact
+
+        digests = {
+            "seen": digest(res.seen, ["url_norm", "depth", "discovery_seq"]),
+            "edges": digest(res.edges, ["parent_norm", "child_norm", "kind"]),
+            "secrets": digest(res.secrets, ["url_norm", "rule_name", "match"]),
+        }
+
     if args.out:
         res.seen.write.mode("overwrite").parquet(f"{args.out}/seen")
         res.edges.write.mode("overwrite").parquet(f"{args.out}/edges")
@@ -122,6 +183,7 @@ def main() -> None:
         "wall_sec": round(wall, 3),
         "pages_per_sec": round(res.total_page / wall, 1),
         "urls_per_sec": round(n_seen / wall, 1),
+        "digests": digests,
         "tiers": res.tiers,
     }))
     spark.stop()
