@@ -605,8 +605,10 @@ def main() -> None:
             extra += 1
             sample_pair()
         if not lo_runs:
-            print(json.dumps({"error": "no scaling pair survived the leg "
-                              "timeout"}, separators=(",", ":")))
+            # every pair timed out: record the fact and keep the rest of
+            # the bench record (queries + crawl) parseable
+            scaling = {"error": "no scaling pair survived the leg timeout"}
+            return _emit(queries, crawl, scaling)
         lo = max(lo_runs, key=lambda r: r["pages_per_sec"])
         hi = max(hi_runs, key=lambda r: r["pages_per_sec"])
         eff = (hi["pages_per_sec"] / lo["pages_per_sec"]) / 4.0
@@ -666,7 +668,13 @@ def main() -> None:
             "multi_jvm_stage": mj,
         }
 
-    total = round(sum(queries.values()) + crawl["wall_sec"], 3)
+    return _emit(queries, crawl, scaling)
+
+
+def _emit(queries: dict, crawl: dict, scaling: dict | None) -> None:
+    # wall_sec is None when every crawl leg timed out — the record must
+    # still print (a partial record beats a crashed bench)
+    total = round(sum(queries.values()) + (crawl.get("wall_sec") or 0.0), 3)
     full = {
         "metric": "headline suite + crawl wall time",
         "value": total,
@@ -688,7 +696,9 @@ def main() -> None:
         if k in crawl
     }
     scaling_slim = None
-    if scaling is not None and "error" not in scaling:
+    if scaling is not None and "error" in scaling:
+        scaling_slim = {"error": scaling["error"]}
+    elif scaling is not None:
         scaling_slim = {
             k: scaling[k]
             for k in ("scaling_efficiency", "fixed3_efficiency",
