@@ -197,54 +197,55 @@ def bucketed_bloom_anti_join(
     candidates: DataFrame, seen: DataFrame, blooms: DataFrame,
     key_col: str = "url_norm", n_buckets: int = 64,
 ) -> DataFrame:
-    """Exact `candidates ∖ seen` via the sharded filter: candidates are
-    hash-partitioned by bucket and probed against their own shard inside
-    a COGROUP — the bitmap travels once per bucket, NEVER attached to
-    candidate rows (a join-then-groupBy formulation copies the ~78 KB
-    bitmap into every candidate row and shuffles gigabytes; measured 5×
-    slower than the exact join at a 2·10^5-row tier before this fix).
-    Only shard-positive rows pay the exact anti-join; the tagged split is
-    checkpointed so its two consumers share one probe execution."""
-    from pyspark.sql import types as T
+    """Exact `candidates ∖ seen` via the sharded filter, keys-only probe:
+    candidates' (key, bucket, hash) — nothing else — are hash-partitioned
+    by bucket and probed against their own shard inside a COGROUP. The
+    bitmap still travels once per bucket, NEVER attached to candidate
+    rows (a join-then-groupBy formulation copies the ~78 KB bitmap into
+    every candidate row and shuffles gigabytes; measured 5× slower than
+    the exact join at a 2·10^5-row tier). The probe emits only the
+    shard-POSITIVE keys; `really_seen` = positives ∩ seen (small: the
+    truly-seen candidates plus the fp rate's worth of unseen ones), and
+    the result is one JVM anti-join of the untouched candidate rows
+    against it. An earlier shape shipped EVERY candidate column through
+    the Arrow cogroup to tag rows in place — at a 25M-row tier the
+    full-width round-trip alone took 27 s and the tagged-split total
+    80.3 s vs 62.0 s for this shape on the same input (BASELINE.md
+    round-3 component table).
 
-    cand = candidates.withColumn(
-        "__bucket", F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
-    ).withColumn("__h", F.xxhash64(key_col))
-
-    probe_schema = T.StructType(
-        [f for f in cand.schema.fields if f.name not in ("__h",)]
-        + [T.StructField("bloom_positive", T.BooleanType())]
+    NOTE: *candidates* is consumed TWICE (the probe and the final
+    anti-join), and Catalyst's column pruning makes the two subtrees
+    non-reusable — pass a MATERIALIZED frame (the crawler checkpoints
+    `eligible` before calling the sharded modes) or an expensive lazy
+    upstream will execute twice (a 25M-row dedup-agg measured 128 s lazy
+    vs 62 s checkpointed-first)."""
+    cand = candidates
+    keys = cand.select(
+        F.col(key_col),
+        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int").alias("__bucket"),
+        F.xxhash64(key_col).alias("__h"),
     )
 
+    key_field = cand.schema[key_col]
+
     def probe(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
-        body = cand_pdf.drop(columns=["__h"])
-        if not len(cand_pdf):
-            body["bloom_positive"] = pd.Series([], dtype=bool)
-            return body
-        if not len(shard_pdf):  # no shard ⇒ bucket never seen
-            body["bloom_positive"] = False
-            return body
+        if not len(cand_pdf) or not len(shard_pdf):
+            # no shard ⇒ bucket never seen ⇒ no positives
+            return pd.DataFrame({key_col: pd.Series([], dtype=object)})
         bm = np.frombuffer(shard_pdf["bitmap"].iloc[0], dtype=np.uint8)
         bits, k = int(shard_pdf["bits"].iloc[0]), int(shard_pdf["k"].iloc[0])
         vals = cand_pdf["__h"].to_numpy(dtype=np.int64)
         hit = np.ones(len(vals), dtype=bool)
         for pos in _positions(vals, k, bits):
             hit &= (bm[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
-        body["bloom_positive"] = hit
-        return body
+        return pd.DataFrame({key_col: cand_pdf[key_col][hit]})
 
-    tagged = (
-        cand.groupBy("__bucket")
-        .cogroup(blooms.withColumnRenamed("bucket", "__bucket").groupBy("__bucket"))
-        .applyInPandas(probe, probe_schema)
-        .drop("__bucket")
-        .localCheckpoint()
-    )
+    from pyspark.sql import types as T
 
-    negatives = tagged.filter(~F.col("bloom_positive")).drop("bloom_positive")
     positives = (
-        tagged.filter(F.col("bloom_positive"))
-        .drop("bloom_positive")
-        .join(seen.select(key_col), key_col, "left_anti")
+        keys.groupBy("__bucket")
+        .cogroup(blooms.withColumnRenamed("bucket", "__bucket").groupBy("__bucket"))
+        .applyInPandas(probe, T.StructType([key_field]))
     )
-    return negatives.unionByName(positives)
+    really_seen = positives.join(seen.select(key_col), key_col, "leftsemi")
+    return cand.join(really_seen, key_col, "left_anti")

@@ -592,11 +592,18 @@ class SparkCrawler:
         cfg = self.cfg
         if self.seen_filter == "broadcast-bloom":
             return bloommod.bloom_anti_join(eligible, seen, state)
-        if self.seen_filter == "bucketed-bloom":
-            return bloommod.bucketed_bloom_anti_join(
-                eligible, seen, state, n_buckets=cfg.seen_n_buckets
-            )
-        if self.seen_filter == "cuckoo":
+        if self.seen_filter in ("bucketed-bloom", "cuckoo"):
+            # the sharded forms consume candidates twice (keys-only probe
+            # + final anti-join) and column pruning defeats exchange
+            # reuse — materialize the dedup-agg ONCE here (exact mode
+            # stays lazy: single consumption, checkpoint would be pure
+            # cost — measured 20.9 s lazy vs 34.3 s checkpoint alone at a
+            # 25M-row tier, BASELINE.md round-3 component table)
+            eligible = eligible.localCheckpoint()
+            if self.seen_filter == "bucketed-bloom":
+                return bloommod.bucketed_bloom_anti_join(
+                    eligible, seen, state, n_buckets=cfg.seen_n_buckets
+                )
             return cuckoomod.cuckoo_anti_join(
                 eligible, seen, state, n_buckets=cfg.seen_n_buckets
             )

@@ -226,58 +226,47 @@ def cuckoo_anti_join(
     key_col: str = "url_norm", n_buckets: int = 64,
 ) -> DataFrame:
     """Exact `candidates ∖ seen` routed through the sharded cuckoo filter
-    (same contract as bloom.bucketed_bloom_anti_join): cogroup per bucket
-    so the shard table travels once per bucket — never attached to
-    candidate rows (see bloom.py for the shuffle blow-up the
-    join-then-groupBy form causes) — and the tagged split is checkpointed
-    so both consumers share one probe execution."""
-    cand = candidates.withColumn(
-        "__bucket", F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
-    ).withColumn("__h", F.xxhash64(key_col))
-
-    probe_schema = T.StructType(
-        [f for f in cand.schema.fields if f.name not in ("__h",)]
-        + [T.StructField("maybe_seen", T.BooleanType())]
+    (same contract and keys-only probe shape as
+    bloom.bucketed_bloom_anti_join — see there for the measured cost of
+    the earlier full-width tagged-split form): only (key, bucket, hash)
+    travels through the Arrow cogroup, the shard table travels once per
+    bucket, the probe emits shard-POSITIVE keys, and the result is one
+    JVM anti-join of the untouched candidate rows against
+    positives ∩ seen. Same two-consumption caveat as the bloom form:
+    pass a materialized *candidates* frame."""
+    cand = candidates
+    keys = cand.select(
+        F.col(key_col),
+        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int").alias("__bucket"),
+        F.xxhash64(key_col).alias("__h"),
     )
 
+    key_field = cand.schema[key_col]
+
     def probe(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
-        body = cand_pdf.drop(columns=["__h"])
-        if not len(cand_pdf):
-            body["maybe_seen"] = pd.Series([], dtype=bool)
-            return body
-        if not len(shard_pdf):
-            body["maybe_seen"] = False
-            return body
+        if not len(cand_pdf) or not len(shard_pdf):
+            # no shard ⇒ bucket never seen ⇒ no positives
+            return pd.DataFrame({key_col: pd.Series([], dtype=object)})
         # a shard with failed inserts is missing fingerprints — its
         # negatives are NOT trustworthy, so route the whole bucket to the
         # exact anti-join (practically unreachable: build sizes 2x, but the
         # exactness contract must not depend on sizing)
         if int(shard_pdf["failed"].iloc[0] or 0) > 0:
-            body["maybe_seen"] = True
-            return body
+            return pd.DataFrame({key_col: cand_pdf[key_col]})
         shard = CuckooShard.from_bytes(
             shard_pdf["table"].iloc[0], int(shard_pdf["m"].iloc[0])
         )
-        body["maybe_seen"] = shard.contains_hashes(
-            cand_pdf["__h"].to_numpy(dtype=np.int64)
-        )
-        return body
+        hit = shard.contains_hashes(cand_pdf["__h"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({key_col: cand_pdf[key_col][hit]})
 
-    tagged = (
-        cand.groupBy("__bucket")
+    positives = (
+        keys.groupBy("__bucket")
         .cogroup(
             shards.withColumnRenamed("bucket", "__bucket")
             .select("__bucket", "table", "m", "failed")
             .groupBy("__bucket")
         )
-        .applyInPandas(probe, probe_schema)
-        .drop("__bucket")
-        .localCheckpoint()
+        .applyInPandas(probe, T.StructType([key_field]))
     )
-    negatives = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    positives = (
-        tagged.filter(F.col("maybe_seen"))
-        .drop("maybe_seen")
-        .join(seen.select(key_col), key_col, "left_anti")
-    )
-    return negatives.unionByName(positives)
+    really_seen = positives.join(seen.select(key_col), key_col, "leftsemi")
+    return cand.join(really_seen, key_col, "left_anti")
