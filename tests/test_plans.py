@@ -333,6 +333,42 @@ class TestBucketedBloom:
         out = bl.bucketed_bloom_anti_join(cands, seen, blooms, n_buckets=8).collect()
         assert len(out) == 1  # missing shard ⇒ definitely unseen
 
+    def test_probe_ships_keys_only(self, spark):
+        """The Arrow cogroup probe must carry only (key, bucket, hash) —
+        never the candidate payload columns. An earlier shape shipped
+        every candidate column through the cogroup to tag rows in place,
+        and the full-width round-trip dominated the sharded path at
+        tier scale (BASELINE.md round-3 component table). Pin: the
+        FlatMapCoGroupsInPandas node of the physical plan mentions no
+        payload column."""
+        from pyspark.sql import functions as F
+
+        from secretscraper_spark.plans import bloom as bl
+        from secretscraper_spark.plans import cuckoo as ck
+
+        seen, cands = self._dfs(spark)
+        wide = cands.withColumn("payload_col", F.repeat(F.lit("x"), 10))
+        for out in (
+            bl.bucketed_bloom_anti_join(
+                wide, seen, bl.build_bucketed_bloom(seen, n_buckets=8),
+                n_buckets=8,
+            ),
+            ck.cuckoo_anti_join(
+                wide, seen, ck.build_sharded_cuckoo(seen, n_buckets=8),
+                n_buckets=8,
+            ),
+        ):
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            probe_lines = [
+                ln for ln in plan.splitlines()
+                if "FlatMapCoGroupsInPandas" in ln
+            ]
+            assert probe_lines, plan
+            assert all("payload_col" not in ln for ln in probe_lines), plan
+            # and the payload still comes out the other side, via the
+            # JVM anti-join of the untouched candidate rows
+            assert "payload_col" in out.columns
+
 
 class TestCuckoo:
     def test_shard_membership_and_delete(self):
