@@ -596,6 +596,13 @@ def main() -> None:
             if i >= 2 and over_budget():
                 break
             sample_pair()
+        if not lo_runs:
+            # every initial pair timed out: record the fact and keep the
+            # rest of the bench record (queries + crawl) parseable — and
+            # bail BEFORE the adaptive loop, whose max() over the empty
+            # run list would crash the bench in exactly this scenario
+            scaling = {"error": "no scaling pair survived the leg timeout"}
+            return _emit(queries, crawl, scaling)
         extra = 0
         while extra < max_extra and not over_budget():
             lo_b = max(r["pages_per_sec"] for r in lo_runs)
@@ -604,11 +611,6 @@ def main() -> None:
                 break
             extra += 1
             sample_pair()
-        if not lo_runs:
-            # every pair timed out: record the fact and keep the rest of
-            # the bench record (queries + crawl) parseable
-            scaling = {"error": "no scaling pair survived the leg timeout"}
-            return _emit(queries, crawl, scaling)
         lo = max(lo_runs, key=lambda r: r["pages_per_sec"])
         hi = max(hi_runs, key=lambda r: r["pages_per_sec"])
         eff = (hi["pages_per_sec"] / lo["pages_per_sec"]) / 4.0
@@ -691,8 +693,9 @@ def _emit(queries: dict, crawl: dict, scaling: dict | None) -> None:
     # crawl summary + the scaling-efficiency numbers, no per-run arrays.
     crawl_slim = {
         k: crawl[k]
-        for k in ("master", "n_pages_site", "pages_fetched", "urls_seen",
-                  "secrets", "wall_sec", "pages_per_sec", "urls_per_sec")
+        for k in ("error", "master", "n_pages_site", "pages_fetched",
+                  "urls_seen", "secrets", "wall_sec", "pages_per_sec",
+                  "urls_per_sec")
         if k in crawl
     }
     scaling_slim = None

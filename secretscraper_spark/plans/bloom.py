@@ -193,25 +193,30 @@ def update_bucketed_bloom(
     )
 
 
-def bucketed_bloom_anti_join(
-    candidates: DataFrame, seen: DataFrame, blooms: DataFrame,
-    key_col: str = "url_norm", n_buckets: int = 64,
+def keys_only_sharded_anti_join(
+    candidates: DataFrame, seen: DataFrame, shards: DataFrame,
+    key_col: str, n_buckets: int, bucket_probe,
 ) -> DataFrame:
-    """Exact `candidates ∖ seen` via the sharded filter, keys-only probe:
-    candidates' (key, bucket, hash) — nothing else — are hash-partitioned
-    by bucket and probed against their own shard inside a COGROUP. The
-    bitmap still travels once per bucket, NEVER attached to candidate
-    rows (a join-then-groupBy formulation copies the ~78 KB bitmap into
-    every candidate row and shuffles gigabytes; measured 5× slower than
-    the exact join at a 2·10^5-row tier). The probe emits only the
-    shard-POSITIVE keys; `really_seen` = positives ∩ seen (small: the
-    truly-seen candidates plus the fp rate's worth of unseen ones), and
-    the result is one JVM anti-join of the untouched candidate rows
-    against it. An earlier shape shipped EVERY candidate column through
-    the Arrow cogroup to tag rows in place — at a 25M-row tier the
-    full-width round-trip alone took 27 s and the tagged-split total
+    """Shared keys-only scaffold for the sharded seen filters (bloom here,
+    cuckoo in plans/cuckoo.py): candidates' (key, bucket, hash) — nothing
+    else — are hash-partitioned by bucket and probed against their own
+    shard inside a COGROUP; the shard travels once per bucket, NEVER
+    attached to candidate rows (a join-then-groupBy formulation copies
+    the shard into every candidate row and shuffles gigabytes; measured
+    5× slower than the exact join at a 2·10^5-row tier). The probe emits
+    only the shard-POSITIVE keys; `really_seen` = positives ∩ seen
+    (small: the truly-seen candidates plus the fp rate's worth of unseen
+    ones), and the result is one JVM anti-join of the untouched candidate
+    rows against it. An earlier shape shipped EVERY candidate column
+    through the Arrow cogroup to tag rows in place — at a 25M-row tier
+    the full-width round-trip alone took 27 s and the tagged-split total
     80.3 s vs 62.0 s for this shape on the same input (BASELINE.md
     round-3 component table).
+
+    *bucket_probe(shard_pdf, hashes)* → boolean hit mask for one bucket:
+    `shard_pdf` is that bucket's single-row shard frame, `hashes` the
+    candidates' int64 xxhash64 values. A missing shard (bucket never
+    seen) short-circuits to no-positives before the callable runs.
 
     NOTE: *candidates* is consumed TWICE (the probe and the final
     anti-join), and Catalyst's column pruning makes the two subtrees
@@ -219,33 +224,49 @@ def bucketed_bloom_anti_join(
     `eligible` before calling the sharded modes) or an expensive lazy
     upstream will execute twice (a 25M-row dedup-agg measured 128 s lazy
     vs 62 s checkpointed-first)."""
-    cand = candidates
-    keys = cand.select(
+    from pyspark.sql import types as T
+
+    keys = candidates.select(
         F.col(key_col),
         F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int").alias("__bucket"),
         F.xxhash64(key_col).alias("__h"),
     )
 
-    key_field = cand.schema[key_col]
+    key_field = candidates.schema[key_col]
 
     def probe(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(cand_pdf) or not len(shard_pdf):
             # no shard ⇒ bucket never seen ⇒ no positives
             return pd.DataFrame({key_col: pd.Series([], dtype=object)})
-        bm = np.frombuffer(shard_pdf["bitmap"].iloc[0], dtype=np.uint8)
-        bits, k = int(shard_pdf["bits"].iloc[0]), int(shard_pdf["k"].iloc[0])
-        vals = cand_pdf["__h"].to_numpy(dtype=np.int64)
-        hit = np.ones(len(vals), dtype=bool)
-        for pos in _positions(vals, k, bits):
-            hit &= (bm[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+        hit = bucket_probe(shard_pdf, cand_pdf["__h"].to_numpy(dtype=np.int64))
         return pd.DataFrame({key_col: cand_pdf[key_col][hit]})
-
-    from pyspark.sql import types as T
 
     positives = (
         keys.groupBy("__bucket")
-        .cogroup(blooms.withColumnRenamed("bucket", "__bucket").groupBy("__bucket"))
+        .cogroup(shards.withColumnRenamed("bucket", "__bucket").groupBy("__bucket"))
         .applyInPandas(probe, T.StructType([key_field]))
     )
     really_seen = positives.join(seen.select(key_col), key_col, "leftsemi")
-    return cand.join(really_seen, key_col, "left_anti")
+    return candidates.join(really_seen, key_col, "left_anti")
+
+
+def bucketed_bloom_anti_join(
+    candidates: DataFrame, seen: DataFrame, blooms: DataFrame,
+    key_col: str = "url_norm", n_buckets: int = 64,
+) -> DataFrame:
+    """Exact `candidates ∖ seen` via the sharded bloom filter — the
+    keys-only scaffold (see `keys_only_sharded_anti_join`, including the
+    materialized-candidates caveat) with the bitmap membership test as
+    the per-bucket kernel."""
+
+    def bucket_probe(shard_pdf: pd.DataFrame, vals: np.ndarray) -> np.ndarray:
+        bm = np.frombuffer(shard_pdf["bitmap"].iloc[0], dtype=np.uint8)
+        bits, k = int(shard_pdf["bits"].iloc[0]), int(shard_pdf["k"].iloc[0])
+        hit = np.ones(len(vals), dtype=bool)
+        for pos in _positions(vals, k, bits):
+            hit &= (bm[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+        return hit
+
+    return keys_only_sharded_anti_join(
+        candidates, seen, blooms, key_col, n_buckets, bucket_probe
+    )

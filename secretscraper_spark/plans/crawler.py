@@ -953,6 +953,16 @@ class SparkCrawler:
             st["seen"] = st["seen"].unionByName(
                 new_frontier.select("url_norm", "depth", "discovery_seq")
             )
+            # deep-crawl guard: the union tree grows one leg per tier and
+            # is re-analyzed by every per-tier consumer, so an unbounded-
+            # depth crawl would pay O(tiers²) driver-side planning.
+            # Flatten every 16 tiers — amortized copy cost O(total/16),
+            # and a shallow BFS never pays it (snapshot rounds flatten to
+            # parquet reads on their own).
+            st["seen_segments"] = st.get("seen_segments", 1) + 1
+            if st["seen_segments"] >= 16:
+                st["seen"] = st["seen"].localCheckpoint()
+                st["seen_segments"] = 1
             mark("seen_union")
             if seen_state is not None and n_new:
                 seen_state = self._seen_update(seen_state, new_frontier)

@@ -226,47 +226,25 @@ def cuckoo_anti_join(
     key_col: str = "url_norm", n_buckets: int = 64,
 ) -> DataFrame:
     """Exact `candidates ∖ seen` routed through the sharded cuckoo filter
-    (same contract and keys-only probe shape as
-    bloom.bucketed_bloom_anti_join — see there for the measured cost of
-    the earlier full-width tagged-split form): only (key, bucket, hash)
-    travels through the Arrow cogroup, the shard table travels once per
-    bucket, the probe emits shard-POSITIVE keys, and the result is one
-    JVM anti-join of the untouched candidate rows against
-    positives ∩ seen. Same two-consumption caveat as the bloom form:
-    pass a materialized *candidates* frame."""
-    cand = candidates
-    keys = cand.select(
-        F.col(key_col),
-        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int").alias("__bucket"),
-        F.xxhash64(key_col).alias("__h"),
-    )
+    — the shared keys-only scaffold (`bloom.keys_only_sharded_anti_join`,
+    including the materialized-candidates caveat and the measured cost of
+    the earlier full-width tagged-split form) with the cuckoo membership
+    test as the per-bucket kernel."""
+    from .bloom import keys_only_sharded_anti_join
 
-    key_field = cand.schema[key_col]
-
-    def probe(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(cand_pdf) or not len(shard_pdf):
-            # no shard ⇒ bucket never seen ⇒ no positives
-            return pd.DataFrame({key_col: pd.Series([], dtype=object)})
+    def bucket_probe(shard_pdf: pd.DataFrame, vals: np.ndarray) -> np.ndarray:
         # a shard with failed inserts is missing fingerprints — its
         # negatives are NOT trustworthy, so route the whole bucket to the
         # exact anti-join (practically unreachable: build sizes 2x, but the
         # exactness contract must not depend on sizing)
         if int(shard_pdf["failed"].iloc[0] or 0) > 0:
-            return pd.DataFrame({key_col: cand_pdf[key_col]})
+            return np.ones(len(vals), dtype=bool)
         shard = CuckooShard.from_bytes(
             shard_pdf["table"].iloc[0], int(shard_pdf["m"].iloc[0])
         )
-        hit = shard.contains_hashes(cand_pdf["__h"].to_numpy(dtype=np.int64))
-        return pd.DataFrame({key_col: cand_pdf[key_col][hit]})
+        return shard.contains_hashes(vals)
 
-    positives = (
-        keys.groupBy("__bucket")
-        .cogroup(
-            shards.withColumnRenamed("bucket", "__bucket")
-            .select("__bucket", "table", "m", "failed")
-            .groupBy("__bucket")
-        )
-        .applyInPandas(probe, T.StructType([key_field]))
+    return keys_only_sharded_anti_join(
+        candidates, seen, shards.select("bucket", "table", "m", "failed"),
+        key_col, n_buckets, bucket_probe,
     )
-    really_seen = positives.join(seen.select(key_col), key_col, "leftsemi")
-    return cand.join(really_seen, key_col, "left_anti")

@@ -221,3 +221,34 @@ def test_budget_mode_host_proportional(spark, site_pdf, site):
     # default BFS mode on the same input: same TOTAL, different choice
     res_bfs = SparkCrawler(spark, pages, cfg).run(seeds)
     assert res_bfs.total_page == budget
+
+
+def test_deep_chain_crosses_seen_flatten(spark):
+    """40-tier chain crawl (each page links only to the next) with
+    unbounded depth: the seen accumulator is a lazy union of per-tier
+    segments and flattens every 16 tiers — this crossing exercises the
+    flatten twice and must stay bit-exact against the simulator."""
+    import pandas as pd
+
+    n = 40
+    rows = []
+    for i in range(n):
+        nxt = f"http://h0.test/p/{i + 1}" if i + 1 < n else ""
+        caption = f'<html><a href="{nxt}">next</a></html>' if nxt else "<html>end</html>"
+        rows.append({
+            "url_norm": f"http://h0.test/p/{i}",
+            "status": "200",
+            "content_type": "text/html",
+            "content_length": len(caption),
+            "caption": caption,
+        })
+    pdf = pd.DataFrame(rows)
+    pdf["content_length"] = pdf["content_length"].astype("int64")
+    site = site_from_pandas(pdf)
+    seeds = ["http://h0.test/p/0"]
+    cfg = CrawlConfig(max_depth=0, max_page_num=0)
+
+    sim = simulate(site, seeds, cfg)
+    res = SparkCrawler(spark, spark.createDataFrame(pdf), cfg).run(seeds)
+    assert_parity(sim, res)
+    assert res.total_page == n  # all 40 tiers ran
