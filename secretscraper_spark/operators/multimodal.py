@@ -137,6 +137,76 @@ def resize_images(pages: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return pages.select("image_id", "bytes", "fmt").mapInPandas(compute, RESIZED_SCHEMA)
 
 
+RESIZE_VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("dec_w", T.IntegerType()),
+        T.StructField("dec_h", T.IntegerType()),
+        T.StructField("resize_ok", T.BooleanType()),
+        T.StructField("phash_ok", T.BooleanType()),
+    ]
+)
+
+
+def verify_resized(
+    pages: DataFrame, resized: DataFrame, out_w: int, out_h: int,
+    seed_base: int, min_psnr_db: float = 40.0, max_phash_hamming: int = 4,
+) -> DataFrame:
+    """Per-row invariant job for the resize stage (the `verify_pixels`
+    pattern, round-3 verdict item 2): independently regenerate the
+    generator's ground-truth pixels, apply the SAME nearest-neighbor
+    gather indices `(j*in//out)` directly to the truth, and compare the
+    production output (which went generator → full-size encode → decode →
+    gather → re-encode) against that one-hop truth gather.
+
+    - png (lossless): decoded thumbnail must EQUAL the truth gather and
+      the stored phash must equal `phash64(truth_gather)` exactly.
+    - jpeg (lossy, two codec passes: the full-size decode and the
+      thumbnail re-encode): PSNR(decoded thumbnail, truth gather) ≥
+      *min_psnr_db*, and hamming(stored phash, phash64(truth_gather)) ≤
+      *max_phash_hamming* — all arithmetic deterministic, so the flags
+      are stable gates, not flaky tolerances.
+
+    `dec_w`/`dec_h` report the decoded geometry of the re-encoded bytes
+    (codec output, not the metadata columns). Joined on image_id with the
+    original dims; verification job only — never in the crawl hot path."""
+    dims = pages.select("image_id", "w", "h")
+    joined = resized.select("image_id", "bytes", "fmt", "phash").join(
+        dims, "image_id"
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                idx = int(r.image_id.split("_")[-1])
+                truth = pixels_for(seed_base + idx, int(r.w), int(r.h))
+                yi = (np.arange(out_h) * int(r.h) // out_h).astype(np.intp)
+                xi = (np.arange(out_w) * int(r.w) // out_w).astype(np.intp)
+                expect = truth[yi[:, None], xi[None, :], :]
+                got = decode_image(bytes(r.bytes), r.fmt)
+                expect_phash = phash64(expect)
+                if r.fmt == "png":
+                    ok = bool(np.array_equal(got, expect))
+                    ph_ok = int(r.phash) == expect_phash
+                else:
+                    ok = bool(psnr(expect, got) >= min_psnr_db)
+                    ham = bin(
+                        (int(r.phash) ^ expect_phash) & ((1 << 64) - 1)
+                    ).count("1")
+                    ph_ok = ham <= max_phash_hamming
+                rows.append(
+                    (r.image_id, r.fmt, int(got.shape[1]), int(got.shape[0]),
+                     ok, ph_ok)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_VERIFY_SCHEMA.fields]
+            )
+
+    return joined.mapInPandas(compute, RESIZE_VERIFY_SCHEMA)
+
+
 def phash_near_dups(
     pages: DataFrame, max_hamming: int = 3, max_block_df: int | None = None,
     id_col: str = "image_id", phash_col: str = "phash",

@@ -193,6 +193,23 @@ def update_bucketed_bloom(
     )
 
 
+def _ensure_consistent_reread(df: DataFrame) -> DataFrame:
+    """Return *df* if its analyzed plan is a single leaf (a materialized
+    localCheckpoint `LogicalRDD` or a file/table scan — both re-read the
+    same rows on every consumption), else an eager localCheckpoint of it.
+    Guards multi-consumption scaffolds (`keys_only_sharded_anti_join`)
+    against lazy non-deterministic upstreams whose two executions would
+    observe different row sets. Plan inspection only — no job runs for
+    the already-materialized case."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.children().isEmpty():
+            return df
+    except Exception:  # pragma: no cover - py4j surface drift
+        pass
+    return df.localCheckpoint()
+
+
 def keys_only_sharded_anti_join(
     candidates: DataFrame, seen: DataFrame, shards: DataFrame,
     key_col: str, n_buckets: int, bucket_probe,
@@ -223,9 +240,17 @@ def keys_only_sharded_anti_join(
     non-reusable — pass a MATERIALIZED frame (the crawler checkpoints
     `eligible` before calling the sharded modes) or an expensive lazy
     upstream will execute twice (a 25M-row dedup-agg measured 128 s lazy
-    vs 62 s checkpointed-first)."""
+    vs 62 s checkpointed-first). A non-deterministic lazy upstream is
+    worse than slow: the two consumptions would observe DIFFERENT row
+    sets, silently dropping or duplicating frontier rows — so this
+    function GUARDS the contract: candidates whose analyzed plan is not
+    a leaf (localCheckpoint RDD / file scan — sources both consumptions
+    re-read consistently) are localCheckpoint-materialized here before
+    the fan-out. The guard is free for the crawler path (its frame is
+    already a checkpointed leaf)."""
     from pyspark.sql import types as T
 
+    candidates = _ensure_consistent_reread(candidates)
     keys = candidates.select(
         F.col(key_col),
         F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int").alias("__bucket"),

@@ -429,6 +429,8 @@ class SparkCrawler:
             "host_delays": tables.get(
                 "host_delays", self._empty(DELAYS_DDL)
             ),
+            # seen starts as one parquet leaf (see _snapshot's reset)
+            "seen_segments": 1,
         }
         return self._loop(st)
 
@@ -1007,3 +1009,7 @@ class SparkCrawler:
         base = ckpt._round_dir(self.checkpoint_dir, st["depth"])
         for name in tables:
             st[name] = self.spark.read.parquet(f"{base}/{name}")
+        # seen is now a single parquet leaf — restart the union-of-segments
+        # count so the 16-tier flatten doesn't fire early and pay an extra
+        # full-table localCheckpoint copy the snapshot already provides
+        st["seen_segments"] = 1

@@ -980,6 +980,54 @@ def _wh(i):
     return sizes[i % 3], sizes[(i // 3) % 3]
 
 
+def test_verify_resized_gate_has_teeth(spark):
+    """verify_resized (the q_image_resize value gate) must pass on the
+    production resize output and FAIL loudly on corrupted outputs — a
+    wrong gather index (pixel corruption) flips resize_ok, a wrong phash
+    flips phash_ok."""
+    from pyspark.sql import functions as F
+
+    from secretscraper_spark.sources.sitegen import SEED, generate_pages_pandas
+
+    pages = spark.createDataFrame(generate_pages_pandas(8, 4, include_images=True))
+    resized = multimodal.resize_images(pages, 16, 16).localCheckpoint()
+    ok = multimodal.verify_resized(pages, resized, 16, 16, seed_base=SEED)
+    rows = ok.collect()
+    assert len(rows) == 8
+    assert all(r.resize_ok and r.phash_ok for r in rows)
+    assert all((r.dec_w, r.dec_h) == (16, 16) for r in rows)
+    # corrupt the phash column → every phash_ok goes false, pixels untouched
+    bad_phash = resized.withColumn(
+        "phash", F.col("phash").bitwiseXOR(F.lit((1 << 40) - 1))
+    )
+    got = multimodal.verify_resized(pages, bad_phash, 16, 16, seed_base=SEED).collect()
+    assert all(not r.phash_ok for r in got)
+    assert all(r.resize_ok for r in got)
+    # corrupt the bytes (swap rows' payloads pairwise) → resize_ok false
+    swapped = resized.withColumn(
+        "__i", F.expr("cast(substring(image_id, 5) as int)")
+    )
+    partner = swapped.select(
+        F.col("__i").alias("__j"), F.col("bytes").alias("other_bytes"),
+        F.col("fmt").alias("other_fmt"),
+    )
+    bad_bytes = (
+        swapped.join(
+            partner,
+            swapped["__i"].bitwiseXOR(F.lit(1)) == partner["__j"],
+        )
+        # keep same-fmt pairs only (png↔png, jpeg↔jpeg is impossible under
+        # xor-1 parity flip, so these are cross-fmt swaps; decode follows
+        # the fmt column, so feed it the partner's fmt too)
+        .select(
+            "image_id", F.col("other_bytes").alias("bytes"),
+            F.col("other_fmt").alias("fmt"), "phash",
+        )
+    )
+    got2 = multimodal.verify_resized(pages, bad_bytes, 16, 16, seed_base=SEED).collect()
+    assert got2 and all(not r.resize_ok for r in got2)
+
+
 def test_bpe_token_count(spark):
     from secretscraper_spark.operators.textstats import bpe_token_count
 

@@ -333,6 +333,37 @@ class TestBucketedBloom:
         out = bl.bucketed_bloom_anti_join(cands, seen, blooms, n_buckets=8).collect()
         assert len(out) == 1  # missing shard ⇒ definitely unseen
 
+    def test_lazy_candidates_materialized_once(self, spark):
+        """keys_only_sharded_anti_join consumes candidates twice (probe +
+        anti-join); a lazy NON-DETERMINISTIC upstream would show the two
+        consumptions different row sets, silently dropping/duplicating
+        frontier rows (ADVICE round-3). Pin the in-function guard: a
+        non-leaf plan is localCheckpoint-materialized before the fan-out
+        (consistent output even with rand() upstream), while an
+        already-materialized leaf passes through untouched."""
+        from pyspark.sql import functions as F
+
+        from secretscraper_spark.plans import bloom as bl
+
+        seen, cands = self._dfs(spark)
+        # leaf (LocalRelation / checkpointed RDD) → returned as-is
+        leaf = cands.localCheckpoint()
+        assert bl._ensure_consistent_reread(leaf) is leaf
+        # non-leaf → materialized to a leaf
+        lazy = cands.filter(F.length("url_norm") > 0)
+        guarded = bl._ensure_consistent_reread(lazy)
+        assert guarded is not lazy
+        assert guarded._jdf.queryExecution().analyzed().children().isEmpty()
+        # end-to-end: rand()-gated candidates stay internally consistent —
+        # output == exact anti-join of the SAME materialized row set
+        nondet = cands.filter(F.rand(7) < 2.0)  # always true, but nondet-flagged
+        blooms = bl.build_bucketed_bloom(seen, n_buckets=8)
+        got = {r.url_norm for r in
+               bl.bucketed_bloom_anti_join(nondet, seen, blooms, n_buckets=8).collect()}
+        expected = {r.url_norm for r in
+                    cands.join(seen, "url_norm", "left_anti").collect()}
+        assert got == expected
+
     def test_probe_ships_keys_only(self, spark):
         """The Arrow cogroup probe must carry only (key, bucket, hash) —
         never the candidate payload columns. An earlier shape shipped
