@@ -780,6 +780,141 @@ def test_crawler_adaptive_delay_mode(spark, tmp_path):
     assert rdelays == delays
 
 
+def test_failure_skew_host_cannot_stall_tier(spark):
+    """Politeness under failure skew (round-3 verdict item 6): one
+    pathological host (90% of its fetches time out) must not stall the
+    tier — the per-host slot schedule bounds the tier's politeness
+    makespan to the WORST host's OWN serial budget (ceil(k/C)·interval),
+    never the tier row count, and healthy hosts' schedules are
+    bit-identical with or without the pathological host present."""
+    from secretscraper_spark.plans.politeness import (
+        assign_fetch_schedule,
+        tier_makespan,
+    )
+
+    cfg = CrawlConfig(max_concurrent_per_domain=5, min_request_interval=0.2)
+    healthy = [
+        (f"http://h{j}.test/p/{i}", f"h{j}.test", f"/p/{i}", j * 100 + i)
+        for j in range(8)
+        for i in range(10)
+    ]
+    bad = [
+        (f"http://bad.test/p/{i}", "bad.test", f"/p/{i}", 1000 + i)
+        for i in range(90)
+    ]
+    sched_mixed = assign_fetch_schedule(
+        make_frontier(spark, healthy + bad), cfg
+    )
+    sched_healthy = assign_fetch_schedule(make_frontier(spark, healthy), cfg)
+    # (a) independence: each healthy host's (slot, virtual_start) per URL
+    # is unchanged by the pathological host's presence
+    key = lambda rows: {
+        r.url_norm: (r.slot, r.virtual_start)
+        for r in rows
+        if r.host != "bad.test"
+    }
+    assert key(sched_mixed.collect()) == key(sched_healthy.collect())
+    # (b) tier makespan = bad host's own budget: ceil(90/5)=18 slots ×
+    # 0.2 s = 3.6 s — NOT 170 rows × 0.2 s = 34 s
+    assert tier_makespan(sched_mixed, cfg) == pytest.approx(3.6)
+    assert tier_makespan(sched_healthy, cfg) == pytest.approx(0.4)
+
+
+def test_failure_skew_aimd_trajectory(spark):
+    """AIMD trajectory under sustained 90%-timeout skew: the failing
+    host backs off multiplicatively to the cap tier over tier, healthy
+    hosts recover to the floor, and when the pathological host heals the
+    recovery is ADDITIVE (one step per tier) — the asymmetric
+    congestion-control shape that protects a recovering server."""
+    from secretscraper_spark.plans.politeness import adapt_crawl_delay
+
+    def tier_stats(bad_failing: bool):
+        rows = [
+            ("bad.test", 5000.0 if bad_failing else 30.0, not bad_failing or i >= 9)
+            for i in range(10)
+        ]
+        rows += [("ok.test", 30.0, True) for _ in range(10)]
+        return spark.createDataFrame(
+            rows, "host string, latency_ms double, ok boolean"
+        )
+
+    delays = spark.createDataFrame(
+        [("bad.test", 0.2), ("ok.test", 0.2)],
+        "host string, crawl_delay double",
+    )
+    bad_path, ok_path = [], []
+    for _ in range(7):
+        delays = adapt_crawl_delay(tier_stats(True), delays).select(
+            "host", "crawl_delay"
+        ).localCheckpoint()
+        d = {r.host: r.crawl_delay for r in delays.collect()}
+        bad_path.append(d["bad.test"])
+        ok_path.append(d["ok.test"])
+    # multiplicative ×2 per tier, clamped at the 8 s cap
+    assert bad_path == [0.4, 0.8, 1.6, 3.2, 6.4, 8.0, 8.0]
+    # healthy host walks down 0.05/tier to the 0.05 floor
+    assert ok_path == [0.15, 0.1, 0.05, 0.05, 0.05, 0.05, 0.05]
+    # heal the host: additive recovery, one small step per tier
+    for _ in range(2):
+        delays = adapt_crawl_delay(tier_stats(False), delays).select(
+            "host", "crawl_delay"
+        ).localCheckpoint()
+        bad_path.append(
+            {r.host: r.crawl_delay for r in delays.collect()}["bad.test"]
+        )
+    assert bad_path[-2:] == [7.95, 7.9]
+
+
+def test_failure_skew_paced_crawl_end_to_end(spark):
+    """End-to-end paced crawl with a 90%-failing host: the crawl
+    completes every tier, the healthy host's whole chain is still
+    discovered and fetched, per-tier politeness makespan stays at the
+    slot-schedule bound, and AIMD backs off only the failing host."""
+    site = {}
+    for k in range(4):
+        links = "".join(
+            f'<a href="http://bad.test/q/{k}_{i}">b</a>' for i in range(10)
+        )
+        if k < 3:
+            links += f'<a href="http://good.test/p/{k + 1}">n</a>'
+        site[f"http://good.test/p/{k}"] = {
+            "status": "200", "content_type": "text/html",
+            "content_length": 100, "caption": links,
+        }
+        # 1 of each tier's 10 bad URLs actually resolves; 9 time out
+        site[f"http://bad.test/q/{k}_0"] = {
+            "status": "200", "content_type": "text/html",
+            "content_length": 10, "caption": "leaf",
+        }
+
+    pages = spark.createDataFrame(
+        [], "url_norm string, status string, content_type string, "
+        "content_length long, caption string",
+    )
+    cfg = CrawlConfig(max_depth=3, max_concurrent_per_domain=5,
+                      min_request_interval=0.2)
+    crawler = SparkCrawler(
+        spark, pages, cfg, fetch_mode="paced",
+        page_fetch_fn=site.get, adaptive_delay=True,
+    )
+    res = crawler.run(["http://good.test/p/0"])
+    # healthy chain fully crawled despite the failing host
+    fetched = {r.url_norm for r in res.nodes.filter("status = '200'").collect()}
+    assert {f"http://good.test/p/{k}" for k in range(4)} <= fetched
+    # tiers 1..3 carry 10 bad.test + 1 good.test row each: makespan =
+    # bad's OWN ceil(10/5)=2 slots × its ADAPTED interval (0.2 at tier 1,
+    # then ×2 per failing tier) — the deliberate politeness cost of
+    # backing off a failing host, still never the tier row count
+    # (11 rows × interval would read 2.2/4.4/8.8)
+    got_makespans = [t["politeness_makespan_sec"] for t in res.tiers[1:]]
+    assert got_makespans == pytest.approx([0.4, 0.8, 1.6])
+    # AIMD: bad.test backed off (0.2→0.4→0.8→1.6 across 3 failing
+    # tiers), good.test recovered to the floor
+    delays = {r.host: r.crawl_delay for r in res.host_delays.collect()}
+    assert delays["bad.test"] == pytest.approx(1.6)
+    assert delays["good.test"] == pytest.approx(0.05)
+
+
 def test_adaptive_delay_uses_measured_latency_in_paced_mode(spark):
     """The paced executor measures each fetch call's wall-clock latency;
     with adaptive_delay on, a host whose fetches exceed the p95 cap backs
