@@ -84,6 +84,10 @@ class CrawlResult:
     tiers: list[dict] = field(default_factory=list)  # per-round metrics/lineage
     overhead: dict = field(default_factory=dict)     # non-tier wall costs (sec)
     host_delays: DataFrame | None = None  # adaptive_delay: final (host, crawl_delay)
+    #: fold_outputs mode: {"nodes"|"edges"|"secrets": {"digest": str,
+    #: "rows": int}} — run-level sums of the per-tier fold records; the
+    #: nodes/edges/secrets/found frames above are EMPTY in that mode
+    folded: dict | None = None
 
 
 def _accept_expr(cfg: CrawlConfig):
@@ -184,6 +188,8 @@ class SparkCrawler:
         quarantine_cooldown_tiers: int | None = None,
         adaptive_delay: bool = False,
         paced_collect_cap: int = 200_000,
+        fetch_map_fn=None,
+        fold_outputs: bool = False,
     ):
         """fetch_mode='join' (default): fetch = hash join vs the pages
         store — the pure, deterministic sandbox scan (SURVEY S2).
@@ -268,8 +274,28 @@ class SparkCrawler:
         self.seen_filter = seen_filter
         self.checkpoint_dir = checkpoint_dir
         self.schedule_politeness = schedule_politeness
-        assert fetch_mode in ("join", "paced")
+        assert fetch_mode in ("join", "paced", "mapped")
         self.fetch_mode = fetch_mode
+        # fetch_mode='mapped': fetch is a caller-supplied DataFrame
+        # transform frontier→fetched-rows (frontier cols + status/
+        # content_type/content_length/caption; misses dropped) — the
+        # storage-free fetch vehicle (Catalyst synthetic site via
+        # sitegen.synthetic_fetch_map, or any in-plan KV/service lookup).
+        # Stays fully lazy, so it fuses into the extraction stage exactly
+        # like the join path.
+        assert fetch_mode != "mapped" or fetch_map_fn is not None, (
+            "fetch_mode='mapped' requires fetch_map_fn"
+        )
+        self.fetch_map_fn = fetch_map_fn
+        # fold_outputs: per-tier digest/count folding instead of
+        # accumulating nodes/edges/secrets frames — the 10^9+ leg shape
+        # where retaining every tier's extraction checkpoint exceeds the
+        # volume. Digests use the same order-invariant sum-of-xxhash64
+        # formula as submit/crawl_job.py --checksum, are stored in each
+        # tier's metrics record (so checkpoint resume keeps accumulating
+        # them), and are bit-comparable with a retained-mode run's
+        # digests (parity-tested). The result frames come back EMPTY.
+        self.fold_outputs = fold_outputs
         assert budget_mode in ("bfs", "host-proportional")
         self.budget_mode = budget_mode
         self.trap_cap = trap_cap
@@ -477,6 +503,11 @@ class SparkCrawler:
         """One tier's fetch: frontier rows → frontier cols + page cols
         (status, content_type, content_length, caption). *tier_rows* is an
         upper bound on the row count, used for the broadcast decision."""
+        if self.fetch_mode == "mapped":
+            # in-plan fetch transform (see __init__): lazy, fuses into
+            # the extraction stage; parallelism = frontier partitioning
+            self._tier_fail_latency = None
+            return self.fetch_map_fn(to_process)
         if self.fetch_mode == "paced":
             # real-network vehicle: per-host paced applyInPandas executor
             # calling page_fetch_fn under the politeness schedule
@@ -651,8 +682,27 @@ class SparkCrawler:
             seen_state = self._tier(st, seen_state)
             if self.checkpoint_dir:
                 self._snapshot(st)
+            if self.fold_outputs:
+                # the previous tier's extraction checkpoint is now
+                # unreferenced (digests folded, no lazy union holds it) —
+                # nudge the JVM so ContextCleaner releases its blocks
+                # before the next tier grows; keeps peak storage O(one
+                # tier) instead of O(crawl)
+                self.spark.sparkContext._jvm.System.gc()
             st["depth"] += 1
 
+        folded = None
+        if self.fold_outputs:
+            acc: dict[str, dict] = {}
+            for t in st["tiers"]:
+                for name, v in t.get("fold", {}).items():
+                    a = acc.setdefault(name, {"digest": 0, "rows": 0})
+                    a["digest"] += v["digest"]
+                    a["rows"] += v["rows"]
+            folded = {
+                k: {"digest": str(v["digest"]), "rows": v["rows"]}
+                for k, v in acc.items()
+            }
         return CrawlResult(
             nodes=st["nodes"],
             edges=st["edges"].dropDuplicates(["parent_norm", "child_norm", "kind"]),
@@ -669,6 +719,7 @@ class SparkCrawler:
             tiers=st["tiers"],
             overhead=overhead,
             host_delays=st["host_delays"] if self.adaptive_delay else None,
+            folded=folded,
         )
 
     def _tier(self, st: dict, seen_state) -> object:
@@ -895,21 +946,55 @@ class SparkCrawler:
             )
             mark("delay_fold")
 
-        # P10 metadata projection + P7 title
-        st["nodes"] = st["nodes"].unionByName(extraction.nodes_of(combined))
-
-        # P3 secrets — extracted from every fetched page (crawler.py:296)
-        st["secrets"] = st["secrets"].unionByName(
-            extraction.secrets_of(combined)
-        )
-
         # P1+P2 link extraction, gated by F7 (crawler.py:343-344)
         children = extraction.children_of(combined)
 
-        # D5 edges recorded regardless of enqueue (crawler.py:364-376) —
-        # lazy unions over the per-tier checkpointed `combined`; the single
-        # dropDuplicates in _loop dedups the whole accumulation at the end
-        st["edges"] = st["edges"].unionByName(extraction.edges_of(children))
+        if self.fold_outputs:
+            # digest/count folding (scale-leg retention): per-tier sums
+            # recorded in the tier metrics record — resume-safe because
+            # tier records are part of the checkpoint manifest. Per-tier
+            # dropDuplicates ≡ the _loop-level global dedup: a page is
+            # fetched in exactly one tier (seen-at-enqueue), so edge and
+            # secret keys never repeat across tiers (parity-tested
+            # against retained mode).
+            fold: dict[str, dict] = {}
+            self._fold_table(
+                fold, "nodes", extraction.nodes_of(combined),
+                ["url_norm", "status", "title", "content_length"],
+            )
+            self._fold_table(
+                fold, "secrets",
+                extraction.secrets_of(combined).dropDuplicates(
+                    ["url_norm", "rule_name", "match"]
+                ),
+                ["url_norm", "rule_name", "match"],
+            )
+            self._fold_table(
+                fold, "edges",
+                extraction.edges_of(children).dropDuplicates(
+                    ["parent_norm", "child_norm", "kind"]
+                ),
+                ["parent_norm", "child_norm", "kind"],
+            )
+            tier_fold = fold
+            mark("fold_outputs")
+        else:
+            tier_fold = None
+            # P10 metadata projection + P7 title
+            st["nodes"] = st["nodes"].unionByName(extraction.nodes_of(combined))
+
+            # P3 secrets — extracted from every fetched page (crawler.py:296)
+            st["secrets"] = st["secrets"].unionByName(
+                extraction.secrets_of(combined)
+            )
+
+            # D5 edges recorded regardless of enqueue (crawler.py:364-376) —
+            # lazy unions over the per-tier checkpointed `combined`; the
+            # single dropDuplicates in _loop dedups the whole accumulation
+            # at the end
+            st["edges"] = st["edges"].unionByName(
+                extraction.edges_of(children)
+            )
 
         # D1 enqueue: depth gate F8 + filter chain + seen anti-join
         is_extending = cfg.max_depth <= 0 or depth + 1 <= cfg.max_depth
@@ -971,19 +1056,35 @@ class SparkCrawler:
         else:
             new_frontier = self._empty(FRONTIER_SCHEMA)
 
-        st["tiers"].append(
-            {
-                "depth": depth,
-                "frontier": n_frontier,
-                "processed": n_processed,
-                "enqueued": n_new,
-                "total_page": st["total_page"],
-                "politeness_makespan_sec": makespan,
-                "phase_sec": phase_t,
-            }
-        )
+        tier_rec = {
+            "depth": depth,
+            "frontier": n_frontier,
+            "processed": n_processed,
+            "enqueued": n_new,
+            "total_page": st["total_page"],
+            "politeness_makespan_sec": makespan,
+            "phase_sec": phase_t,
+        }
+        if tier_fold is not None:
+            tier_rec["fold"] = tier_fold
+        st["tiers"].append(tier_rec)
         st["frontier"] = new_frontier
         return seen_state
+
+    def _fold_table(
+        self, fold: dict, name: str, df: DataFrame, cols: list[str]
+    ) -> None:
+        """One tier's digest/count for *df*: order-invariant
+        sum-of-xxhash64 as decimal(38,0) (exact, overflow-free, cannot
+        cancel duplicates — the submit/crawl_job.py --checksum formula)
+        plus the row count, in ONE aggregation pass."""
+        row = df.agg(
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+            ).alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        fold[name] = {"digest": int(row["d"] or 0), "rows": int(row["n"])}
 
     def _snapshot(self, st: dict) -> None:
         state = ckpt.CrawlState(

@@ -70,7 +70,30 @@ def main() -> None:
                          "secrets (sum of xxhash64 over rows) so two runs at "
                          "different scale/parallelism can be compared "
                          "bit-for-bit, not just by row count")
+    ap.add_argument("--synthetic-fetch", action="store_true",
+                    help="fetch_mode='mapped' with the Catalyst synthetic "
+                         "site (sitegen.synthetic_fetch_map): the pages "
+                         "table is never materialized — the 10^9+ leg "
+                         "vehicle (a 10^9 site is ~93 GB parquet). Bit-"
+                         "identical crawl outputs vs --pages-* modes on "
+                         "the same (n-pages, n-hosts, filler) arguments.")
+    ap.add_argument("--fold-outputs", action="store_true",
+                    help="per-tier digest/count folding instead of "
+                         "retaining nodes/edges/secrets (SparkCrawler "
+                         "fold_outputs): peak storage O(one tier). Digests "
+                         "use the --checksum formula and are reported in "
+                         "the output JSON; incompatible with --out.")
+    ap.add_argument("--resume-from", type=int, default=None,
+                    help="resume the crawl from this committed round of "
+                         "--checkpoint-dir instead of seeding (scale-leg "
+                         "resume exercise; deterministic re-execution means "
+                         "the result must be bit-identical to the "
+                         "uninterrupted run)")
     args = ap.parse_args()
+    if args.fold_outputs and args.out:
+        ap.error("--fold-outputs produces empty result tables; drop --out")
+    if args.resume_from is not None and not args.checkpoint_dir:
+        ap.error("--resume-from requires --checkpoint-dir")
 
     # spark-submit owns the session config (master, task.cpus, memory);
     # getOrCreate attaches to it. The ICU warmup from session.get_spark is
@@ -87,7 +110,19 @@ def main() -> None:
     from secretscraper_spark.sinks.reports import csv_rows
     from secretscraper_spark.sources.sitegen import generate_pages_spark, url_for
 
-    if args.pages_bucketed:
+    crawler_kw = {}
+    if args.synthetic_fetch:
+        from secretscraper_spark.sources.sitegen import synthetic_fetch_map
+
+        pages = spark.createDataFrame(
+            [], "url_norm string, status string, content_type string, "
+            "content_length long, caption string",
+        )
+        crawler_kw["fetch_mode"] = "mapped"
+        crawler_kw["fetch_map_fn"] = synthetic_fetch_map(
+            args.n_pages, args.n_hosts, args.filler_bytes
+        )
+    elif args.pages_bucketed:
         from secretscraper_spark.sources.pages_store import register_pages_table
 
         register_pages_table(
@@ -121,8 +156,12 @@ def main() -> None:
     crawler = SparkCrawler(
         spark, pages, cfg, checkpoint_dir=args.checkpoint_dir,
         use_bloom=args.use_bloom, seen_filter=args.seen_filter,
+        fold_outputs=args.fold_outputs, **crawler_kw,
     )
-    if args.seed_stride == 1:
+    n_seed_urls = -(-args.n_pages // args.seed_stride)
+    if args.resume_from is not None:
+        res = crawler.resume(from_round=args.resume_from)
+    elif args.seed_stride == 1 and not args.synthetic_fetch:
         # saturated (full-site) seeding = the 10^10-frontier stand-in: seed
         # from the pages TABLE (run_from_urls) — a frontier that size is an
         # Iceberg table, never a driver-side list
@@ -133,16 +172,27 @@ def main() -> None:
             F.col("url_norm").alias("url"),
         )
         res = crawler.run_from_urls(urls)
+    elif n_seed_urls > 200_000:
+        # distributed seed table: a 10^9-site stride-97 leg has 10^7+
+        # seeds — they never transit the driver as a Python list
+        from secretscraper_spark.sources.sitegen import seed_urls_spark
+
+        res = crawler.run_from_urls(
+            seed_urls_spark(spark, args.n_pages, args.seed_stride,
+                            args.n_hosts)
+        )
     else:
         seeds = [url_for(i, args.n_hosts)
                  for i in range(0, args.n_pages, args.seed_stride)]
         res = crawler.run(seeds)
     n_seen = res.seen.count()
-    n_secrets = res.secrets.count()
+    n_secrets = (
+        res.folded["secrets"]["rows"] if res.folded else res.secrets.count()
+    )
     wall = time.perf_counter() - t0
 
     digests = None
-    if args.checksum:
+    if args.checksum or res.folded:
         # Order-invariant, filler-invariant digests: the link structure and
         # planted secrets depend only on (i, n_pages, n_hosts), so the same
         # site crawled with different filler/parallelism/seen-filter must
@@ -161,9 +211,20 @@ def main() -> None:
 
         digests = {
             "seen": digest(res.seen, ["url_norm", "depth", "discovery_seq"]),
-            "edges": digest(res.edges, ["parent_norm", "child_norm", "kind"]),
-            "secrets": digest(res.secrets, ["url_norm", "rule_name", "match"]),
         }
+        if res.folded:
+            # fold mode: edges/secrets digests were accumulated per tier
+            # with the identical formula (crawler._fold_table)
+            digests["edges"] = res.folded["edges"]["digest"]
+            digests["secrets"] = res.folded["secrets"]["digest"]
+            digests["nodes"] = res.folded["nodes"]["digest"]
+        else:
+            digests["edges"] = digest(
+                res.edges, ["parent_norm", "child_norm", "kind"]
+            )
+            digests["secrets"] = digest(
+                res.secrets, ["url_norm", "rule_name", "match"]
+            )
 
     if args.out:
         res.seen.write.mode("overwrite").parquet(f"{args.out}/seen")

@@ -678,6 +678,144 @@ def test_politeness_audit_exact(spark):
     assert again == got
 
 
+class TestSyntheticFetch:
+    """Catalyst twins of the sitegen page arithmetic (sitegen.url_expr/
+    status_expr/content_type_expr/caption_expr) + the storage-free
+    fetch_mode='mapped' + fold_outputs digest retention — the 10^9-leg
+    machinery. Parity is bit-level against the Python generator."""
+
+    def test_exprs_match_python_generator(self, spark):
+        from pyspark.sql import functions as F
+
+        from secretscraper_spark.sources import sitegen as sg
+
+        n_pages, n_hosts, filler = 5000, 8, 300
+        got = (
+            spark.range(n_pages)
+            .select(
+                F.col("id").alias("i"),
+                sg.url_expr(F.col("id"), n_hosts).alias("url"),
+                sg.status_expr(F.col("id")).alias("status"),
+                sg.content_type_expr(F.col("id")).alias("ctype"),
+                sg.caption_expr(F.col("id"), n_pages, n_hosts, filler).alias(
+                    "caption"
+                ),
+            )
+            .collect()
+        )
+        assert len(got) == n_pages
+        for r in got:
+            i = r.i
+            assert r.url == sg.url_for(i, n_hosts), i
+            assert r.status == sg.status_for(i), i
+            assert r.ctype == sg.content_type_for(i), i
+            assert r.caption == sg.caption_for(i, n_pages, n_hosts, filler), i
+
+    def test_seed_urls_spark_matches_url_for(self, spark):
+        from secretscraper_spark.sources import sitegen as sg
+
+        rows = sg.seed_urls_spark(spark, 1000, 11, n_hosts=8).collect()
+        assert [r.ord for r in rows] == list(range(0, 1000, 11))
+        for r in rows:
+            assert r.url == sg.url_for(r.ord, 8)
+
+    def test_mapped_fetch_crawl_bit_identical_to_join(self, spark):
+        """fetch_mode='mapped' with the synthetic Catalyst site ≡
+        fetch_mode='join' against the generated pages table: same seen
+        set (with depth+seq), same edges, same secrets, same totals —
+        including the miss semantics (/missing/, /rx/ links drop)."""
+        from pyspark.sql import functions as F
+
+        from secretscraper_spark.sources import sitegen as sg
+
+        n_pages, n_hosts = 4000, 8
+        pages = sg.generate_pages_spark(
+            spark, n_pages, n_hosts=n_hosts
+        ).localCheckpoint()
+        cfg = CrawlConfig(max_depth=2)
+        seeds = [sg.url_for(i, n_hosts) for i in range(0, n_pages, 37)]
+
+        res_join = SparkCrawler(spark, pages, cfg).run(seeds)
+        empty = spark.createDataFrame(
+            [], "url_norm string, status string, content_type string, "
+            "content_length long, caption string",
+        )
+        res_map = SparkCrawler(
+            spark, empty, cfg, fetch_mode="mapped",
+            fetch_map_fn=sg.synthetic_fetch_map(n_pages, n_hosts),
+        ).run(seeds)
+
+        def sets(res):
+            return (
+                {(r.url_norm, r.depth, r.discovery_seq)
+                 for r in res.seen.collect()},
+                {(r.parent_norm, r.child_norm, r.kind)
+                 for r in res.edges.collect()},
+                {(r.url_norm, r.rule_name, r.match)
+                 for r in res.secrets.collect()},
+                {(r.url_norm, r.status) for r in res.nodes.collect()},
+                res.total_page,
+            )
+
+        assert sets(res_join) == sets(res_map)
+        assert res_map.total_page > 200  # the crawl actually ran
+
+    def test_fold_outputs_digests_match_retained(self, spark):
+        """fold_outputs=True: result frames are empty, but the per-run
+        digest sums equal the crawl_job --checksum digests of a retained
+        run's (deduped) tables bit-for-bit, and counts match."""
+        from pyspark.sql import functions as F
+
+        from secretscraper_spark.sources import sitegen as sg
+
+        n_pages, n_hosts = 3000, 8
+        cfg = CrawlConfig(max_depth=2)
+        seeds = [sg.url_for(i, n_hosts) for i in range(0, n_pages, 41)]
+        empty = spark.createDataFrame(
+            [], "url_norm string, status string, content_type string, "
+            "content_length long, caption string",
+        )
+
+        def mk(fold):
+            return SparkCrawler(
+                spark, empty, cfg, fetch_mode="mapped",
+                fetch_map_fn=sg.synthetic_fetch_map(n_pages, n_hosts),
+                fold_outputs=fold,
+            )
+
+        retained = mk(False).run(seeds)
+        folded = mk(True).run(seeds)
+
+        def digest(df, cols):
+            row = df.select(
+                F.sum(
+                    F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+                ).alias("d")
+            ).collect()[0]
+            return str(row["d"])
+
+        assert folded.folded is not None
+        f = folded.folded
+        assert f["edges"]["digest"] == digest(
+            retained.edges, ["parent_norm", "child_norm", "kind"]
+        )
+        assert f["secrets"]["digest"] == digest(
+            retained.secrets, ["url_norm", "rule_name", "match"]
+        )
+        assert f["nodes"]["digest"] == digest(
+            retained.nodes, ["url_norm", "status", "title", "content_length"]
+        )
+        assert f["edges"]["rows"] == retained.edges.count()
+        assert f["secrets"]["rows"] == retained.secrets.count()
+        assert f["nodes"]["rows"] == retained.nodes.count()
+        assert folded.total_page == retained.total_page
+        # frames really are empty in fold mode
+        assert folded.edges.count() == 0 and folded.nodes.count() == 0
+        # seen is retained in both modes
+        assert digest(folded.seen, ["url_norm", "depth", "discovery_seq"]) == \
+            digest(retained.seen, ["url_norm", "depth", "discovery_seq"])
+
+
 def test_adapt_crawl_delay_aimd(spark):
     """AIMD decisions against hand-computed per-host stats: backoff on
     error rate, backoff on p95 latency, recover when healthy, hold when
