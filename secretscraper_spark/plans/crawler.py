@@ -962,31 +962,8 @@ class SparkCrawler:
         if self.fold_outputs:
             # digest/count folding (scale-leg retention): per-tier sums
             # recorded in the tier metrics record — resume-safe because
-            # tier records are part of the checkpoint manifest. Per-tier
-            # dropDuplicates ≡ the _loop-level global dedup: a page is
-            # fetched in exactly one tier (seen-at-enqueue), so edge and
-            # secret keys never repeat across tiers (parity-tested
-            # against retained mode).
-            fold: dict[str, dict] = {}
-            self._fold_table(
-                fold, "nodes", extraction.nodes_of(combined),
-                ["url_norm", "status", "title", "content_length"],
-            )
-            self._fold_table(
-                fold, "secrets",
-                extraction.secrets_of(combined).dropDuplicates(
-                    ["url_norm", "rule_name", "match"]
-                ),
-                ["url_norm", "rule_name", "match"],
-            )
-            self._fold_table(
-                fold, "edges",
-                extraction.edges_of(children).dropDuplicates(
-                    ["parent_norm", "child_norm", "kind"]
-                ),
-                ["parent_norm", "child_norm", "kind"],
-            )
-            tier_fold = fold
+            # tier records are part of the checkpoint manifest.
+            tier_fold = self._fold_tier(combined)
             mark("fold_outputs")
         else:
             tier_fold = None
@@ -1081,20 +1058,65 @@ class SparkCrawler:
         st["frontier"] = new_frontier
         return seen_state
 
-    def _fold_table(
-        self, fold: dict, name: str, df: DataFrame, cols: list[str]
-    ) -> None:
-        """One tier's digest/count for *df*: order-invariant
+    def _fold_tier(self, combined: DataFrame) -> dict:
+        """One tier's nodes/secrets/edges digests+counts in ONE scan of
+        the tier's extraction checkpoint — no explodes, no dedup jobs,
+        no shuffle (one partial-agg). Digests are order-invariant
         sum-of-xxhash64 as decimal(38,0) (exact, overflow-free, cannot
         cancel duplicates — the submit/crawl_job.py --checksum formula)
-        plus the row count, in ONE aggregation pass."""
-        row = df.agg(
-            F.sum(
-                F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
-            ).alias("d"),
-            F.count(F.lit(1)).alias("n"),
+        over exactly the rows nodes_of/secrets_of/edges_of would emit:
+        the per-row array folds hash each secret/child with the same
+        columns the exploded projections produce, and the extraction UDF
+        already dedups secrets and children within a page while a page
+        is fetched in exactly one tier (seen-at-enqueue), so the
+        retained path's global dropDuplicates is a no-op on this input —
+        the digests are bit-equal to the retained-mode tables
+        (parity-pinned in TestSyntheticFetch). An earlier shape ran 3
+        separate explode-dedup-agg jobs per tier; at the 10^9 leg's
+        51 M-row tier that cost 126.8 s of re-scanning — this is one
+        pass."""
+        from ..functions.exprs import is_js_expr
+
+        dec = "decimal(38,0)"
+
+        def hfold(arr, fn):
+            return F.aggregate(
+                arr,
+                F.lit(0).cast(dec),
+                lambda acc, x: acc + fn(x).cast(dec),
+            )
+
+        node_h = F.xxhash64(
+            F.col("url_norm"),
+            F.col("status").cast("string"),
+            F.col("ex.title"),
+            F.col("content_length").cast("long"),
+        ).cast(dec)
+        sec_h = hfold(
+            F.col("ex.secrets"),
+            lambda s: F.xxhash64(F.col("url_norm"), s["rule_name"], s["match"]),
+        )
+        edge_h = hfold(
+            F.col("ex.children"),
+            lambda c: F.xxhash64(
+                F.col("url_norm"),
+                c["url_norm"],
+                F.when(is_js_expr(c["path"]), "js").otherwise("url"),
+            ),
+        )
+        row = combined.agg(
+            F.sum(node_h).alias("nd"),
+            F.count(F.lit(1)).alias("nn"),
+            F.sum(sec_h).alias("sd"),
+            F.sum(F.size("ex.secrets").cast("long")).alias("sn"),
+            F.sum(edge_h).alias("ed"),
+            F.sum(F.size("ex.children").cast("long")).alias("en"),
         ).collect()[0]
-        fold[name] = {"digest": int(row["d"] or 0), "rows": int(row["n"])}
+        return {
+            "nodes": {"digest": int(row["nd"] or 0), "rows": int(row["nn"])},
+            "secrets": {"digest": int(row["sd"] or 0), "rows": int(row["sn"] or 0)},
+            "edges": {"digest": int(row["ed"] or 0), "rows": int(row["en"] or 0)},
+        }
 
     def _snapshot(self, st: dict) -> None:
         state = ckpt.CrawlState(
