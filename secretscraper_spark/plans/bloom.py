@@ -193,17 +193,55 @@ def update_bucketed_bloom(
     )
 
 
+# Plan shapes _ensure_consistent_reread passes through unmaterialized:
+# narrow deterministic row-at-a-time ops (re-executing them twice over a
+# stable leaf is cheap AND consistent) over sources that re-read the same
+# rows on every consumption. Joins/aggregates/windows stay OUT of the
+# cheap set on purpose — re-executing those twice is the 128 s-vs-62 s
+# regression the materialize guard exists to prevent.
+_CHEAP_NODES = ("Project", "Filter", "SubqueryAlias", "GlobalLimit", "LocalLimit")
+_STABLE_LEAVES = (
+    "LogicalRDD",  # localCheckpoint
+    "LocalRelation",  # driver rows
+    "LogicalRelation",  # DataSource v1 file/table scan
+    "DataSourceV2Relation",
+    "DataSourceV2ScanRelation",
+    "Range",
+)
+
+
+def _plan_cheap_and_stable(node) -> bool:
+    """True iff every node under *node* is a deterministic narrow op
+    (`_CHEAP_NODES`) over stable re-readable leaves (`_STABLE_LEAVES`).
+    py4j walk over the ANALYZED plan — no job runs."""
+    kids = node.children()
+    name = node.nodeName()
+    if kids.isEmpty():
+        return any(name.startswith(leaf) for leaf in _STABLE_LEAVES)
+    if not any(name.startswith(c) for c in _CHEAP_NODES):
+        return False
+    exprs = node.expressions()
+    for i in range(exprs.size()):
+        if not exprs.apply(i).deterministic():
+            return False
+    return all(_plan_cheap_and_stable(kids.apply(i)) for i in range(kids.size()))
+
+
 def _ensure_consistent_reread(df: DataFrame) -> DataFrame:
-    """Return *df* if its analyzed plan is a single leaf (a materialized
-    localCheckpoint `LogicalRDD` or a file/table scan — both re-read the
-    same rows on every consumption), else an eager localCheckpoint of it.
-    Guards multi-consumption scaffolds (`keys_only_sharded_anti_join`)
-    against lazy non-deterministic upstreams whose two executions would
-    observe different row sets. Plan inspection only — no job runs for
-    the already-materialized case."""
+    """Return *df* as-is when re-consuming it twice is both consistent
+    and cheap: a single stable leaf (a materialized localCheckpoint
+    `LogicalRDD` or a file/table scan), or a chain of DETERMINISTIC
+    narrow ops (project/filter/limit) over such leaves — re-running a
+    pruned filter over a materialized frame costs less than copying the
+    whole frame into another MEMORY_AND_DISK checkpoint (ADVICE round-4:
+    the eager copy was pure overhead on heap-bound ≥5e7-row tiers).
+    Everything else — any non-deterministic expression, or an expensive
+    shape (join/agg/window) — is eagerly localCheckpoint-ed so the
+    scaffold's two consumptions observe one row set exactly once.
+    Plan inspection only — no job runs for the pass-through cases."""
     try:
         plan = df._jdf.queryExecution().analyzed()
-        if plan.children().isEmpty():
+        if plan.children().isEmpty() or _plan_cheap_and_stable(plan):
             return df
     except Exception:  # pragma: no cover - py4j surface drift
         pass

@@ -164,6 +164,13 @@ def seed_frontier_from_urls(
 class SparkCrawler:
     """Driver-side BFS orchestration; all data-parallel work is DataFrame ops."""
 
+    #: fold-mode GC nudge fires only after tiers at least this big: a
+    #: forced full GC on a decade-leg heap (80 g) stalls multi-seconds,
+    #: which only pays when the just-released tier's blocks are a
+    #: meaningful heap fraction (ADVICE round-4). Small tiers are left to
+    #: ContextCleaner's ordinary reference-queue reclamation.
+    GC_NUDGE_MIN_TIER_ROWS = 2_000_000
+
     def __init__(
         self,
         spark: SparkSession,
@@ -692,12 +699,21 @@ class SparkCrawler:
             seen_state = self._tier(st, seen_state)
             if self.checkpoint_dir:
                 self._snapshot(st)
-            if self.fold_outputs:
+            if (
+                self.fold_outputs
+                and st["tiers"]
+                and st["tiers"][-1]["processed"] >= self.GC_NUDGE_MIN_TIER_ROWS
+            ):
                 # the previous tier's extraction checkpoint is now
                 # unreferenced (digests folded, no lazy union holds it) —
                 # nudge the JVM so ContextCleaner releases its blocks
                 # before the next tier grows; keeps peak storage O(one
-                # tier) instead of O(crawl)
+                # tier) instead of O(crawl). Gated on tier size (ADVICE
+                # round-4): a forced FULL GC on the 80 g heap the decade
+                # legs run with stalls multi-seconds, which only pays for
+                # itself when the freed tier is big enough to matter —
+                # small tiers' blocks are reclaimed by ContextCleaner's
+                # ordinary reference-queue pass anyway.
                 self.spark.sparkContext._jvm.System.gc()
             st["depth"] += 1
 
@@ -1065,17 +1081,19 @@ class SparkCrawler:
         sum-of-xxhash64 as decimal(38,0) (exact, overflow-free, cannot
         cancel duplicates — the submit/crawl_job.py --checksum formula)
         over exactly the rows nodes_of/secrets_of/edges_of would emit:
-        the per-row array folds hash each secret/child with the same
-        columns the exploded projections produce, and the extraction UDF
-        already dedups secrets and children within a page while a page
-        is fetched in exactly one tier (seen-at-enqueue), so the
-        retained path's global dropDuplicates is a no-op on this input —
-        the digests are bit-equal to the retained-mode tables
-        (parity-pinned in TestSyntheticFetch). An earlier shape ran 3
+        the per-row array folds hash each secret/edge with the shared
+        digest recipes from plans/extraction.py (node_digest_exprs /
+        secret_digest_exprs / edge_pairs_expr — ADVICE round-4: ONE
+        definition next to the projections, so an edit to either side is
+        visible from the other), and edge pairs are per-page
+        array_distinct-ed on (child_norm, kind) so colliding child
+        6-tuples hash exactly like the retained path's dropDuplicates
+        (parity-pinned in TestSyntheticFetch, collision case in
+        test_fold_digest_collision_parity). An earlier shape ran 3
         separate explode-dedup-agg jobs per tier; at the 10^9 leg's
         51 M-row tier that cost 126.8 s of re-scanning — this is one
         pass."""
-        from ..functions.exprs import is_js_expr
+        from . import extraction as expl
 
         dec = "decimal(38,0)"
 
@@ -1086,23 +1104,15 @@ class SparkCrawler:
                 lambda acc, x: acc + fn(x).cast(dec),
             )
 
-        node_h = F.xxhash64(
-            F.col("url_norm"),
-            F.col("status").cast("string"),
-            F.col("ex.title"),
-            F.col("content_length").cast("long"),
-        ).cast(dec)
+        node_h = F.xxhash64(*expl.node_digest_exprs()).cast(dec)
         sec_h = hfold(
             F.col("ex.secrets"),
-            lambda s: F.xxhash64(F.col("url_norm"), s["rule_name"], s["match"]),
+            lambda s: F.xxhash64(*expl.secret_digest_exprs(s)),
         )
+        edge_pairs = expl.edge_pairs_expr()
         edge_h = hfold(
-            F.col("ex.children"),
-            lambda c: F.xxhash64(
-                F.col("url_norm"),
-                c["url_norm"],
-                F.when(is_js_expr(c["path"]), "js").otherwise("url"),
-            ),
+            edge_pairs,
+            lambda p: F.xxhash64(*expl.edge_digest_exprs(p)),
         )
         row = combined.agg(
             F.sum(node_h).alias("nd"),
@@ -1110,7 +1120,7 @@ class SparkCrawler:
             F.sum(sec_h).alias("sd"),
             F.sum(F.size("ex.secrets").cast("long")).alias("sn"),
             F.sum(edge_h).alias("ed"),
-            F.sum(F.size("ex.children").cast("long")).alias("en"),
+            F.sum(F.size(edge_pairs).cast("long")).alias("en"),
         ).collect()[0]
         return {
             "nodes": {"digest": int(row["nd"] or 0), "rows": int(row["nn"])},

@@ -81,11 +81,82 @@ def children_of(combined: DataFrame) -> DataFrame:
     )
 
 
+def edge_kind_expr(path_col) -> F.Column:
+    """F11 js classifier for one child path — the SINGLE definition used
+    by the retained edges projection (`edges_of`) and the fold digests
+    (`edge_pairs_expr` → crawler._fold_tier), so the two paths cannot
+    silently diverge (ADVICE round-4)."""
+    return F.when(is_js_expr(path_col), "js").otherwise("url")
+
+
 def edges_of(children: DataFrame) -> DataFrame:
     """D5: child rows → (parent_norm, child_norm, kind) with the F11 js
     classifier (reference crawler.py:364-376)."""
     return children.select(
         "parent_norm",
         F.col("url_norm").alias("child_norm"),
-        F.when(is_js_expr(F.col("path")), "js").otherwise("url").alias("kind"),
+        edge_kind_expr(F.col("path")).alias("kind"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Digest recipes — the ONE place that says which columns each output
+# table hashes for the order-invariant sum-of-xxhash64 digests. Consumed
+# by crawler._fold_tier (per-tier fold over the pre-explosion combined
+# frame), submit/crawl_job.py --checksum (retained tables), and the
+# fold-vs-retained parity tests. Editing a projection above without
+# updating its recipe here is the divergence ADVICE round-4 warned
+# about — keep them adjacent.
+
+SEEN_DIGEST_COLS = ("url_norm", "depth", "discovery_seq")
+NODE_DIGEST_COLS = ("url_norm", "status", "title", "content_length")
+EDGE_DIGEST_COLS = ("parent_norm", "child_norm", "kind")
+SECRET_DIGEST_COLS = ("url_norm", "rule_name", "match")
+
+
+def node_digest_exprs() -> list:
+    """NODE_DIGEST_COLS' values read off the PRE-explosion combined
+    frame — value- and type-identical to the `nodes_of` projection."""
+    return [
+        F.col("url_norm"),
+        F.col("status").cast("string"),
+        F.col("ex.title"),
+        F.col("content_length").cast("long"),
+    ]
+
+
+def secret_digest_exprs(s) -> list:
+    """SECRET_DIGEST_COLS from one ``ex.secrets`` element ≡ one
+    `secrets_of` row (the extract UDF dedups in-page secrets on exactly
+    (rule_name, match), so the retained path's global dropDuplicates is
+    a true no-op here — no array_distinct needed)."""
+    return [F.col("url_norm"), s["rule_name"], s["match"]]
+
+
+def edge_pairs_expr() -> F.Column:
+    """Per-page DEDUPED (child_norm, kind) pairs for the fold digests.
+
+    The extract UDF dedups children on the full 6-tuple, which is
+    STRICTLY FINER than the edge identity (child_norm, kind): two
+    distinct 6-tuples can unparse to the same url_norm — e.g.
+    ('http','h','/a','b','','') and ('http','h','/a;b','','','') both
+    serialize to ``http://h/a;b`` — and the retained path's global
+    dropDuplicates would collapse them while a naive per-child fold
+    counts both. array_distinct restores bit-parity. Seen-at-enqueue
+    fetches each page in exactly one tier, so global edge dedup ≡
+    per-page dedup on these pairs (parent_norm is the page itself)."""
+    return F.array_distinct(
+        F.transform(
+            F.col("ex.children"),
+            lambda c: F.struct(
+                c["url_norm"].alias("child_norm"),
+                edge_kind_expr(c["path"]).alias("kind"),
+            ),
+        )
+    )
+
+
+def edge_digest_exprs(p) -> list:
+    """EDGE_DIGEST_COLS from one `edge_pairs_expr` element ≡ one
+    `edges_of` row after the retained path's dropDuplicates."""
+    return [F.col("url_norm"), p["child_norm"], p["kind"]]

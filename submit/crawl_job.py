@@ -209,21 +209,24 @@ def main() -> None:
             ).collect()[0]
             return str(row["d"])  # str: JSON keeps the sum exact
 
+        # column recipes are the shared constants next to the extraction
+        # projections (plans/extraction.py) — the same lists the fold
+        # path hashes, so the two modes cannot silently diverge
+        from secretscraper_spark.plans import extraction as expl
+
         digests = {
-            "seen": digest(res.seen, ["url_norm", "depth", "discovery_seq"]),
+            "seen": digest(res.seen, list(expl.SEEN_DIGEST_COLS)),
         }
         if res.folded:
             # fold mode: edges/secrets digests were accumulated per tier
-            # with the identical formula (crawler._fold_table)
+            # with the identical formula (crawler._fold_tier)
             digests["edges"] = res.folded["edges"]["digest"]
             digests["secrets"] = res.folded["secrets"]["digest"]
             digests["nodes"] = res.folded["nodes"]["digest"]
         else:
-            digests["edges"] = digest(
-                res.edges, ["parent_norm", "child_norm", "kind"]
-            )
+            digests["edges"] = digest(res.edges, list(expl.EDGE_DIGEST_COLS))
             digests["secrets"] = digest(
-                res.secrets, ["url_norm", "rule_name", "match"]
+                res.secrets, list(expl.SECRET_DIGEST_COLS)
             )
 
     if args.out:

@@ -349,11 +349,22 @@ class TestBucketedBloom:
         # leaf (LocalRelation / checkpointed RDD) → returned as-is
         leaf = cands.localCheckpoint()
         assert bl._ensure_consistent_reread(leaf) is leaf
-        # non-leaf → materialized to a leaf
-        lazy = cands.filter(F.length("url_norm") > 0)
+        # deterministic narrow chain over a stable leaf → pass-through
+        # (ADVICE round-4: re-running a cheap filter twice beats copying
+        # the frame into another MEMORY_AND_DISK checkpoint)
+        cheap = leaf.filter(F.length("url_norm") > 0).select("url_norm")
+        assert bl._ensure_consistent_reread(cheap) is cheap
+        # non-deterministic expression anywhere → materialized to a leaf
+        lazy = cands.filter(F.rand(3) < 2.0)
         guarded = bl._ensure_consistent_reread(lazy)
         assert guarded is not lazy
         assert guarded._jdf.queryExecution().analyzed().children().isEmpty()
+        # expensive deterministic shape (aggregate) → still materialized,
+        # else the scaffold's two consumptions re-run it end-to-end twice
+        agg = cands.groupBy("url_norm").count().drop("count")
+        guarded_agg = bl._ensure_consistent_reread(agg)
+        assert guarded_agg is not agg
+        assert guarded_agg._jdf.queryExecution().analyzed().children().isEmpty()
         # end-to-end: rand()-gated candidates stay internally consistent —
         # output == exact anti-join of the SAME materialized row set
         nondet = cands.filter(F.rand(7) < 2.0)  # always true, but nondet-flagged
@@ -814,6 +825,126 @@ class TestSyntheticFetch:
         # seen is retained in both modes
         assert digest(folded.seen, ["url_norm", "depth", "discovery_seq"]) == \
             digest(retained.seen, ["url_norm", "depth", "discovery_seq"])
+
+    def test_fold_digest_collision_parity(self, spark):
+        """ADVICE round-4: the fold's edge digest must stay bit-equal to
+        the retained path's dropDuplicates even when two DISTINCT child
+        6-tuples unparse to the SAME url_norm — ('http','h','/a','b','','')
+        and ('http','h','/a;b','','','') both serialize to http://h/a;b,
+        so in-page 6-tuple dedup keeps both while the retained edges
+        table collapses them. Feeds a hand-built combined frame with the
+        collision straight into _fold_tier and compares against the
+        retained projections' digests computed from the SHARED recipes
+        in plans/extraction.py."""
+        from pyspark.sql import types as T
+
+        from secretscraper_spark.plans import extraction as expl
+        from secretscraper_spark.schemas import CHILD_STRUCT, SECRET_STRUCT
+
+        combined_schema = T.StructType(
+            [
+                T.StructField("url_norm", T.StringType()),
+                T.StructField("scheme", T.StringType()),
+                T.StructField("netloc", T.StringType()),
+                T.StructField("path", T.StringType()),
+                T.StructField("params", T.StringType()),
+                T.StructField("query", T.StringType()),
+                T.StructField("fragment", T.StringType()),
+                T.StructField("depth", T.IntegerType()),
+                T.StructField("discovery_seq", T.LongType()),
+                T.StructField("status", T.StringType()),
+                T.StructField("content_type", T.StringType()),
+                T.StructField("content_length", T.LongType()),
+                T.StructField(
+                    "ex",
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "children", T.ArrayType(CHILD_STRUCT)
+                            ),
+                            T.StructField(
+                                "secrets", T.ArrayType(SECRET_STRUCT)
+                            ),
+                            T.StructField("title", T.StringType()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        # the colliding pair + one js child + one ordinary child
+        collide_a = {
+            "url_norm": "http://h/a;b", "scheme": "http", "netloc": "h",
+            "path": "/a", "params": "b", "query": "", "fragment": "",
+        }
+        collide_b = {
+            "url_norm": "http://h/a;b", "scheme": "http", "netloc": "h",
+            "path": "/a;b", "params": "", "query": "", "fragment": "",
+        }
+        js_kid = {
+            "url_norm": "http://h/x.js", "scheme": "http", "netloc": "h",
+            "path": "/x.js", "params": "", "query": "", "fragment": "",
+        }
+        plain = {
+            "url_norm": "http://h/p2", "scheme": "http", "netloc": "h",
+            "path": "/p2", "params": "", "query": "", "fragment": "",
+        }
+        rows = [
+            (
+                "http://h/", "http", "h", "/", "", "", "", 0, 0,
+                "200", "text/html", 10,
+                {
+                    "children": [collide_a, collide_b, js_kid, plain],
+                    "secrets": [{"rule_name": "r1", "match": "tok-1"}],
+                    "title": "root",
+                },
+            ),
+            (
+                "http://h/p2", "http", "h", "/p2", "", "", "", 1, 1,
+                "200", "text/html", 20,
+                {
+                    "children": [],
+                    "secrets": [
+                        {"rule_name": "r1", "match": "tok-1"},
+                        {"rule_name": "r2", "match": "tok-2"},
+                    ],
+                    "title": "p2",
+                },
+            ),
+        ]
+        combined = spark.createDataFrame(rows, combined_schema)
+
+        def digest(df, cols):
+            row = df.select(
+                F.sum(
+                    F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+                ).alias("d")
+            ).collect()[0]
+            return int(row["d"] or 0)
+
+        empty = spark.createDataFrame(
+            [], "url_norm string, status string, content_type string, "
+            "content_length long, caption string",
+        )
+        fold = SparkCrawler(spark, empty)._fold_tier(combined)
+
+        edges = expl.edges_of(expl.children_of(combined)).dropDuplicates(
+            list(expl.EDGE_DIGEST_COLS)
+        )
+        assert fold["edges"]["digest"] == digest(
+            edges, list(expl.EDGE_DIGEST_COLS)
+        )
+        assert fold["edges"]["rows"] == edges.count() == 3  # collision merged
+        secrets = expl.secrets_of(combined).dropDuplicates(
+            list(expl.SECRET_DIGEST_COLS)
+        )
+        assert fold["secrets"]["digest"] == digest(
+            secrets, list(expl.SECRET_DIGEST_COLS)
+        )
+        assert fold["secrets"]["rows"] == secrets.count() == 3
+        assert fold["nodes"]["digest"] == digest(
+            expl.nodes_of(combined), list(expl.NODE_DIGEST_COLS)
+        )
+        assert fold["nodes"]["rows"] == 2
 
 
 def test_adapt_crawl_delay_aimd(spark):
