@@ -2971,19 +2971,100 @@ def rows_only_twins() -> dict[str, str]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is DELIBERATE: the driver's correctness gate
-    checks the FIRST 50 entries, so never-driver-checked entries lead
-    (round-3 verdict item 1); previously-certified entries keep the
-    repo-side sf0.001/sf0.01 oracle gate (tests/test_entry_oracle.py
-    covers ALL entries every run). Rows-only entries are mapped to their
+    checks the FIRST 50 entries, so the window rotates each round to
+    keep every entry's driver evidence fresh (the repo-side mirror
+    ``tests/test_entry_oracle.py`` value-checks ALL entries every run
+    regardless of position). Rows-only entries are mapped to their
     value-gated twins in ``rows_only_twins()``. Cumulative driver
-    coverage through r3: 106/121 entries checked at least once, 100
-    green; this rotation leads with the 14 never-checked entries, the
-    two post-check oracle upgrades (q_winnow_fingerprint r1-rows-only →
-    oracle'd; q_image_resize rows-only → value-gated round 4), the new
-    streaming-equivalence entry, and q_bpe_train (rows-only by design —
-    its driver row documents the no_oracle status on the record)."""
+    coverage through r4: ALL 122 entries checked at least once, 117
+    green (the 5 non-green are by-design no-oracle rows, twin-mapped).
+    Round-5 rotation (r4 verdict item 1): the 18 entries whose last
+    driver green was r1/r2 — BEFORE the r3/r4 churn to shared infra
+    (bloom guard, registry, session) — lead the window, followed by the
+    r3-certified entries closest to this round's code changes (crawl
+    politeness/robots/traps, link analysis, multimodal) to refresh
+    their evidence on the current tree."""
     return {
-        # --- never driver-checked (r3 verdict item 1's named list) ---
+        # --- stale re-confirmations: last driver green r1/r2 (r4
+        # verdict "What's missing" #2's named 18) ---
+        "q_contamination": q_contamination,
+        "q_dedup_eval": q_dedup_eval,
+        "q_dedup_groups": q_dedup_groups,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_epoch_mix": q_epoch_mix,
+        "q_group_cap": q_group_cap,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_line_dedup": q_line_dedup,
+        "q_lm_perplexity": q_lm_perplexity,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_phash_neardup": q_phash_neardup,
+        "q_recall_eval": q_recall_eval,
+        "q_redact": q_redact,
+        "q_repetition": q_repetition,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_split_assign": q_split_assign,
+        "q_stratified_sample": q_stratified_sample,
+        "q_token_budget": q_token_budget,
+        # --- r3-certified refresh: crawl/politeness/robots infra that
+        # round-4/5 churn touched most ---
+        "q_politeness_audit": q_politeness_audit,
+        "q_host_quarantine": q_host_quarantine,
+        "q_adaptive_delay": q_adaptive_delay,
+        "q_retry_backoff": q_retry_backoff,
+        "q_redirects": q_redirects,
+        "q_trap_detect": q_trap_detect,
+        "q_robots_parse": q_robots_parse,
+        "q_robots_compliance": q_robots_compliance,
+        "q_sitemap_parse": q_sitemap_parse,
+        "q_sitemap_hints": q_sitemap_hints,
+        "q_dust_apply": q_dust_apply,
+        "q_surt_cdx": q_surt_cdx,
+        "q_crawl_diff": q_crawl_diff,
+        "q_html_extract": q_html_extract,
+        "q_canonical_url": q_canonical_url,
+        "q_anchor_texts": q_anchor_texts,
+        "q_charset_sniff": q_charset_sniff,
+        # --- r3-certified refresh: link analysis + sources/sinks ---
+        "q_pagerank": q_pagerank,
+        "q_opic": q_opic,
+        "q_trustrank": q_trustrank,
+        "q_hits": q_hits,
+        "q_warc_roundtrip": q_warc_roundtrip,
+        "q_wds_roundtrip": q_wds_roundtrip,
+        "q_bm25": q_bm25,
+        "q_dsir_select": q_dsir_select,
+        # --- r3-certified refresh: multimodal ---
+        "q_sniff_audit": q_sniff_audit,
+        "q_image_verify": q_image_verify,
+        "q_ivf_ann_full": q_ivf_ann_full,
+        "q_audio_features": q_audio_features,
+        "q_source_reputation": q_source_reputation,
+        # --- beyond the 50-entry window: r3/r4-certified + rows-only ---
+        "q_caption_alignment": q_caption_alignment,
+        "q_video_frames": q_video_frames,
+        "q_image_meta_secrets": q_image_meta_secrets,
+        "q_tfidf": q_tfidf,
+        "q_image_filter": q_image_filter,
+        "q_dup_spans": q_dup_spans,
+        "q_weighted_sample": q_weighted_sample,
+        "q_chunk_docs": q_chunk_docs,
+        "q_pack_seqs": q_pack_seqs,
+        "q_quality_gate": q_quality_gate,
+        "q_canonical_pick": q_canonical_pick,
+        "q_recrawl_schedule": q_recrawl_schedule,
+        "q_ar_batches": q_ar_batches,
+        "q_hard_negatives": q_hard_negatives,
+        "q_crossmodal_neardup": q_crossmodal_neardup,
+        "q_curriculum": q_curriculum,
+        "q_bpe_pairs": q_bpe_pairs,
+        "q_image_funnel": q_image_funnel,
+        "q_payload_entropy": q_payload_entropy,
+        "q_mirror_hosts": q_mirror_hosts,
+        "q_minhash_dedup": q_minhash_dedup,
+        "q_simhash_dedup": q_simhash_dedup,
+        "q_lsh_ann": q_lsh_ann,
+        "q_ivf_ann": q_ivf_ann,
+        # --- r4-certified (checked last round on the current infra) ---
         "q_corpus_rollup": q_corpus_rollup,
         "q_sitemap_lastmod": q_sitemap_lastmod,
         "q_robots_sitemaps": q_robots_sitemaps,
@@ -2998,20 +3079,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_region_revenue": q_region_revenue,
         "q_group_quantiles": q_group_quantiles,
         "q_host_budget": q_host_budget,
-        # --- oracle upgraded AFTER last driver check: needs a green row ---
         "q_winnow_fingerprint": q_winnow_fingerprint,
-        # --- round-4 upgrade: rows-only → value-gated truth-gather ---
         "q_image_resize": q_image_resize,
-        # --- round-4 NEW: streaming path batch-equivalence (verdict 5) ---
         "q_stream_funnel_equiv": q_stream_funnel_equiv,
-        # --- never driver-checked, rows-only by design (twin-mapped) ---
         "q_bpe_train": q_bpe_train,
-        # --- re-confirmations: driver-certified r1, oldest evidence ---
         "q_politeness_schedule": q_politeness_schedule,
         "q_global_seq": q_global_seq,
         "q_robots_gate": q_robots_gate,
         "q_shipping_priority": q_shipping_priority,
-        # --- re-confirmations: driver-certified r2 (crawl core) ---
         "q_pricing_summary": q_pricing_summary,
         "q_doc_profile": q_doc_profile,
         "q_secret_extract": q_secret_extract,
@@ -3030,7 +3105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_found_domains": q_found_domains,
         "q_validate_merge": q_validate_merge,
         "q_csv_row_union": q_csv_row_union,
-        # --- re-confirmations: driver-certified r2 (pipeline ops) ---
         "q_dedup_exact": q_dedup_exact,
         "q_token_count": q_token_count,
         "q_langid": q_langid,
@@ -3041,79 +3115,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_ann_full": q_lsh_ann_full,
         "q_quantize_codes": q_quantize_codes,
         "q_quantized_ann_full": q_quantized_ann_full,
-        "q_recall_eval": q_recall_eval,
-        "q_token_budget": q_token_budget,
-        # --- beyond the 50-entry window: r2/r3-certified + rows-only ---
-        "q_dedup_eval": q_dedup_eval,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_split_assign": q_split_assign,
-        "q_stratified_sample": q_stratified_sample,
-        "q_epoch_mix": q_epoch_mix,
-        "q_group_cap": q_group_cap,
-        "q_repetition": q_repetition,
-        "q_lm_perplexity": q_lm_perplexity,
-        "q_redact": q_redact,
-        "q_line_dedup": q_line_dedup,
-        "q_contamination": q_contamination,
-        "q_dedup_groups": q_dedup_groups,
-        "q_embedding_neardup": q_embedding_neardup,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_phash_neardup": q_phash_neardup,
-        "q_minhash_dedup": q_minhash_dedup,
-        "q_simhash_dedup": q_simhash_dedup,
-        "q_lsh_ann": q_lsh_ann,
-        "q_ivf_ann": q_ivf_ann,
-        "q_pagerank": q_pagerank,
-        "q_dust_apply": q_dust_apply,
-        "q_warc_roundtrip": q_warc_roundtrip,
-        "q_wds_roundtrip": q_wds_roundtrip,
-        "q_bm25": q_bm25,
-        "q_dsir_select": q_dsir_select,
-        "q_sniff_audit": q_sniff_audit,
-        "q_host_quarantine": q_host_quarantine,
-        "q_image_verify": q_image_verify,
-        "q_ivf_ann_full": q_ivf_ann_full,
-        "q_audio_features": q_audio_features,
-        "q_source_reputation": q_source_reputation,
-        "q_caption_alignment": q_caption_alignment,
-        "q_video_frames": q_video_frames,
-        "q_image_meta_secrets": q_image_meta_secrets,
-        "q_tfidf": q_tfidf,
-        "q_image_filter": q_image_filter,
-        "q_dup_spans": q_dup_spans,
-        "q_opic": q_opic,
-        "q_trustrank": q_trustrank,
-        "q_hits": q_hits,
-        "q_adaptive_delay": q_adaptive_delay,
-        "q_sitemap_hints": q_sitemap_hints,
-        "q_weighted_sample": q_weighted_sample,
-        "q_robots_parse": q_robots_parse,
-        "q_trap_detect": q_trap_detect,
-        "q_surt_cdx": q_surt_cdx,
-        "q_retry_backoff": q_retry_backoff,
-        "q_redirects": q_redirects,
-        "q_charset_sniff": q_charset_sniff,
-        "q_anchor_texts": q_anchor_texts,
-        "q_robots_compliance": q_robots_compliance,
-        "q_sitemap_parse": q_sitemap_parse,
-        "q_crawl_diff": q_crawl_diff,
-        "q_chunk_docs": q_chunk_docs,
-        "q_pack_seqs": q_pack_seqs,
-        "q_quality_gate": q_quality_gate,
-        "q_canonical_pick": q_canonical_pick,
-        "q_recrawl_schedule": q_recrawl_schedule,
-        "q_ar_batches": q_ar_batches,
-        "q_hard_negatives": q_hard_negatives,
-        "q_crossmodal_neardup": q_crossmodal_neardup,
-        "q_curriculum": q_curriculum,
-        "q_bpe_pairs": q_bpe_pairs,
-        "q_image_funnel": q_image_funnel,
-        "q_payload_entropy": q_payload_entropy,
-        "q_mirror_hosts": q_mirror_hosts,
-        "q_politeness_audit": q_politeness_audit,
-        "q_html_extract": q_html_extract,
-        "q_canonical_url": q_canonical_url,
     }
 
 
