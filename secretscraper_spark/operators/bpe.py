@@ -265,6 +265,191 @@ def train_bpe_batched(
     return merges
 
 
+def _max_context_bounds(
+    syms_df: DataFrame, cand_pairs: list[tuple[str, str]]
+) -> dict[tuple[str, str], int]:
+    """For each candidate pair (a, b): an upper bound on the count of any
+    SINGLE pair that merging (a, b) → ab would create. Created pairs are
+    (w, ab) for left-contexts w and (ab, z) for right-contexts z; each
+    instance is an adjacent triple (w, a, b) / (a, b, z) occurrence in
+    the CURRENT symbol table, so
+
+        bound(a,b) = max( max_w N3(w,a,b), max_z N3(a,b,z) )
+
+    where N3 is the naive (overlap-counting) triple count — naive
+    over-counts left-to-right non-overlapping merge instances, so it is
+    a valid upper bound. One Catalyst job over the vocabulary-sized
+    symbol table: triple explode, broadcast semi-filter on the ≤4k
+    candidate pairs, two (pair, ctx) partial-agg group-bys, max. Pairs
+    with no triple occurrence (word of length 2 — no context at all)
+    are absent from the result → bound 0."""
+    spark = syms_df.sparkSession
+    s = F.col("syms")
+    triple_t = "array<struct<x:string,y:string,z:string>>"
+    triples = F.when(
+        F.size(s) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(s) - 2),
+            lambda i: F.struct(
+                F.element_at(s, i).alias("x"),
+                F.element_at(s, i + 1).alias("y"),
+                F.element_at(s, i + 2).alias("z"),
+            ),
+        ),
+    ).otherwise(F.array().cast(triple_t))
+    t = syms_df.select(F.explode(triples).alias("t"), "cnt")
+    cand = spark.createDataFrame(cand_pairs, "lhs string, rhs string")
+    # left-context rows for pair (y,z): ctx = x; right-context for (x,y)
+    left = (
+        t.join(
+            F.broadcast(cand),
+            (F.col("t.y") == F.col("lhs")) & (F.col("t.z") == F.col("rhs")),
+        )
+        .groupBy("lhs", "rhs", F.col("t.x").alias("ctx"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+    right = (
+        t.join(
+            F.broadcast(cand),
+            (F.col("t.x") == F.col("lhs")) & (F.col("t.y") == F.col("rhs")),
+        )
+        .groupBy("lhs", "rhs", F.col("t.z").alias("ctx"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+    rows = (
+        left.unionByName(right)
+        .groupBy("lhs", "rhs")
+        .agg(F.max("c").alias("bound"))
+        .collect()
+    )
+    return {(r["lhs"], r["rhs"]): int(r["bound"]) for r in rows}
+
+
+def train_bpe_batched_safe(
+    df: DataFrame,
+    n_merges: int,
+    batch_k: int = 64,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    on_round=None,
+) -> list[dict]:
+    """Frequency-gap-safe batched BPE: BIT-EXACT to ``train_bpe`` at any
+    ``batch_k`` (r4 verdict "What's wrong" #1 — `train_bpe_batched`'s
+    merge set drifts from sequential as K grows; this variant batches
+    only what it can PROVE sequential would also pick, and falls back to
+    one merge per round otherwise).
+
+    Per round, candidates are the sorted (count DESC, lhs, rhs) pairs;
+    a CONTIGUOUS PREFIX is certified by induction on the sequential
+    trainer's steps:
+
+    * prefix pairs are mutually symbol-disjoint and their merged symbols
+      are globally fresh → applying earlier prefix merges changes NO
+      existing pair's count except pairs touching their symbols, which
+      only DECREASE; candidate i's own count is exactly its round-start
+      count when sequential reaches step i;
+    * every pair CREATED by earlier prefix merges is bounded by the
+      max-context triple bound (``_max_context_bounds``), so candidate i
+      is still the strict argmax iff ``count_i > max_j<i bound_j``
+      (strict: a created pair's name is unknown, so a tie cannot be
+      broken lexicographically);
+    * candidates beyond the collected top-L sort after the prefix at
+      round start and never increase, so they cannot overtake it.
+
+    The certified prefix stops at the first conflict / non-fresh merged
+    symbol / failed gap test — position 1 is ALWAYS certified (it is the
+    literal argmax), so every round progresses and batch_k=∞ degrades
+    gracefully to sequential on gap-free count plateaus. Exactness is
+    property-tested against ``train_bpe`` in tests/test_bpe.py.
+
+    ``on_round(n_chosen)`` (optional) is called once per round with the
+    certified prefix length — instrumentation for tests and the bench
+    (no effect on training).
+
+    Cost: one extra vocabulary-sized job per round (the triple-bound
+    aggregation) on top of the pair count — same O(1)-corpus-scan class;
+    rounds shrink toward ``n_merges/batch_k`` when the count
+    distribution has gaps (Zipf heads) and grow toward ``n_merges`` on
+    tie plateaus, trading speed for exactness the user can rely on."""
+    syms_df = word_table(df, text_col).select(
+        symbolize(F.col("word")).alias("syms"), "cnt"
+    )
+    syms_df = syms_df.localCheckpoint(eager=True)
+    # global symbol vocabulary (initial alphabet + every merged symbol):
+    # a merged symbol colliding with an existing one would alias two
+    # populations and void the only-decrease argument — alphabet-sized
+    # collect, once
+    vocab: set[str] = {
+        r["s"]
+        for r in syms_df.select(
+            F.explode("syms").alias("s")
+        ).distinct().collect()
+    }
+    merges: list[dict] = []
+    while len(merges) < n_merges:
+        k = min(batch_k, n_merges - len(merges))
+        top = (
+            pair_counts(syms_df)
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("lhs").asc(),
+                F.col("rhs").asc(),
+            )
+            .limit(max(4 * k, 16))
+            .collect()
+        )
+        if not top or top[0]["pair_count"] < min_pair_count:
+            break
+        bounds = _max_context_bounds(
+            syms_df, [(r["lhs"], r["rhs"]) for r in top]
+        )
+        used: set[str] = set()
+        chosen: list[tuple[str, str, int]] = []
+        max_created = 0
+        for r in top:
+            lhs, rhs, cnt = r["lhs"], r["rhs"], int(r["pair_count"])
+            if cnt < min_pair_count or len(chosen) >= k:
+                break
+            fresh = (lhs + rhs) not in vocab
+            if chosen:
+                # certification for non-head positions: disjoint, fresh,
+                # and strictly above every possible created-pair count
+                if (
+                    lhs in used
+                    or rhs in used
+                    or not fresh
+                    or cnt <= max_created
+                ):
+                    break
+            chosen.append((lhs, rhs, cnt))
+            used.update((lhs, rhs, lhs + rhs))
+            vocab.add(lhs + rhs)
+            max_created = max(max_created, bounds.get((lhs, rhs), 0))
+            if not fresh:
+                # head position with an aliasing merged symbol: it IS the
+                # argmax (exact), but after applying it existing pair
+                # counts may increase — nothing further is certifiable
+                break
+        if on_round is not None:
+            on_round(len(chosen))
+        col = F.col("syms")
+        for lhs, rhs, cnt in chosen:
+            merges.append(
+                {
+                    "rank": len(merges),
+                    "lhs": lhs,
+                    "rhs": rhs,
+                    "merged": lhs + rhs,
+                    "pair_count": cnt,
+                }
+            )
+            col = apply_merge(col, lhs, rhs)
+        syms_df = syms_df.select(col.alias("syms"), "cnt").localCheckpoint(
+            eager=True
+        )
+    return merges
+
+
 MERGES_SCHEMA = StructType(
     [
         StructField("rank", LongType()),

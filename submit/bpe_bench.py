@@ -82,6 +82,10 @@ def main() -> None:
     ap.add_argument("--vocab", type=int, default=30000)
     ap.add_argument("--n-merges", type=int, default=2048)
     ap.add_argument("--batch-ks", default="16,64,256")
+    ap.add_argument("--safe-ks", default="",
+                    help="comma list of batch_k values to ALSO bench with "
+                         "the bit-exact frequency-gap-safe batcher "
+                         "(train_bpe_batched_safe); empty = skip")
     ap.add_argument("--seq-merges", type=int, default=128)
     args = ap.parse_args()
 
@@ -123,6 +127,35 @@ def main() -> None:
             }
         )
 
+    # frequency-gap-safe batcher (round-4 verdict "What's wrong" #1):
+    # bit-exact to sequential at any K — measure what that exactness
+    # costs at the design point: certified-prefix sizes per round and
+    # wall vs the fast batcher above
+    if args.safe_ks:
+        from secretscraper_spark.operators.bpe import train_bpe_batched_safe
+
+        results["safe_batched"] = []
+        for bk in [int(x) for x in args.safe_ks.split(",") if x]:
+            rounds: list[int] = []
+            t0 = time.perf_counter()
+            merges = train_bpe_batched_safe(
+                docs, args.n_merges, batch_k=bk, on_round=rounds.append
+            )
+            wall = time.perf_counter() - t0
+            results["safe_batched"].append(
+                {
+                    "batch_k": bk,
+                    "merges": len(merges),
+                    "rounds": len(rounds),
+                    "mean_certified_prefix": round(
+                        sum(rounds) / max(len(rounds), 1), 2
+                    ),
+                    "max_certified_prefix": max(rounds, default=0),
+                    "wall_sec": round(wall, 1),
+                    "merges_per_sec": round(len(merges) / wall, 2),
+                }
+            )
+
     t0 = time.perf_counter()
     seq = train_bpe(docs, args.seq_merges)
     seq_wall = time.perf_counter() - t0
@@ -144,6 +177,14 @@ def main() -> None:
     results["prefix_agreement"] = round(
         len(seq_set & batched_prefix) / max(len(seq_set), 1), 4
     )
+    if args.safe_ks:
+        from secretscraper_spark.operators.bpe import train_bpe_batched_safe
+
+        safe_prefix = train_bpe_batched_safe(
+            docs, len(seq), batch_k=int(args.safe_ks.split(",")[0])
+        )
+        # the safe batcher's contract is BIT-exactness, not set overlap
+        results["safe_prefix_exact"] = safe_prefix == seq
     print(json.dumps(results))
     spark.stop()
 

@@ -192,6 +192,44 @@ def test_train_bpe_batched_valid_and_deterministic(spark):
         assert "".join(encode_word(w, ranks)) == w + EOW
 
 
+def test_train_bpe_batched_safe_bit_exact(spark):
+    """r4 verdict "What's wrong" #1: the frequency-gap-safe batcher must
+    equal the SEQUENTIAL trainer bit-for-bit at every batch_k — on the
+    tie-heavy shared corpus (forces 1-merge rounds), on a gap-heavy
+    corpus (lets multi-merge rounds through), and under repartitioning."""
+    from secretscraper_spark.operators.bpe import train_bpe_batched_safe
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                               ["doc_id", "text"])
+    want = train_bpe(df, n_merges=14, min_pair_count=2)
+    for k in (1, 4, 16):
+        got = train_bpe_batched_safe(df, n_merges=14, batch_k=k,
+                                     min_pair_count=2)
+        assert got == want, f"batch_k={k} diverged from sequential"
+
+    # gap-heavy corpus: disjoint high-frequency bigram words with widely
+    # separated counts → the certifier should batch >1 merge per round,
+    # proving the test exercises the batched path, while staying exact
+    gap_rows = [(0, " ".join(["ab"] * 600 + ["cd"] * 400 + ["ef"] * 250
+                             + ["gh"] * 120 + ["ijk"] * 40))]
+    gdf = spark.createDataFrame(gap_rows, ["doc_id", "text"])
+    rounds: list[int] = []
+    want_g = train_bpe(gdf, n_merges=10, min_pair_count=2)
+    got_g = train_bpe_batched_safe(
+        gdf, n_merges=10, batch_k=8, min_pair_count=2,
+        on_round=rounds.append,
+    )
+    assert got_g == want_g
+    assert max(rounds) > 1, "certifier never batched — test lost its teeth"
+    assert sum(rounds) == len(got_g)
+    # partition-layout invariance (same contract as the fast batcher)
+    again = train_bpe_batched_safe(
+        df.repartition(7, "doc_id"), n_merges=14, batch_k=16,
+        min_pair_count=2,
+    )
+    assert again == want
+
+
 def test_bpe_encode_matches_python_reference(spark):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
                                ["doc_id", "text"])
