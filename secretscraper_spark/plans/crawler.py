@@ -197,6 +197,7 @@ class SparkCrawler:
         paced_collect_cap: int = 200_000,
         fetch_map_fn=None,
         fold_outputs: bool = False,
+        tier_chunk_rows: int | None = None,
     ):
         """fetch_mode='join' (default): fetch = hash join vs the pages
         store — the pure, deterministic sandbox scan (SURVEY S2).
@@ -303,6 +304,29 @@ class SparkCrawler:
         # them), and are bit-comparable with a retained-mode run's
         # digests (parity-tested). The result frames come back EMPTY.
         self.fold_outputs = fold_outputs
+        # tier_chunk_rows: split any BFS tier bigger than this into
+        # seq-contiguous sub-tiers processed back-to-back at the same
+        # depth — the single-JVM heap mitigation for ≥5·10^7-row tiers
+        # (BASELINE.md: a 51 M-row tier's localCheckpoint OOMed a 48 g
+        # driver). EXACT for the scale-leg configuration: the enqueue
+        # rank's key is (min_parent_seq, url_norm) and chunking follows
+        # discovery_seq order, so children of earlier chunks sort before
+        # later chunks' and a child linked from several chunks keeps its
+        # earliest parent — discovery_seq, seen, and fold digests are
+        # bit-identical to the monolithic tier (test_tier_chunking_*).
+        # Per-tier STATE folds (quarantine, AIMD, traps) would observe
+        # chunk-grained instead of tier-grained stats, so chunking
+        # refuses those combinations rather than silently approximating.
+        assert tier_chunk_rows is None or tier_chunk_rows >= 1
+        assert tier_chunk_rows is None or (
+            quarantine_fails is None
+            and not adaptive_delay
+            and trap_cap is None
+        ), (
+            "tier_chunk_rows changes the granularity quarantine/AIMD/trap "
+            "folds observe — run those tier-grained features unchunked"
+        )
+        self.tier_chunk_rows = tier_chunk_rows
         assert budget_mode in ("bfs", "host-proportional")
         self.budget_mode = budget_mode
         self.trap_cap = trap_cap
@@ -694,9 +718,16 @@ class SparkCrawler:
                 break
             if cfg.max_page_num > 0 and st["total_page"] >= cfg.max_page_num:
                 break
-            if st["frontier"].count() == 0:
+            n_frontier = st["frontier"].count()
+            if n_frontier == 0:
                 break
-            seen_state = self._tier(st, seen_state)
+            if (
+                self.tier_chunk_rows is not None
+                and n_frontier > self.tier_chunk_rows
+            ):
+                seen_state = self._chunked_tier(st, seen_state, n_frontier)
+            else:
+                seen_state = self._tier(st, seen_state)
             if self.checkpoint_dir:
                 self._snapshot(st)
             if (
@@ -747,6 +778,67 @@ class SparkCrawler:
             host_delays=st["host_delays"] if self.adaptive_delay else None,
             folded=folded,
         )
+
+    def _chunked_tier(self, st: dict, seen_state, n_frontier: int) -> object:
+        """Process one BFS tier as seq-contiguous chunks of
+        ≤``tier_chunk_rows`` rows — the heap mitigation for tiers whose
+        extraction checkpoint exceeds a single JVM's storage memory.
+
+        Chunk boundaries are ARITHMETIC on discovery_seq: every frontier
+        the crawler builds carries a dense consecutive seq range (seed
+        frontiers dense from 0; enqueue assigns next_seq..next_seq+n-1),
+        so splitting needs one 2-value min/max agg and per-chunk range
+        filters over the already-checkpointed frontier — no sort, no
+        shuffle, no extra materialization.
+
+        Exactness: children of chunk i's parents carry min_parent_seq
+        values strictly below chunk i+1's (seq order), which is the
+        leading component of the enqueue rank key, so ranking chunks
+        back-to-back assigns the SAME discovery_seq as one monolithic
+        rank; a child linked from multiple chunks is enqueued by its
+        earliest chunk (later chunks' anti-join drops it — same winner
+        as the monolithic min(parent_seq) tiebreak). Peak storage drops
+        from O(tier) to O(chunk): each chunk's extraction checkpoint is
+        released (fold mode) before the next begins."""
+        full = st["frontier"]
+        b = full.agg(
+            F.min("discovery_seq").alias("lo"),
+            F.max("discovery_seq").alias("hi"),
+        ).collect()[0]
+        lo, hi = int(b["lo"]), int(b["hi"])
+        n_chunks = -(-n_frontier // self.tier_chunk_rows)
+        step = -(-(hi - lo + 1) // n_chunks)
+        segments: list[DataFrame] = []
+        for ci in range(n_chunks):
+            if (
+                self.cfg.max_page_num > 0
+                and st["total_page"] >= self.cfg.max_page_num
+            ):
+                break
+            c_lo = lo + ci * step
+            if c_lo > hi:
+                break
+            st["frontier"] = full.filter(
+                (F.col("discovery_seq") >= c_lo)
+                & (F.col("discovery_seq") < min(c_lo + step, hi + 1))
+            )
+            seen_state = self._tier(st, seen_state)
+            st["tiers"][-1]["chunk"] = ci
+            segments.append(st["frontier"])  # this chunk's new_frontier
+            if (
+                self.fold_outputs
+                and st["tiers"][-1]["processed"] >= self.GC_NUDGE_MIN_TIER_ROWS
+            ):
+                # same release nudge the loop applies between tiers —
+                # the whole point of chunking is bounding peak heap
+                self.spark.sparkContext._jvm.System.gc()
+        nf = segments[0] if segments else self._empty(FRONTIER_SCHEMA)
+        for s in segments[1:]:
+            nf = nf.unionByName(s)
+        # each segment is already a checkpointed leaf, so the union is a
+        # flat read — same shape as the seen-segments accumulation
+        st["frontier"] = nf
+        return seen_state
 
     def _tier(self, st: dict, seen_state) -> object:
         cfg, depth = self.cfg, st["depth"]

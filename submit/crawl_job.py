@@ -83,6 +83,10 @@ def main() -> None:
                          "fold_outputs): peak storage O(one tier). Digests "
                          "use the --checksum formula and are reported in "
                          "the output JSON; incompatible with --out.")
+    ap.add_argument("--tier-chunk-rows", type=int, default=None,
+                    help="split tiers bigger than this into seq-contiguous "
+                         "sub-tiers (bit-identical digests; bounds peak "
+                         "heap to O(chunk) — the ≥5e7-row-tier mitigation)")
     ap.add_argument("--resume-from", type=int, default=None,
                     help="resume the crawl from this committed round of "
                          "--checkpoint-dir instead of seeding (scale-leg "
@@ -156,7 +160,8 @@ def main() -> None:
     crawler = SparkCrawler(
         spark, pages, cfg, checkpoint_dir=args.checkpoint_dir,
         use_bloom=args.use_bloom, seen_filter=args.seen_filter,
-        fold_outputs=args.fold_outputs, **crawler_kw,
+        fold_outputs=args.fold_outputs,
+        tier_chunk_rows=args.tier_chunk_rows, **crawler_kw,
     )
     n_seed_urls = -(-args.n_pages // args.seed_stride)
     if args.resume_from is not None:

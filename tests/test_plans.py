@@ -826,6 +826,62 @@ class TestSyntheticFetch:
         assert digest(folded.seen, ["url_norm", "depth", "discovery_seq"]) == \
             digest(retained.seen, ["url_norm", "depth", "discovery_seq"])
 
+    def test_tier_chunking_bit_identical(self, spark):
+        """tier_chunk_rows (r4 verdict item 3 — the ≥5e7-row-tier heap
+        mitigation): splitting every tier into seq-contiguous sub-tiers
+        must reproduce the monolithic crawl BIT-FOR-BIT — same seen set
+        WITH discovery_seq, same fold digests and counts, same
+        total_page. The sitegen graph links pages across the whole id
+        range, so children are shared between chunks (the min_parent_seq
+        winner argument is genuinely exercised), and chunk_rows=500 on
+        1395-row tiers forces 3-way splits."""
+        from pyspark.sql import functions as F
+
+        from secretscraper_spark.sources import sitegen as sg
+
+        n_pages, n_hosts = 4000, 8
+        cfg = CrawlConfig(max_depth=2)
+        seeds = [sg.url_for(i, n_hosts) for i in range(0, n_pages, 37)]
+        empty = spark.createDataFrame(
+            [], "url_norm string, status string, content_type string, "
+            "content_length long, caption string",
+        )
+
+        def mk(chunk):
+            return SparkCrawler(
+                spark, empty, cfg, fetch_mode="mapped",
+                fetch_map_fn=sg.synthetic_fetch_map(n_pages, n_hosts),
+                fold_outputs=True, tier_chunk_rows=chunk,
+            )
+
+        mono = mk(None).run(seeds)
+        chunked = mk(500).run(seeds)
+
+        def digest(df, cols):
+            row = df.select(
+                F.sum(
+                    F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+                ).alias("d")
+            ).collect()[0]
+            return str(row["d"])
+
+        seen_cols = ["url_norm", "depth", "discovery_seq"]
+        assert digest(chunked.seen, seen_cols) == digest(mono.seen, seen_cols)
+        assert chunked.seen.count() == mono.seen.count()
+        assert chunked.total_page == mono.total_page
+        for name in ("nodes", "secrets", "edges"):
+            assert chunked.folded[name] == mono.folded[name], name
+        # the split actually happened: more tier records, chunk-tagged
+        assert len(chunked.tiers) > len(mono.tiers)
+        assert any("chunk" in t for t in chunked.tiers)
+        # chunk-grained state folds are refused, not approximated
+        with pytest.raises(AssertionError):
+            SparkCrawler(
+                spark, empty, cfg, fetch_mode="mapped",
+                fetch_map_fn=sg.synthetic_fetch_map(n_pages, n_hosts),
+                tier_chunk_rows=500, quarantine_fails=2,
+            )
+
     def test_fold_digest_collision_parity(self, spark):
         """ADVICE round-4: the fold's edge digest must stay bit-equal to
         the retained path's dropDuplicates even when two DISTINCT child
