@@ -232,43 +232,11 @@ def run_crawl_subprocess(cpuset: str | None = None, **kwargs) -> dict | None:
     )
 
 
-def _kernel_probe(_):
-    """1.5 s of the ACTUAL pure-Python extraction kernel (links + secrets
-    over a fixed synthetic caption) — a spin loop would miss the memory-
-    bandwidth contention that regex scanning is actually sensitive to."""
-    from secretscraper_spark.config import loaded_rules, url_finder_rules
-    from secretscraper_spark.functions.purekit import LinkExtractor, get_extractor
-
-    text = (
-        "See http://h3.test/path/a.js and <a href='/rel/x'>x</a> "
-        "token=abcd1234efgh5678 mail me@example.test lorem ipsum dolor "
-    ) * 120  # ~14 KB
-    links = LinkExtractor(url_finder_rules())
-    secrets = get_extractor(loaded_rules())
-    base6 = ("http", "h0.test", "/", "", "", "")
-    t0 = time.perf_counter()
-    done = 0
-    while time.perf_counter() - t0 < 1.5:
-        links.extract(base6, text)
-        secrets.extract(text)
-        done += len(text)
-    return done / (time.perf_counter() - t0)
-
-
-def host_calibration(n_procs: int) -> float:
-    """Per-process MB/s of the pure-Python extraction kernel that the HOST
-    delivers to n concurrent plain processes right now (no Spark, no JVM).
-    Recorded next to every scaling leg: this shared VM degrades 3-10x in
-    multi-minute windows (BASELINE.md variance disclosure), and regex work
-    is additionally memory-bandwidth-sensitive, so a flat spin loop would
-    under-report the contention. The reader separates host from engine by
-    comparing a leg's throughput with the host capacity measured seconds
-    before it — no massaging of the measured numbers."""
-    import multiprocessing as mp
-
-    with mp.Pool(n_procs) as p:
-        res = p.map(_kernel_probe, range(n_procs))
-    return round(sum(res) / n_procs / 1e6, 2)
+# host-capacity probe: the ACTUAL pure-Python extraction kernel in n
+# concurrent plain processes (no Spark, no JVM) — a spin loop would miss
+# the memory-bandwidth contention regex scanning is sensitive to. Shared
+# with the scale-leg jobs (round 5): secretscraper_spark/hostcal.py.
+from secretscraper_spark.hostcal import _kernel_probe, host_calibration  # noqa: E402,F401
 
 
 def stage_scaling_probe(reps: int = 2) -> dict:

@@ -84,6 +84,9 @@ class CrawlResult:
     tiers: list[dict] = field(default_factory=list)  # per-round metrics/lineage
     overhead: dict = field(default_factory=dict)     # non-tier wall costs (sec)
     host_delays: DataFrame | None = None  # adaptive_delay: final (host, crawl_delay)
+    #: quarantine breaker: final (host, n_fails, quarantined_at) state —
+    #: the operational read an operator inspects after a run
+    host_fails: DataFrame | None = None
     #: fold_outputs mode: {"nodes"|"edges"|"secrets": {"digest": str,
     #: "rows": int}} — run-level sums of the per-tier fold records; the
     #: nodes/edges/secrets/found frames above are EMPTY in that mode
@@ -776,6 +779,9 @@ class SparkCrawler:
             tiers=st["tiers"],
             overhead=overhead,
             host_delays=st["host_delays"] if self.adaptive_delay else None,
+            host_fails=(
+                st["host_fails"] if self.quarantine_fails is not None else None
+            ),
             folded=folded,
         )
 

@@ -156,6 +156,15 @@ def main() -> None:
         **cfg_kw,
     )
 
+    # host-capacity probe (r4 verdict item 6): per-process MB/s of the
+    # pure-Python extraction kernel at 8-way concurrency, seconds before
+    # the leg and again after it — so a variance class like the 104 s vs
+    # 233 s enqueue_rank swing on identical code+digests is attributable
+    # to host state from the artifact alone. Outside the timed window.
+    from secretscraper_spark.hostcal import host_calibration
+
+    cal_before = host_calibration(8)
+
     t0 = time.perf_counter()
     crawler = SparkCrawler(
         spark, pages, cfg, checkpoint_dir=args.checkpoint_dir,
@@ -253,6 +262,7 @@ def main() -> None:
         "pages_per_sec": round(res.total_page / wall, 1),
         "urls_per_sec": round(n_seen / wall, 1),
         "digests": digests,
+        "host_cal_mbps": {"before": cal_before, "after": host_calibration(8)},
         "tiers": res.tiers,
     }))
     spark.stop()
