@@ -499,6 +499,31 @@ class SparkCrawler:
     def _empty(self, schema) -> DataFrame:
         return self.spark.createDataFrame([], schema)
 
+    def _scale_ckpt(self, df: DataFrame) -> DataFrame:
+        """localCheckpoint for the per-tier BIG frames (extraction
+        output, ranked frontier). In the scale configurations
+        (fold_outputs or tier_chunk_rows — chosen exactly when tier
+        volume presses the JVM) blocks are stored SERIALIZED
+        (MEMORY_AND_DISK, deserialized=False): string-heavy extraction
+        rows inflate 2-3× as live UTF8String objects, and the
+        deserialized default's value-unroll is what OOMed the knife-edge
+        heaps (round-5 constrained-heap legs: a 4 g monolithic run
+        survived on spill while a chunked run died unrolling a 1.5 GB
+        chunk AS VALUES). Serialized unroll spills gracefully and the
+        fold/enqueue consumers scan the frame only twice. The default
+        (retained, test/bench) path keeps the deserialized default —
+        those frames are re-read by every report consumer and the
+        deserialization CPU would be paid each time."""
+        if self.fold_outputs or self.tier_chunk_rows is not None:
+            from pyspark import StorageLevel
+
+            # PySpark's MEMORY_AND_DISK constant is the SERIALIZED form
+            # (deserialized=False) — unlike the JVM-side default
+            return df.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+        return df.localCheckpoint()
+
     @staticmethod
     def _empty_cache(spark: SparkSession) -> DataFrame:
         from .fetch_cache import CACHE_DDL
@@ -831,12 +856,14 @@ class SparkCrawler:
             seen_state = self._tier(st, seen_state)
             st["tiers"][-1]["chunk"] = ci
             segments.append(st["frontier"])  # this chunk's new_frontier
-            if (
-                self.fold_outputs
-                and st["tiers"][-1]["processed"] >= self.GC_NUDGE_MIN_TIER_ROWS
-            ):
-                # same release nudge the loop applies between tiers —
-                # the whole point of chunking is bounding peak heap
+            if self.fold_outputs:
+                # UNCONDITIONAL per-chunk nudge (no GC_NUDGE_MIN_TIER_ROWS
+                # gate): chunking is chosen exactly when heap is the
+                # binding constraint, and ContextCleaner only releases a
+                # chunk's checkpoint blocks after a GC enqueues its weak
+                # refs — the default periodic GC is 30 min away, so
+                # without the nudge freed chunks pile up and the run OOMs
+                # unrolling the next one (round-5 constrained-heap legs)
                 self.spark.sparkContext._jvm.System.gc()
         nf = segments[0] if segments else self._empty(FRONTIER_SCHEMA)
         for s in segments[1:]:
@@ -969,9 +996,9 @@ class SparkCrawler:
         # metadata + the extraction arrays — never the captions. Nodes,
         # secrets, edges, found, and the enqueue path all derive from this
         # single materialization with pure-JVM projections/explodes.
-        combined = extraction.extract_combined(
-            fetched, self._extract_udf
-        ).localCheckpoint()
+        combined = self._scale_ckpt(
+            extraction.extract_combined(fetched, self._extract_udf)
+        )
         mark("extract")
 
         # shared per-tier frame for the breaker and AIMD folds:
@@ -1124,11 +1151,11 @@ class SparkCrawler:
             ranked, n_new = assign_global_seq_with_count(
                 new_nodes, ["min_parent_seq", "url_norm"], start=st["next_seq"]
             )
-            new_frontier = ranked.select(
+            new_frontier = self._scale_ckpt(ranked.select(
                 "url_norm", "scheme", "netloc", "path", "params", "query",
                 "fragment", F.lit(depth + 1).alias("depth"),
                 "parent_norm", "discovery_seq",
-            ).localCheckpoint()
+            ))
             mark("enqueue_rank")
             st["next_seq"] += n_new
             # LAZY union: the increment (new_frontier) is already
