@@ -501,20 +501,21 @@ class SparkCrawler:
 
     def _scale_ckpt(self, df: DataFrame) -> DataFrame:
         """localCheckpoint for the per-tier BIG frames (extraction
-        output, ranked frontier). In the scale configurations
-        (fold_outputs or tier_chunk_rows — chosen exactly when tier
-        volume presses the JVM) blocks are stored SERIALIZED
-        (MEMORY_AND_DISK, deserialized=False): string-heavy extraction
-        rows inflate 2-3× as live UTF8String objects, and the
-        deserialized default's value-unroll is what OOMed the knife-edge
-        heaps (round-5 constrained-heap legs: a 4 g monolithic run
-        survived on spill while a chunked run died unrolling a 1.5 GB
-        chunk AS VALUES). Serialized unroll spills gracefully and the
-        fold/enqueue consumers scan the frame only twice. The default
-        (retained, test/bench) path keeps the deserialized default —
-        those frames are re-read by every report consumer and the
-        deserialization CPU would be paid each time."""
-        if self.fold_outputs or self.tier_chunk_rows is not None:
+        output, ranked frontier). In CHUNKED mode (tier_chunk_rows set —
+        chosen exactly when heap is the binding constraint) blocks are
+        stored SERIALIZED (PySpark MEMORY_AND_DISK, deserialized=False):
+        string-heavy extraction rows inflate 2-3× as live UTF8String
+        objects, and the deserialized default's value-unroll is what
+        OOMed the knife-edge heaps (round-5 constrained-heap legs: 4 g
+        chunked runs died unrolling 1.5-4 GB chunks AS VALUES; with
+        serialized storage the same runs complete with zero OOMs).
+        Serialization is NOT free — measured ~1.5-2× on the extraction
+        stage (each stored row is serialized task-side and deserialized
+        on every scan), which is why the monolithic fold legs keep the
+        deserialized default and follow the size-heap-to-biggest-tier
+        guidance instead (the r4 Leg A configuration); chunked mode
+        explicitly trades that CPU for bounded peak heap."""
+        if self.tier_chunk_rows is not None:
             from pyspark import StorageLevel
 
             # PySpark's MEMORY_AND_DISK constant is the SERIALIZED form
