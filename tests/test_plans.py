@@ -882,6 +882,52 @@ class TestSyntheticFetch:
                 tier_chunk_rows=500, quarantine_fails=2,
             )
 
+    def test_tier_chunking_resume_parity(self, spark, tmp_path):
+        """Chunked tiers × checkpoint-resume: snapshots land once per
+        BFS tier (after ALL its chunks), with the frontier being the
+        union of the chunks' children — resuming a chunked fold run
+        from round 0 must reproduce the uninterrupted chunked run's
+        fold digests, counts, and seen digest bit-for-bit."""
+        from pyspark.sql import functions as F
+
+        from secretscraper_spark.sources import sitegen as sg
+
+        n_pages, n_hosts = 3000, 8
+        cfg = CrawlConfig(max_depth=2)
+        seeds = [sg.url_for(i, n_hosts) for i in range(0, n_pages, 41)]
+        empty = spark.createDataFrame(
+            [], "url_norm string, status string, content_type string, "
+            "content_length long, caption string",
+        )
+
+        def mk(ck=None):
+            return SparkCrawler(
+                spark, empty, cfg, fetch_mode="mapped",
+                fetch_map_fn=sg.synthetic_fetch_map(n_pages, n_hosts),
+                fold_outputs=True, tier_chunk_rows=400, checkpoint_dir=ck,
+            )
+
+        def digest(df):
+            row = df.select(
+                F.sum(
+                    F.xxhash64("url_norm", "depth", "discovery_seq")
+                    .cast("decimal(38,0)")
+                ).alias("d")
+            ).collect()[0]
+            return str(row["d"])
+
+        ck = str(tmp_path / "ck_chunked")
+        full = mk(ck).run(seeds)
+        assert any("chunk" in t for t in full.tiers)  # chunking engaged
+        # materialize the uninterrupted run's evidence BEFORE resuming:
+        # resume() re-writes the round snapshots full.seen lazily reads
+        full_folded, full_total = full.folded, full.total_page
+        full_seen_digest = digest(full.seen)
+        resumed = mk(ck).resume(from_round=0)
+        assert resumed.folded == full_folded
+        assert resumed.total_page == full_total
+        assert digest(resumed.seen) == full_seen_digest
+
     def test_fold_digest_collision_parity(self, spark):
         """ADVICE round-4: the fold's edge digest must stay bit-equal to
         the retained path's dropDuplicates even when two DISTINCT child
